@@ -1,0 +1,42 @@
+"""Test harness: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip hardware is unavailable in CI; the reference has no multi-node
+story either.  Sharding tests therefore use XLA's host-platform device
+virtualization (SURVEY.md section 4, "Implications for the TPU build").
+Must be set before jax initializes.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture
+def toy_data():
+    """The canonical 6x2 three-pair dataset used throughout the reference's
+    tests and examples (hierarchical.rs:400-402, examples/build_index.rs:9-12)."""
+    return np.array(
+        [
+            [1.0, 2.0],
+            [1.5, 2.5],
+            [8.0, 8.0],
+            [8.5, 8.5],
+            [4.0, 4.0],
+            [4.5, 4.5],
+        ],
+        dtype=np.float32,
+    )

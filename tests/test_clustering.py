@@ -1,0 +1,139 @@
+"""Clustering engine tests — mirrors the reference's inline suite
+(/root/reference/src/clustering/hierarchical.rs:393-509, utils.rs:17-34):
+seeded determinism, k seeded clusters, subdivision caps sizes, assignment
+covers all points, full fit on the 6x2 three-pair dataset."""
+
+import numpy as np
+import pytest
+
+from spfresh_tpu.clustering import (
+    Cluster,
+    ClusteringParams,
+    HierarchicalClustering,
+    compute_mean,
+)
+from spfresh_tpu.ops import EUCLIDEAN, MANHATTAN
+
+
+def test_compute_mean():
+    data = np.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]], np.float32)
+    m = np.asarray(compute_mean(data, np.array([0, 2])))
+    np.testing.assert_allclose(m, [3.0, 4.0])
+
+
+def _params(**kw):
+    defaults = dict(metric=EUCLIDEAN, initialization_method="Random", initial_k=3, rng_seed=42)
+    defaults.update(kw)
+    return ClusteringParams(**defaults)
+
+
+def test_random_init_produces_k_clusters(toy_data):
+    hc = HierarchicalClustering(_params(initial_k=3), toy_data)
+    hc._initialize_clusters(3)
+    assert len(hc.clusters) == 3
+    idxs = [c.centroid_idx for c in hc.clusters]
+    assert len(set(idxs)) == 3  # distinct seeds (choose without replacement)
+    assert all(0 <= i < 6 for i in idxs)
+
+
+def test_kmeanspp_init_produces_k_clusters(toy_data):
+    hc = HierarchicalClustering(
+        _params(initialization_method="KMeans++", initial_k=3), toy_data
+    )
+    hc._initialize_clusters(3)
+    assert len(hc.clusters) == 3
+    assert all(0 <= c.centroid_idx < 6 for c in hc.clusters)
+
+
+def test_assignment_covers_all_points(toy_data):
+    hc = HierarchicalClustering(_params(initial_k=3), toy_data)
+    hc._initialize_clusters(3)
+    hc._assign_points()
+    assigned = np.concatenate([c.points for c in hc.clusters])
+    assert set(assigned.tolist()) == set(range(6))
+
+
+def test_fit_caps_cluster_sizes(toy_data):
+    hc = HierarchicalClustering(
+        _params(initial_k=3, desired_cluster_size=2), toy_data
+    ).fit()
+    assert all(len(c) <= 2 for c in hc.clusters)
+    assigned = set(np.concatenate([c.points for c in hc.clusters]).tolist())
+    assert assigned == set(range(6))
+
+
+def test_fit_deterministic_under_seed(toy_data):
+    def run():
+        hc = HierarchicalClustering(
+            _params(initial_k=3, desired_cluster_size=2), toy_data
+        ).fit()
+        return [(c.centroid_idx, tuple(c.points.tolist())) for c in hc.clusters]
+
+    assert run() == run()
+
+
+def test_fit_pairs_cluster_together(toy_data):
+    # The three well-separated pairs should each land in one cluster.
+    hc = HierarchicalClustering(
+        _params(initial_k=3, desired_cluster_size=2, rng_seed=7), toy_data
+    ).fit()
+    labels = hc.labels()
+    assert labels[0] == labels[1]
+    assert labels[2] == labels[3]
+    assert labels[4] == labels[5]
+    assert len({labels[0], labels[2], labels[4]}) == 3
+
+
+def test_subdivision_on_larger_data(rng):
+    data = rng.standard_normal((200, 8)).astype(np.float32)
+    hc = HierarchicalClustering(
+        _params(initial_k=2, desired_cluster_size=20), data
+    ).fit()
+    assert all(len(c) <= 20 for c in hc.clusters)
+    assigned = set(np.concatenate([c.points for c in hc.clusters]).tolist())
+    assert assigned == set(range(200))
+    # Every cluster's centroid is one of its own members (SPANN medoid rule),
+    # except empty clusters which keep their seed.
+    for c in hc.clusters:
+        if len(c):
+            assert c.centroid_idx in set(c.points.tolist())
+
+
+def test_duplicate_points_terminate():
+    # SURVEY.md quirk 6: all-identical oversized cluster must not loop forever.
+    data = np.ones((32, 4), np.float32)
+    hc = HierarchicalClustering(
+        _params(initial_k=1, desired_cluster_size=4), data
+    ).fit()
+    assert all(len(c) <= 4 for c in hc.clusters)
+    assigned = set(np.concatenate([c.points for c in hc.clusters]).tolist())
+    assert assigned == set(range(32))
+
+
+def test_manhattan_metric_clustering(toy_data):
+    hc = HierarchicalClustering(
+        _params(metric=MANHATTAN, initial_k=3, desired_cluster_size=2), toy_data
+    ).fit()
+    labels = hc.labels()
+    assert labels[0] == labels[1]
+    assert labels[2] == labels[3]
+
+
+def test_labels_resolve_replicas(rng):
+    data = rng.standard_normal((100, 4)).astype(np.float32)
+    hc = HierarchicalClustering(
+        _params(initial_k=4, desired_cluster_size=30), data
+    ).fit()
+    labels = hc.labels()
+    assert labels.shape == (100,)
+    # Each label points at a cluster that actually contains the point.
+    member_sets = [set(c.points.tolist()) for c in hc.clusters]
+    for p in range(100):
+        assert p in member_sets[labels[p]]
+
+
+def test_initial_k_validation(toy_data):
+    with pytest.raises(ValueError):
+        ClusteringParams(initial_k=0)
+    with pytest.raises(ValueError):
+        HierarchicalClustering(_params(initial_k=10), toy_data).fit()
