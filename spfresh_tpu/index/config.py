@@ -1,0 +1,129 @@
+"""YAML config system (parity: /root/reference/src/spann/config.rs).
+
+Same schema and validation whitelist as the reference (config.rs:59-87), plus
+the knobs the reference computes internally or hardcodes (SURVEY.md section 5
+"config"): ``desired_cluster_size`` / ``rng_seed`` (builder hardcodes
+0.18*n / None at spann_builder.rs:48-49, config.rs:110-111) and a ``search``
+section exposing ``nprobe`` independently of ``k`` (the reference conflates
+them, spann_index.rs:164) and the optional 1.2x dynamic pruning factor
+(spann_index.rs:165).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Any, Dict, Optional
+
+import yaml
+
+from spfresh_tpu.clustering.hierarchical import ClusteringParams, canonical_init
+from spfresh_tpu.ops.distances import canonical_metric
+
+
+@dataclasses.dataclass
+class SearchConfig:
+    nprobe: Optional[int] = None  # None -> nprobe = k (reference behavior)
+    prune_factor: Optional[float] = None  # e.g. 1.2 for reference-style pruning
+    query_batch_size: int = 256
+
+    def validate(self) -> None:
+        if self.nprobe is not None and self.nprobe <= 0:
+            raise ValueError("search.nprobe must be > 0")
+        if self.prune_factor is not None and self.prune_factor < 1.0:
+            raise ValueError("search.prune_factor must be >= 1.0")
+        if self.query_batch_size <= 0:
+            raise ValueError("search.query_batch_size must be > 0")
+
+
+@dataclasses.dataclass
+class Config:
+    """Mirror of Config (config.rs:14-19)."""
+
+    distance_metric: str = "Euclidean"
+    initialization_method: str = "Random"
+    initial_k: int = 4
+    output_path: str = "data"
+    data_file: Optional[str] = None
+    desired_cluster_size: Optional[int] = None  # None -> round(0.18 * n)
+    rng_seed: Optional[int] = None
+    storage_dtype: str = "float32"  # or "bfloat16" for HBM-lean indexes
+    search: SearchConfig = dataclasses.field(default_factory=SearchConfig)
+
+    # -- constructors ------------------------------------------------------
+
+    @classmethod
+    def from_dict(cls, raw: Dict[str, Any]) -> "Config":
+        raw = dict(raw or {})
+        cp = dict(raw.pop("clustering_params", {}) or {})
+        sc = dict(raw.pop("search", {}) or {})
+        cfg = cls(
+            distance_metric=cp.get("distance_metric", "Euclidean"),
+            initialization_method=cp.get("initialization_method", "Random"),
+            initial_k=int(cp.get("initial_k", 4)),
+            output_path=raw.get("output_path", "data"),
+            data_file=raw.get("data_file"),
+            desired_cluster_size=cp.get("desired_cluster_size"),
+            rng_seed=cp.get("rng_seed"),
+            storage_dtype=raw.get("storage_dtype", "float32"),
+            search=SearchConfig(
+                nprobe=sc.get("nprobe"),
+                prune_factor=sc.get("prune_factor"),
+                query_batch_size=int(sc.get("query_batch_size", 256)),
+            ),
+        )
+        cfg.validate()
+        return cfg
+
+    @classmethod
+    def from_file(cls, path: str | os.PathLike) -> "Config":
+        """Config::from_file (config.rs:52-57)."""
+        with open(path, "r") as f:
+            raw = yaml.safe_load(f)
+        return cls.from_dict(raw or {})
+
+    # -- validation / conversion ------------------------------------------
+
+    def validate(self) -> None:
+        """Config::validate (config.rs:59-87): whitelists + positivity."""
+        canonical_metric(self.distance_metric)
+        canonical_init(self.initialization_method)
+        if self.initial_k <= 0:
+            raise ValueError("initial_k must be greater than 0")
+        if self.desired_cluster_size is not None and self.desired_cluster_size <= 0:
+            raise ValueError("desired_cluster_size must be greater than 0")
+        if self.storage_dtype not in ("float32", "bfloat16"):
+            raise ValueError("storage_dtype must be 'float32' or 'bfloat16'")
+        self.search.validate()
+
+    def to_clustering_params(self) -> ClusteringParams:
+        """Config::to_clustering_params (config.rs:90-113)."""
+        return ClusteringParams(
+            metric=canonical_metric(self.distance_metric),
+            initialization_method=canonical_init(self.initialization_method),
+            desired_cluster_size=self.desired_cluster_size,
+            initial_k=self.initial_k,
+            rng_seed=self.rng_seed,
+        )
+
+    def to_dict(self) -> Dict[str, Any]:
+        return {
+            "clustering_params": {
+                "distance_metric": self.distance_metric,
+                "initialization_method": self.initialization_method,
+                "initial_k": self.initial_k,
+                "desired_cluster_size": self.desired_cluster_size,
+                "rng_seed": self.rng_seed,
+            },
+            "output_path": self.output_path,
+            "data_file": self.data_file,
+            "storage_dtype": self.storage_dtype,
+            "search": {
+                "nprobe": self.search.nprobe,
+                "prune_factor": self.search.prune_factor,
+                "query_batch_size": self.search.query_batch_size,
+            },
+        }
+
+    def __str__(self) -> str:  # Display parity (config.rs:21-48)
+        return yaml.safe_dump(self.to_dict(), sort_keys=False)

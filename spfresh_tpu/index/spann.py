@@ -1,0 +1,432 @@
+"""SPANN index — TPU-native core (parity: /root/reference/src/spann/spann_index.rs).
+
+Reference design: an in-memory kiddo k-d tree over centroids + per-cluster
+posting files paged from disk, searched one query at a time
+(spann_index.rs:17-21,148-197).  TPU re-design:
+
+* the k-d tree becomes an **HBM-resident centroid matrix** scanned with a
+  batched fused distance + top-nprobe selection — at SPANN centroid counts a
+  dense MXU scan is exact and faster than tree traversal on this hardware
+  (SURVEY.md section 7);
+* posting lists live in a flat **CSR layout** (ids, vectors, offsets) padded
+  once to static shapes, so the probe -> gather -> rerank -> merge pipeline is
+  a single jitted program over a whole query batch;
+* search exposes ``nprobe`` independently of ``k`` (the reference conflates
+  them, spann_index.rs:164 — SURVEY.md quirk 2), reranks with the
+  **configured** metric (the reference hardwires SquaredEuclidean,
+  spann_index.rs:164,172 — quirk 1), and makes the 1.2x dynamic pruning an
+  *option* (`prune_factor`) rather than an always-on recall hazard (quirk 3).
+
+Mutable-update support (SPFresh/LIRE) keeps canonical posting state in host
+dicts; the device view is a compiled snapshot, re-packed lazily when dirty.
+Capacity is padded geometrically so steady-state updates do not recompile.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import gzip
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from spfresh_tpu.core.dtypes import ACCUM_DTYPE, DtypePolicy
+from spfresh_tpu.index.config import Config
+from spfresh_tpu.index.posting_store import (
+    FileBasedPostingListStore,
+    PointData,
+    read_packed_postings,
+    write_packed_postings,
+)
+from spfresh_tpu.ops.distances import canonical_metric, pairwise_distance, rowwise_distance
+from spfresh_tpu.ops.topk import smallest_k, smallest_k_unique
+
+MANIFEST = "manifest.json"
+CENTROIDS_FILE = "centroids.npy.gz"
+PACKED_FILE = "postings.csr"
+_F32_EPS = float(np.finfo(np.float32).eps)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _next_pow2(x: int) -> int:
+    return 1 if x <= 1 else 1 << (x - 1).bit_length()
+
+
+# ---------------------------------------------------------------------------
+# Jitted search pipeline
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "pad", "metric", "prune")
+)
+def _search_kernel(
+    queries,
+    centroids,
+    cent_valid,
+    offsets,
+    lens,
+    ids,
+    vectors,
+    prune_factor,
+    *,
+    k: int,
+    nprobe: int,
+    pad: int,
+    metric: str,
+    prune: bool,
+):
+    """probe -> gather -> rerank -> merge for one query batch.
+
+    queries (Q, d); centroids (C, d); offsets/lens (C,); ids (P,);
+    vectors (P, d).  Returns (ids (Q, k) int64 [-1 = no hit], dists (Q, k)).
+    """
+    Q = queries.shape[0]
+    qf = queries.astype(centroids.dtype)
+
+    # Stage 1 — centroid scan + top-nprobe (replaces kdtree.nearest_n,
+    # spann_index.rs:164).
+    Dc = pairwise_distance(qf, centroids, metric)
+    Dc = jnp.where(cent_valid[None, :], Dc, jnp.inf)
+    cent_d, cent_i = smallest_k(Dc, nprobe)  # (Q, nprobe)
+
+    # Stage 2 — gather probed posting lists (replaces the per-list disk read,
+    # spann_index.rs:169).
+    base = offsets[cent_i].astype(jnp.int32)  # (Q, nprobe)
+    ar = jnp.arange(pad, dtype=jnp.int32)
+    pos = base[..., None] + ar  # (Q, nprobe, pad)
+    valid = (ar < lens[cent_i][..., None]) & jnp.isfinite(cent_d)[..., None]
+    pos = jnp.clip(pos, 0, vectors.shape[0] - 1)
+    cand_vecs = vectors[pos]  # (Q, nprobe, pad, d)
+    # Padding reads past a short cluster land in the next cluster's slice;
+    # neutralize their ids so they can never shadow a real candidate.
+    cand_ids = jnp.where(valid, ids[pos], -1)
+
+    # Stage 3 — rerank with the configured metric (fixes quirk 1).
+    d = rowwise_distance(cand_vecs, qf[:, None, None, :], metric)
+    d = jnp.where(valid, d, jnp.inf)
+    if prune:
+        # Reference-style query-aware dynamic pruning (spann_index.rs:165,176):
+        # keep points within prune_factor * (nearest-centroid distance + eps).
+        thr = prune_factor.astype(ACCUM_DTYPE) * (cent_d[:, 0] + _F32_EPS)
+        d = jnp.where(d <= thr[:, None, None], d, jnp.inf)
+
+    # Stage 4 — global top-k with replica dedup (replaces sort+truncate,
+    # spann_index.rs:188-193).
+    n_cand = nprobe * pad
+    d = d.reshape(Q, n_cand)
+    cand_ids = cand_ids.reshape(Q, n_cand).astype(jnp.int64)
+    if n_cand < k:  # degenerate tiny index: pad so top_k is well-defined
+        padc = k - n_cand
+        d = jnp.concatenate([d, jnp.full((Q, padc), jnp.inf, d.dtype)], axis=1)
+        cand_ids = jnp.concatenate(
+            [cand_ids, jnp.full((Q, padc), -1, cand_ids.dtype)], axis=1
+        )
+    vals, out_ids = smallest_k_unique(d, cand_ids, k)
+    out_ids = jnp.where(jnp.isfinite(vals), out_ids, -1)
+    return out_ids, vals
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
+def _brute_force_kernel(corpus, queries, k: int, metric: str):
+    D = pairwise_distance(queries.astype(corpus.dtype), corpus, metric, exact=True)
+    return smallest_k(D, k)
+
+
+def brute_force_search(corpus, queries, k: int, metric: str = "Euclidean", batch_size: int = 1024):
+    """Exact top-k ground truth (used by the recall harness and tests)."""
+    metric = canonical_metric(metric)
+    corpus = jnp.asarray(corpus)
+    out_d, out_i = [], []
+    queries = np.asarray(queries)
+    for s in range(0, queries.shape[0], batch_size):
+        d, i = _brute_force_kernel(corpus, jnp.asarray(queries[s : s + batch_size]), k, metric)
+        out_d.append(np.asarray(d))
+        out_i.append(np.asarray(i))
+    return np.concatenate(out_d), np.concatenate(out_i)
+
+
+# ---------------------------------------------------------------------------
+# Device view (compiled snapshot of the posting state)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class DeviceView:
+    centroids: jnp.ndarray  # (Cpad, d) storage dtype
+    cent_valid: jnp.ndarray  # (Cpad,) bool
+    offsets: jnp.ndarray  # (Cpad,) int32 — start of each cluster's slice
+    lens: jnp.ndarray  # (Cpad,) int32
+    ids: jnp.ndarray  # (Ppad,) int64
+    vectors: jnp.ndarray  # (Ppad, d) storage dtype
+    pad: int  # static per-cluster gather width (>= max posting length)
+    cluster_rows: Dict[int, int]  # cluster_id -> row in the padded arrays
+
+
+class SpannIndex:
+    """Mirror of SpannIndex (spann_index.rs:17-21) with batched search and
+    mutable posting state for SPFresh updates."""
+
+    def __init__(self, config: Optional[Config] = None):
+        self.config = config or Config()
+        self.metric = canonical_metric(self.config.distance_metric)
+        self.policy = DtypePolicy(self.config.storage_dtype)
+        self.dim: Optional[int] = None
+        # Canonical state: cluster_id -> (ids int64 (m,), vectors f32 (m, d)).
+        self.postings: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        # cluster_id -> centroid vector f32 (d,)
+        self.centroids: Dict[int, np.ndarray] = {}
+        self._next_cluster_id = 0
+        self._view: Optional[DeviceView] = None
+        self._dirty = True
+
+    # -- construction ------------------------------------------------------
+
+    def create_posting_lists(self, clusters, data: np.ndarray) -> None:
+        """From fitted clusters (create_posting_lists, spann_index.rs:56-84)."""
+        data = np.asarray(data, dtype=np.float32)
+        self.dim = data.shape[1]
+        for c in clusters:
+            ids = np.asarray(c.points, dtype=np.int64)
+            self.add_cluster(data[ids], ids, centroid=data[c.centroid_idx])
+        self._dirty = True
+
+    def add_cluster(self, vectors: np.ndarray, ids: np.ndarray, centroid: np.ndarray) -> int:
+        cid = self._next_cluster_id
+        self._next_cluster_id += 1
+        vectors = np.asarray(vectors, np.float32).reshape(len(ids), -1)
+        if self.dim is None:
+            self.dim = vectors.shape[1]
+        self.postings[cid] = (np.asarray(ids, np.int64), vectors)
+        self.centroids[cid] = np.asarray(centroid, np.float32)
+        self._dirty = True
+        return cid
+
+    def remove_cluster(self, cluster_id: int) -> None:
+        self.postings.pop(cluster_id, None)
+        self.centroids.pop(cluster_id, None)
+        self._dirty = True
+
+    def replace_posting(self, cluster_id: int, ids: np.ndarray, vectors: np.ndarray,
+                        centroid: Optional[np.ndarray] = None) -> None:
+        self.postings[cluster_id] = (
+            np.asarray(ids, np.int64),
+            np.asarray(vectors, np.float32).reshape(len(ids), -1),
+        )
+        if centroid is not None:
+            self.centroids[cluster_id] = np.asarray(centroid, np.float32)
+        self._dirty = True
+
+    @property
+    def num_clusters(self) -> int:
+        return len(self.postings)
+
+    @property
+    def num_vectors(self) -> int:
+        """Total stored vectors including boundary replicas."""
+        return sum(len(ids) for ids, _ in self.postings.values())
+
+    # -- device view -------------------------------------------------------
+
+    def device_view(self) -> DeviceView:
+        if self._view is not None and not self._dirty:
+            return self._view
+        if not self.postings:
+            raise ValueError("index is empty")
+        d = self.dim
+        cids = sorted(self.postings)
+        C = len(cids)
+        Cpad = max(8, _next_pow2(C))
+        max_len = max(len(self.postings[c][0]) for c in cids)
+        pad = max(8, _round_up(max(1, max_len), 8))
+        lens = np.zeros(Cpad, np.int32)
+        offsets = np.zeros(Cpad, np.int32)
+        cent = np.zeros((Cpad, d), np.float32)
+        valid = np.zeros(Cpad, bool)
+        P = sum(len(self.postings[c][0]) for c in cids)
+        Ppad = max(8, _round_up(P, 8))
+        flat_ids = np.full(Ppad, -1, np.int64)
+        flat_vecs = np.zeros((Ppad, d), np.float32)
+        cluster_rows: Dict[int, int] = {}
+        pos = 0
+        for row, c in enumerate(cids):
+            ids, vecs = self.postings[c]
+            m = len(ids)
+            offsets[row] = pos
+            lens[row] = m
+            cent[row] = self.centroids[c]
+            valid[row] = True
+            flat_ids[pos : pos + m] = ids
+            flat_vecs[pos : pos + m] = vecs
+            cluster_rows[c] = row
+            pos += m
+        sd = self.policy.storage_dtype
+        self._view = DeviceView(
+            centroids=jnp.asarray(cent, sd),
+            cent_valid=jnp.asarray(valid),
+            offsets=jnp.asarray(offsets),
+            lens=jnp.asarray(lens),
+            ids=jnp.asarray(flat_ids),
+            vectors=jnp.asarray(flat_vecs, sd),
+            pad=pad,
+            cluster_rows=cluster_rows,
+        )
+        self._dirty = False
+        return self._view
+
+    # -- search ------------------------------------------------------------
+
+    def search(
+        self,
+        queries,
+        k: int,
+        nprobe: Optional[int] = None,
+        prune_factor: Optional[float] = None,
+        batch_size: Optional[int] = None,
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched ANN search.  Returns (ids (Q, k) int64, dists (Q, k) f32);
+        id -1 marks an empty slot (fewer than k reachable candidates)."""
+        view = self.device_view()
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        if queries.shape[1] != self.dim:
+            raise ValueError(f"query dim {queries.shape[1]} != index dim {self.dim}")
+        if nprobe is None:
+            nprobe = self.config.search.nprobe or k  # reference: nprobe == k
+        nprobe = max(1, min(int(nprobe), int(view.centroids.shape[0])))
+        if prune_factor is None:
+            prune_factor = self.config.search.prune_factor
+        prune = prune_factor is not None
+        pf = jnp.float32(prune_factor if prune else 0.0)
+        bs = batch_size or self.config.search.query_batch_size
+        out_i, out_d = [], []
+        for s in range(0, queries.shape[0], bs):
+            qi, qd = _search_kernel(
+                jnp.asarray(queries[s : s + bs]),
+                view.centroids,
+                view.cent_valid,
+                view.offsets,
+                view.lens,
+                view.ids,
+                view.vectors,
+                pf,
+                k=int(k),
+                nprobe=nprobe,
+                pad=view.pad,
+                metric=self.metric,
+                prune=prune,
+            )
+            out_i.append(np.asarray(qi))
+            out_d.append(np.asarray(qd))
+        return np.concatenate(out_i), np.concatenate(out_d)
+
+    def find_k_nearest_neighbor_spann(self, query, k: int) -> Optional[List[PointData]]:
+        """Single-query parity API (spann_index.rs:148-197): nprobe = k and
+        1.2x pruning ON, like the reference; returns None when pruning leaves
+        no candidates (quirk 3 preserved *only* here, deliberately)."""
+        ids, _ = self.search(
+            np.asarray(query, np.float32)[None, :], k, nprobe=k, prune_factor=1.2
+        )
+        hits = [int(i) for i in ids[0] if i >= 0]
+        if not hits:
+            return None
+        vec_by_id = self._vectors_for(hits)
+        return [PointData(i, vec_by_id[i]) for i in hits]
+
+    def _vectors_for(self, point_ids: List[int]) -> Dict[int, np.ndarray]:
+        want = set(point_ids)
+        out: Dict[int, np.ndarray] = {}
+        for ids, vecs in self.postings.values():
+            if not want:
+                break
+            hit = np.isin(ids, list(want))
+            for i, v in zip(ids[hit], vecs[hit]):
+                out[int(i)] = v
+                want.discard(int(i))
+        return out
+
+    # -- persistence -------------------------------------------------------
+
+    def save(self, directory: Optional[str] = None, format: str = "packed") -> str:
+        """Persist the index (save_kdtree/save_posting_list parity,
+        spann_index.rs:45-53,116-131).  ``packed`` writes one CSR file;
+        ``per_cluster`` writes one file per posting list like the reference."""
+        directory = directory or self.config.output_path
+        os.makedirs(directory, exist_ok=True)
+        cids = sorted(self.postings)
+        # Centroids: gzip parity with the reference's gzip+bincode kdtree.
+        cent = np.stack([self.centroids[c] for c in cids]).astype(np.float32)
+        with gzip.open(os.path.join(directory, CENTROIDS_FILE), "wb") as f:
+            np.save(f, cent)
+        if format == "packed":
+            lens = np.array([len(self.postings[c][0]) for c in cids], np.int64)
+            offsets = np.zeros(len(cids) + 1, np.int64)
+            np.cumsum(lens, out=offsets[1:])
+            ids = (
+                np.concatenate([self.postings[c][0] for c in cids])
+                if cids
+                else np.empty(0, np.int64)
+            )
+            vecs = (
+                np.concatenate([self.postings[c][1] for c in cids])
+                if cids
+                else np.empty((0, self.dim or 0), np.float32)
+            )
+            write_packed_postings(os.path.join(directory, PACKED_FILE), cids, offsets, ids, vecs)
+        elif format == "per_cluster":
+            store = FileBasedPostingListStore(directory)
+            for c in cids:
+                store.insert_posting_list(c, *self.postings[c])
+        else:
+            raise ValueError(f"unknown save format {format!r}")
+        manifest = {
+            "format_version": 1,
+            "layout": format,
+            "dim": self.dim,
+            "num_clusters": len(cids),
+            "cluster_ids": cids,
+            "next_cluster_id": self._next_cluster_id,
+            "config": self.config.to_dict(),
+        }
+        with open(os.path.join(directory, MANIFEST), "w") as f:
+            json.dump(manifest, f)
+        return directory
+
+    @classmethod
+    def load(cls, directory: str, config: Optional[Config] = None) -> "SpannIndex":
+        with open(os.path.join(directory, MANIFEST)) as f:
+            manifest = json.load(f)
+        cfg = config or Config.from_dict(manifest.get("config", {}))
+        idx = cls(cfg)
+        idx.dim = manifest["dim"]
+        idx._next_cluster_id = manifest.get("next_cluster_id", 0)
+        with gzip.open(os.path.join(directory, CENTROIDS_FILE), "rb") as f:
+            cent = np.load(f)
+        cids = [int(c) for c in manifest["cluster_ids"]]
+        for c, v in zip(cids, cent):
+            idx.centroids[c] = v
+        if manifest["layout"] == "packed":
+            pcids, offsets, ids, vecs = read_packed_postings(
+                os.path.join(directory, PACKED_FILE)
+            )
+            for i, c in enumerate(pcids):
+                s, e = int(offsets[i]), int(offsets[i + 1])
+                idx.postings[int(c)] = (np.array(ids[s:e]), np.array(vecs[s:e]))
+        else:
+            store = FileBasedPostingListStore.load_from_directory(directory)
+            for c in store.cluster_ids():
+                got = store.get_posting_list(c)
+                if got is not None:
+                    idx.postings[c] = got
+        idx._next_cluster_id = max(
+            [idx._next_cluster_id] + [c + 1 for c in idx.postings]
+        )
+        idx._dirty = True
+        return idx

@@ -1,0 +1,251 @@
+"""SpFreshIndex — SPANN search + LIRE in-place updates, actually wired.
+
+The reference's LIRE layer is a dead subsystem: nothing in ``SpannIndex``
+calls it (SURVEY.md section 2.9/5, quirk 5).  This class completes the
+integration the reference intended:
+
+    insert  -> append to nearest posting (+ background Split when oversized,
+               then Reassign of boundary vectors near the split)
+    delete  -> tombstone (+ background Merge when undersized, GC when stale)
+    search  -> unchanged SPANN probe/rerank over a snapshot that refreshes
+               lazily after updates — no full rebuilds (the SPFresh promise).
+
+Single id space: index cluster ids == storage posting ids.  The background
+pipeline mutates storage; mirror callbacks keep the index's centroid matrix
+and packed posting snapshot in sync under a lock.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+import threading
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+
+from spfresh_tpu.index.spann import SpannIndex
+from spfresh_tpu.lire.operations import LireContext, Reassign, Split
+from spfresh_tpu.lire.pipeline import TaskOutcome, TwoStagePipeline
+from spfresh_tpu.lire.protocol import LireConfig, LireProtocol
+from spfresh_tpu.lire.storage import LireStorage
+
+log = logging.getLogger(__name__)
+
+
+class SpFreshIndex:
+    """A SpannIndex with live insert/delete via the LIRE protocol."""
+
+    def __init__(
+        self,
+        index: SpannIndex,
+        storage_path: str,
+        lire_config: Optional[LireConfig] = None,
+        start_pipeline: bool = True,
+        reassign_after_split: bool = True,
+        reassign_nearby: int = 8,
+    ):
+        if index.dim is None:
+            raise ValueError("index has no data")
+        self.index = index
+        self.lire_config = lire_config or LireConfig()
+        self.reassign_after_split = reassign_after_split
+        self.reassign_nearby = reassign_nearby
+        self._lock = threading.RLock()
+        self.storage = LireStorage(storage_path, index.dim)
+
+        # Import existing postings into storage (fresh storage only).
+        if not self.storage.posting_ids() and index.postings:
+            for cid in sorted(index.postings):
+                ids, vecs = index.postings[cid]
+                self.storage.import_posting(cid, ids, vecs, index.centroids[cid])
+        elif self.storage.posting_ids():
+            # Storage is the durable truth on reopen: rebuild the mirror.
+            self._sync_mirror(self.storage.posting_ids(), retired=set(index.postings) - set(self.storage.posting_ids()))
+
+        # id -> set of postings holding it (replicas from the initial build).
+        self._id_map: Dict[int, Set[int]] = {}
+        for pid in self.storage.posting_ids():
+            ids, _, _ = self.storage.get_posting(pid)
+            for i in ids:
+                self._id_map.setdefault(int(i), set()).add(pid)
+
+        ctx = LireContext(
+            storage=self.storage,
+            alloc_posting_id=self._alloc_posting_id,
+            on_posting_created=self._on_posting_created,
+            on_posting_retired=self._on_posting_retired,
+            metric=index.metric,
+        )
+        self.pipeline = TwoStagePipeline(ctx, on_complete=self._after_op)
+        self.protocol = LireProtocol(
+            self.storage, self.lire_config, self.pipeline, index.metric
+        )
+        if start_pipeline:
+            self.pipeline.start()
+
+    # -- id allocation / mirror callbacks ----------------------------------
+
+    def _alloc_posting_id(self) -> int:
+        with self._lock:
+            cid = self.index._next_cluster_id
+            self.index._next_cluster_id += 1
+            return cid
+
+    def _on_posting_created(self, pid: int, centroid: np.ndarray) -> None:
+        ids, vecs, _ = self.storage.get_posting(pid)
+        with self._lock:
+            self.index.replace_posting(pid, ids, vecs, centroid)
+            for i in ids:
+                self._id_map.setdefault(int(i), set()).add(pid)
+
+    def _on_posting_retired(self, pid: int) -> None:
+        with self._lock:
+            self.index.remove_cluster(pid)
+            for s in self._id_map.values():
+                s.discard(pid)
+
+    def _sync_mirror(self, pids, retired: Set[int] = frozenset()) -> None:
+        with self._lock:
+            for pid in retired:
+                self.index.remove_cluster(pid)
+            for pid in pids:
+                if self.storage.has_posting(pid):
+                    ids, vecs, _ = self.storage.get_posting(pid)
+                    self.index.replace_posting(
+                        pid, ids, vecs, self.storage.get_posting_centroid(pid)
+                    )
+
+    # -- updates -----------------------------------------------------------
+
+    def insert(self, vector: np.ndarray, vector_id: int) -> int:
+        """Insert one vector; returns its version stamp."""
+        vector = np.asarray(vector, np.float32).reshape(-1)
+        res = self.protocol.insert(vector, vector_id)
+        pid = res.partitions_affected[0]
+        with self._lock:
+            ids, vecs = self.index.postings[pid]
+            self.index.replace_posting(
+                pid,
+                np.append(ids, np.int64(vector_id)),
+                np.concatenate([vecs, vector[None, :]]),
+            )
+            self._id_map.setdefault(int(vector_id), set()).add(pid)
+        return res.version
+
+    def insert_batch(self, vectors: np.ndarray, vector_ids) -> List[int]:
+        """Batched insert: one centroid scan on device for the whole batch."""
+        vectors = np.asarray(vectors, np.float32)
+        nearest, _ = self._nearest_postings(vectors)
+        versions = []
+        touched: Set[int] = set()
+        for v, vid, pid in zip(vectors, vector_ids, nearest):
+            r = self.protocol.insert(v, int(vid), posting_id=int(pid))
+            versions.append(r.version)
+            touched.add(int(pid))
+            self._id_map.setdefault(int(vid), set()).add(int(pid))
+        self._sync_mirror(touched)
+        return versions
+
+    def delete(self, vector_id: int, posting_id: Optional[int] = None) -> List[int]:
+        """Tombstone a vector everywhere it lives (boundary replicas
+        included); returns the versions of the affected tombstones."""
+        with self._lock:
+            pids = (
+                [posting_id]
+                if posting_id is not None
+                else sorted(self._id_map.get(int(vector_id), ()))
+            )
+        if not pids:
+            raise KeyError(f"vector {vector_id} not found")
+        versions = []
+        for pid in pids:
+            res = self.protocol.delete(int(vector_id), pid)
+            versions.append(res.version)
+            with self._lock:
+                if pid in self.index.postings:
+                    ids, vecs = self.index.postings[pid]
+                    keep = ids != int(vector_id)
+                    self.index.replace_posting(pid, ids[keep], vecs[keep])
+                self._id_map.get(int(vector_id), set()).discard(pid)
+        return versions
+
+    # -- search ------------------------------------------------------------
+
+    def search(self, queries, k: int, **kw) -> Tuple[np.ndarray, np.ndarray]:
+        with self._lock:
+            return self.index.search(queries, k, **kw)
+
+    def _nearest_postings(self, vectors: np.ndarray):
+        with self._lock:
+            view = self.index.device_view()
+            row_to_pid = {r: p for p, r in view.cluster_rows.items()}
+        from spfresh_tpu.ops.distances import pairwise_distance
+        import jax.numpy as jnp
+
+        D = np.asarray(
+            pairwise_distance(
+                jnp.asarray(vectors), view.centroids, self.index.metric
+            )
+        )
+        D = np.where(np.asarray(view.cent_valid)[None, :], D, np.inf)
+        rows = np.argmin(D, axis=1)
+        return np.array([row_to_pid[int(r)] for r in rows]), D[np.arange(len(rows)), rows]
+
+    # -- background maintenance hooks --------------------------------------
+
+    def _after_op(self, outcome: TaskOutcome) -> None:
+        if outcome.error is not None or outcome.result is None:
+            return
+        op, result = outcome.op, outcome.result
+        # Reassign mutates postings without retiring them: resync those.
+        if isinstance(op, Reassign):
+            self._sync_mirror(
+                [p for p in op.get_affected_partitions() if self.storage.has_posting(p)]
+            )
+            with self._lock:
+                for pid in op.get_affected_partitions():
+                    if not self.storage.has_posting(pid):
+                        continue
+                    ids, _, _ = self.storage.get_posting(pid)
+                    for i in ids:
+                        self._id_map.setdefault(int(i), set()).add(pid)
+            return
+        # After a successful split, boundary vectors near the two new
+        # postings may belong elsewhere now — schedule Reassign (SPFresh
+        # semantics; the reference never got here).
+        if isinstance(op, Split) and self.reassign_after_split and result.new_postings:
+            candidates: List[int] = list(result.new_postings)
+            for pid in result.new_postings:
+                candidates.extend(
+                    self.protocol.get_nearby_postings(pid, self.reassign_nearby)
+                )
+            candidates = sorted(set(candidates))
+            vectors: List[Tuple[int, int, int]] = []
+            for pid in result.new_postings:
+                if not self.storage.has_posting(pid):
+                    continue
+                ids, _, vers = self.storage.get_posting(pid)
+                vectors.extend(
+                    (int(i), pid, int(v)) for i, v in zip(ids, vers)
+                )
+            if vectors and len(candidates) > 1:
+                self.protocol.schedule_maintenance(Reassign(vectors, candidates))
+
+    # -- lifecycle ---------------------------------------------------------
+
+    def flush(self) -> None:
+        """Wait for all scheduled background maintenance to finish."""
+        if self.pipeline.is_running:
+            self.pipeline.drain()
+
+    def close(self) -> None:
+        if self.pipeline.is_running:
+            self.pipeline.drain()
+            self.pipeline.stop()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

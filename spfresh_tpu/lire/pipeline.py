@@ -1,0 +1,145 @@
+"""LIRE two-stage background pipeline (parity:
+/root/reference/src/spann/lire/pipeline.rs).
+
+Front stage (caller thread) submits Split/Merge/Reassign/GC tasks; the
+background stage is one worker thread draining a queue (mpsc + std::thread
+parity, pipeline.rs:37,55-83).  Per-partition status transitions
+Ready -> Processing -> Ready | NeedsMaintenance under a lock
+(pipeline.rs:85-172), with NeedsMaintenance as the soft-failure flag the
+reference uses (no repair loop there; here `drain()` lets callers join the
+queue, and failed ops record their exception for inspection).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import logging
+import queue
+import threading
+from typing import Callable, Dict, List, Optional
+
+from spfresh_tpu.lire.operations import LireContext, OperationResult, PartitionOperation
+
+log = logging.getLogger(__name__)
+
+
+class PartitionStatus(enum.Enum):
+    """Mirror of PartitionStatus (pipeline.rs:21-25)."""
+
+    READY = "ready"
+    PROCESSING = "processing"
+    NEEDS_MAINTENANCE = "needs_maintenance"
+
+
+class PipelineError(Exception):
+    """LireError::Pipeline parity (lire/mod.rs:19-30)."""
+
+
+_SHUTDOWN = object()  # BackgroundTask::Shutdown (pipeline.rs:12-17)
+
+
+@dataclasses.dataclass
+class TaskOutcome:
+    op: PartitionOperation
+    result: Optional[OperationResult]
+    error: Optional[Exception]
+
+
+class TwoStagePipeline:
+    """Mirror of TwoStagePipeline (pipeline.rs:28-33)."""
+
+    def __init__(self, ctx: LireContext, on_complete: Optional[Callable[[TaskOutcome], None]] = None):
+        self.ctx = ctx
+        self.on_complete = on_complete
+        self._queue: "queue.Queue" = queue.Queue()
+        self._thread: Optional[threading.Thread] = None
+        self._status_lock = threading.Lock()
+        self._status: Dict[int, PartitionStatus] = {}
+        self._outcomes: List[TaskOutcome] = []
+        self._started = False
+
+    # -- lifecycle (pipeline.rs:186-215) -----------------------------------
+
+    def start(self) -> None:
+        if self._started:
+            raise PipelineError("pipeline already started")
+        self._thread = threading.Thread(
+            target=self._worker, name="lire-background", daemon=True
+        )
+        self._started = True
+        self._thread.start()
+        log.info("LIRE pipeline started")
+
+    def stop(self) -> None:
+        if not self._started:
+            raise PipelineError("pipeline not started")
+        self._queue.put(_SHUTDOWN)
+        self._thread.join()
+        self._thread = None
+        self._started = False
+        log.info("LIRE pipeline stopped")
+
+    @property
+    def is_running(self) -> bool:
+        return self._started
+
+    # -- submission (pipeline.rs:174-184) ----------------------------------
+
+    def submit_task(self, op: PartitionOperation) -> None:
+        if not self._started:
+            raise PipelineError("cannot submit task: pipeline not started")
+        for pid in op.get_affected_partitions():
+            self._set_status(pid, PartitionStatus.PROCESSING)
+        self._queue.put(op)
+
+    def drain(self) -> None:
+        """Block until every submitted task has been processed."""
+        self._queue.join()
+
+    # -- status (pipeline.rs:217-222) --------------------------------------
+
+    def get_partition_status(self, partition_id: int) -> PartitionStatus:
+        with self._status_lock:
+            return self._status.get(partition_id, PartitionStatus.READY)
+
+    def _set_status(self, partition_id: int, status: PartitionStatus) -> None:
+        with self._status_lock:
+            self._status[partition_id] = status
+
+    def outcomes(self) -> List[TaskOutcome]:
+        with self._status_lock:
+            return list(self._outcomes)
+
+    # -- background stage (pipeline.rs:62-172) -----------------------------
+
+    def _worker(self) -> None:
+        while True:
+            task = self._queue.get()
+            if task is _SHUTDOWN:
+                self._queue.task_done()
+                return
+            outcome = self._process(task)
+            with self._status_lock:
+                self._outcomes.append(outcome)
+            if self.on_complete is not None:
+                try:
+                    self.on_complete(outcome)
+                except Exception:  # callback bugs must not kill the worker
+                    log.exception("LIRE on_complete callback failed")
+            self._queue.task_done()
+
+    def _process(self, op: PartitionOperation) -> TaskOutcome:
+        affected = op.get_affected_partitions()
+        try:
+            result = op.execute(self.ctx)
+        except Exception as e:  # noqa: BLE001 — op failure flags maintenance
+            log.warning("LIRE op %s failed: %s", type(op).__name__, e)
+            for pid in affected:
+                self._set_status(pid, PartitionStatus.NEEDS_MAINTENANCE)
+            return TaskOutcome(op, None, e)
+        for pid in affected:
+            self._set_status(pid, PartitionStatus.READY)
+        for pid in result.new_postings:
+            self._set_status(pid, PartitionStatus.READY)
+        return TaskOutcome(op, result, None)

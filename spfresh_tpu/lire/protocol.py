@@ -1,0 +1,138 @@
+"""LIRE update protocol — the front stage of SPFresh updates (parity:
+/root/reference/src/spann/lire/protocol.rs, stubs completed).
+
+insert/delete are synchronous appends/tombstones plus *real* maintenance
+scheduling: ``schedule_maintenance`` submits Split/Merge/GC to the background
+pipeline (the reference's is a no-op stub, protocol.rs:114-118) and
+``get_nearby_postings`` returns the actual nearest postings by centroid
+distance (stubbed empty in the reference, protocol.rs:139-143).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import List, Optional
+
+import numpy as np
+
+from spfresh_tpu.lire.operations import (
+    LireContext,
+    Merge,
+    Reassign,
+    Split,
+    _dist,
+)
+from spfresh_tpu.lire.pipeline import TwoStagePipeline
+from spfresh_tpu.lire.storage import LireStorage
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class LireConfig:
+    """Mirror of LireConfig (protocol.rs:11-31) — same defaults."""
+
+    max_partition_size: int = 10_000
+    min_partition_size: int = 1_000
+    nearby_posting_count: int = 64
+    gc_threshold: float = 0.3
+
+
+@dataclasses.dataclass
+class UpdateResult:
+    """Mirror of UpdateResult (protocol.rs:35-42)."""
+
+    vectors_reassigned: int
+    partitions_affected: List[int]
+    version: int
+
+
+class LireProtocol:
+    """Mirror of LireProtocol (protocol.rs:51-143)."""
+
+    def __init__(
+        self,
+        storage: LireStorage,
+        config: Optional[LireConfig] = None,
+        pipeline: Optional[TwoStagePipeline] = None,
+        metric: str = "Euclidean",
+    ):
+        self.storage = storage
+        self.config = config or LireConfig()
+        self.pipeline = pipeline
+        self.metric = metric
+
+    # -- updates (protocol.rs:65-99) ---------------------------------------
+
+    def insert(self, vector: np.ndarray, vector_id: int, posting_id: Optional[int] = None) -> UpdateResult:
+        vector = np.asarray(vector, np.float32).reshape(-1)
+        if posting_id is None:
+            posting_id = self.find_nearest_partition(vector)
+            if posting_id is None:
+                raise ValueError("no postings exist; build an index first")
+        version = self.storage.store_vector(posting_id, vector_id, vector)
+        if self.needs_split(posting_id):
+            self.schedule_maintenance(Split(posting_id))
+        return UpdateResult(0, [posting_id], version)
+
+    def delete(self, vector_id: int, posting_id: int) -> UpdateResult:
+        version = self.storage.mark_deleted(posting_id, vector_id)
+        if self.needs_merge(posting_id):
+            target = self._nearest_other_partition(posting_id)
+            if target is not None:
+                self.schedule_maintenance(Merge(posting_id, target))
+        if self.storage.needs_garbage_collection(posting_id, self.config.gc_threshold):
+            self.storage.collect_garbage(posting_id)
+        return UpdateResult(0, [posting_id], version)
+
+    # -- triggers (protocol.rs:102-111) ------------------------------------
+
+    def needs_split(self, posting_id: int) -> bool:
+        return self.storage.get_vector_count(posting_id) > self.config.max_partition_size
+
+    def needs_merge(self, posting_id: int) -> bool:
+        return self.storage.get_vector_count(posting_id) < self.config.min_partition_size
+
+    # -- maintenance (real, not the reference's no-op stub) ----------------
+
+    def schedule_maintenance(self, op) -> bool:
+        """Submit an op to the background stage; returns False when no
+        pipeline is attached (fire-and-forget callers can check)."""
+        if self.pipeline is None or not self.pipeline.is_running:
+            log.debug("no running pipeline; %s not scheduled", type(op).__name__)
+            return False
+        self.pipeline.submit_task(op)
+        return True
+
+    # -- partition lookup (protocol.rs:121-136) ----------------------------
+
+    def find_nearest_partition(self, vector: np.ndarray) -> Optional[int]:
+        pids = self.storage.posting_ids()
+        if not pids:
+            return None
+        cents = np.stack([self.storage.get_posting_centroid(p) for p in pids])
+        d = _dist(self.metric, cents, np.asarray(vector, np.float32)[None, :])
+        return pids[int(np.argmin(d))]
+
+    def _nearest_other_partition(self, posting_id: int) -> Optional[int]:
+        pids = [p for p in self.storage.posting_ids() if p != posting_id]
+        if not pids:
+            return None
+        me = self.storage.get_posting_centroid(posting_id)
+        cents = np.stack([self.storage.get_posting_centroid(p) for p in pids])
+        d = _dist(self.metric, cents, me[None, :])
+        return pids[int(np.argmin(d))]
+
+    def get_nearby_postings(self, posting_id: int, count: Optional[int] = None) -> List[int]:
+        """K nearest postings by centroid distance (real impl of the stub at
+        protocol.rs:139-143) — the Reassign candidate set after split/merge."""
+        count = count or self.config.nearby_posting_count
+        pids = [p for p in self.storage.posting_ids() if p != posting_id]
+        if not pids or not self.storage.has_posting(posting_id):
+            return []
+        me = self.storage.get_posting_centroid(posting_id)
+        cents = np.stack([self.storage.get_posting_centroid(p) for p in pids])
+        d = _dist(self.metric, cents, me[None, :])
+        order = np.argsort(d, kind="stable")[:count]
+        return [pids[int(i)] for i in order]

@@ -1,0 +1,415 @@
+"""LIRE versioned posting storage (parity:
+/root/reference/src/spann/lire/storage.rs — with quirk 4 fixed).
+
+The reference intended versioned, SSD-backed, multi-vector postings with
+tombstones and a GC signal, but ``store_vector`` overwrites the posting file
+with only the newest vector while ``mark_deleted`` reads it back as a HashMap
+(storage.rs:111-117 vs :142-143) — the format was never finished.  Here the
+design is completed the SPFresh way:
+
+* per-posting **append-only log** of fixed-size records (add / delete ops),
+  so inserts are O(1) appends, not whole-file rewrites;
+* a global monotonic version counter (AtomicU64 parity, storage.rs:35) stamps
+  every op — the optimistic-concurrency token used by Reassign;
+* per-posting metadata (version, live count, centroid) mirrored in memory
+  under a lock and persisted (storage.rs:25-30);
+* GC compacts a log in place once deleted/total exceeds the threshold
+  (needs_garbage_collection, storage.rs:199-225).
+
+Host-side component by design — this is the disk/RAM tier of the memory
+hierarchy (HBM holds only centroids + the packed search snapshot).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import struct
+import threading
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+_LOG_MAGIC = b"SPFLOG1\x00"
+_OP_ADD = 1
+_OP_DEL = 2
+
+
+class LireStorageError(Exception):
+    """Storage-phase error (LireError::Storage parity, lire/mod.rs:19-30)."""
+
+
+@dataclasses.dataclass
+class PostingMetadata:
+    """Mirror of PostingMetadata (storage.rs:25-30)."""
+
+    version: int
+    vector_count: int  # live (non-deleted) vectors
+    centroid: np.ndarray
+
+
+class _Posting:
+    """In-memory materialization of one posting log."""
+
+    __slots__ = ("ids", "vectors", "versions", "deleted")
+
+    def __init__(self, dim: int):
+        self.ids: List[int] = []
+        self.vectors: List[np.ndarray] = []
+        self.versions: List[int] = []
+        self.deleted: List[bool] = []
+
+    def live_count(self) -> int:
+        return sum(not d for d in self.deleted)
+
+
+class LireStorage:
+    """Mirror of LireStorage (storage.rs:33-37) with a working format."""
+
+    def __init__(self, base_path: str, dim: int):
+        self.base_path = str(base_path)
+        self.dim = int(dim)
+        self._postings_dir = os.path.join(self.base_path, "postings")
+        self._meta_dir = os.path.join(self.base_path, "metadata")
+        os.makedirs(self._postings_dir, exist_ok=True)
+        os.makedirs(self._meta_dir, exist_ok=True)
+        self._lock = threading.Lock()
+        self._current_version = 0
+        self._postings: Dict[int, _Posting] = {}
+        self._metadata: Dict[int, PostingMetadata] = {}
+        self._record_size = 1 + 8 + 8 + 4 * self.dim
+        self._load_all()
+
+    # -- paths -------------------------------------------------------------
+
+    def _log_path(self, posting_id: int) -> str:
+        return os.path.join(self._postings_dir, f"posting_{posting_id}.log")
+
+    def _meta_path(self, posting_id: int) -> str:
+        return os.path.join(self._meta_dir, f"posting_{posting_id}_meta.bin")
+
+    # -- core ops ----------------------------------------------------------
+
+    def _next_version(self) -> int:
+        # fetch_add parity (storage.rs:91); caller must hold self._lock.
+        self._current_version += 1
+        return self._current_version
+
+    def store_vector(self, posting_id: int, vector_id: int, vector: np.ndarray) -> int:
+        """Append a vector; returns its version stamp (storage.rs:85-123)."""
+        vector = np.asarray(vector, np.float32).reshape(-1)
+        if vector.shape[0] != self.dim:
+            raise LireStorageError(
+                f"vector dim {vector.shape[0]} != storage dim {self.dim}"
+            )
+        with self._lock:
+            version = self._next_version()
+            p = self._postings.get(posting_id)
+            if p is None:
+                p = self._postings[posting_id] = _Posting(self.dim)
+            p.ids.append(int(vector_id))
+            p.vectors.append(vector)
+            p.versions.append(version)
+            p.deleted.append(False)
+            meta = self._metadata.get(posting_id)
+            if meta is None:
+                # Centroid bootstraps from the first vector (storage.rs:106);
+                # ops/maintenance refresh it later.
+                meta = self._metadata[posting_id] = PostingMetadata(
+                    version, 1, vector.copy()
+                )
+            else:
+                meta.version = version
+                meta.vector_count += 1
+            self._append_record(posting_id, _OP_ADD, vector_id, version, vector)
+            self._save_metadata(posting_id)
+        return version
+
+    def mark_deleted(self, posting_id: int, vector_id: int) -> int:
+        """Tombstone a vector (storage.rs:126-173); returns the version."""
+        with self._lock:
+            p = self._postings.get(posting_id)
+            if p is None:
+                raise LireStorageError(f"posting {posting_id} does not exist")
+            hit = False
+            for i in range(len(p.ids) - 1, -1, -1):
+                if p.ids[i] == vector_id and not p.deleted[i]:
+                    p.deleted[i] = True
+                    hit = True
+                    break
+            if not hit:
+                raise LireStorageError(
+                    f"vector {vector_id} not found (or already deleted) in posting {posting_id}"
+                )
+            version = self._next_version()
+            meta = self._metadata[posting_id]
+            meta.version = version
+            meta.vector_count -= 1
+            self._append_record(
+                posting_id, _OP_DEL, vector_id, version, np.zeros(self.dim, np.float32)
+            )
+            self._save_metadata(posting_id)
+        return version
+
+    def get_posting(
+        self, posting_id: int, include_deleted: bool = False
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(ids, vectors, versions) — live entries only unless asked."""
+        with self._lock:
+            p = self._postings.get(posting_id)
+            if p is None:
+                raise LireStorageError(f"posting {posting_id} does not exist")
+            sel = range(len(p.ids)) if include_deleted else [
+                i for i, d in enumerate(p.deleted) if not d
+            ]
+            ids = np.array([p.ids[i] for i in sel], np.int64)
+            vecs = (
+                np.stack([p.vectors[i] for i in sel])
+                if len(ids)
+                else np.empty((0, self.dim), np.float32)
+            )
+            vers = np.array([p.versions[i] for i in sel], np.int64)
+        return ids, vecs, vers
+
+    def posting_ids(self) -> List[int]:
+        with self._lock:
+            return sorted(self._postings)
+
+    def has_posting(self, posting_id: int) -> bool:
+        with self._lock:
+            return posting_id in self._postings
+
+    def delete_posting(self, posting_id: int) -> None:
+        """Retire a posting entirely (used by completed Split/Merge)."""
+        with self._lock:
+            self._postings.pop(posting_id, None)
+            self._metadata.pop(posting_id, None)
+            for path in (self._log_path(posting_id), self._meta_path(posting_id)):
+                if os.path.exists(path):
+                    os.remove(path)
+
+    def get_vector_count(self, posting_id: int) -> int:
+        """Live count (storage.rs get_vector_count semantics)."""
+        with self._lock:
+            meta = self._metadata.get(posting_id)
+            return meta.vector_count if meta else 0
+
+    def get_posting_version(self, posting_id: int) -> int:
+        """storage.rs:188-196."""
+        with self._lock:
+            meta = self._metadata.get(posting_id)
+            if meta is None:
+                raise LireStorageError(f"posting {posting_id} does not exist")
+            return meta.version
+
+    def current_version(self) -> int:
+        with self._lock:
+            return self._current_version
+
+    def import_posting(
+        self, posting_id: int, ids: np.ndarray, vectors: np.ndarray, centroid: np.ndarray
+    ) -> None:
+        """Bulk-load an existing posting (index adoption path): one lock
+        acquisition and one log write for the whole list."""
+        ids = np.asarray(ids, np.int64)
+        vectors = np.asarray(vectors, np.float32).reshape(len(ids), -1)
+        with self._lock:
+            if posting_id in self._postings:
+                raise LireStorageError(f"posting {posting_id} already exists")
+            p = _Posting(self.dim)
+            version = 0
+            for vid, vec in zip(ids, vectors):
+                version = self._next_version()
+                p.ids.append(int(vid))
+                p.vectors.append(vec.copy())
+                p.versions.append(version)
+                p.deleted.append(False)
+            if version == 0:
+                version = self._next_version()
+            self._postings[posting_id] = p
+            self._metadata[posting_id] = PostingMetadata(
+                version, len(p.ids), np.asarray(centroid, np.float32).copy()
+            )
+            self._rewrite_log(posting_id)
+            self._save_metadata(posting_id)
+
+    def atomic_replace(
+        self,
+        old_ids: List[int],
+        expected_versions: List[int],
+        new_postings: List[Tuple[int, np.ndarray, np.ndarray, np.ndarray]],
+    ) -> bool:
+        """Atomically retire ``old_ids`` and create ``new_postings``
+        [(pid, ids, vectors, centroid), ...] — the commit point of Split and
+        Merge.  Fails (returns False) if any old posting's version moved past
+        ``expected_versions``, i.e. a concurrent insert/delete landed after
+        the op read its snapshot; the op then retries on fresh data.  All
+        mutations happen under the storage lock, so inserts serialize against
+        the swap."""
+        with self._lock:
+            for pid, expect in zip(old_ids, expected_versions):
+                meta = self._metadata.get(pid)
+                if meta is None or meta.version != expect:
+                    return False
+            # Retire old postings.
+            for pid in old_ids:
+                self._postings.pop(pid, None)
+                self._metadata.pop(pid, None)
+                for path in (self._log_path(pid), self._meta_path(pid)):
+                    if os.path.exists(path):
+                        os.remove(path)
+            # Create replacements; every vector gets a fresh version stamp.
+            for pid, ids, vecs, centroid in new_postings:
+                p = _Posting(self.dim)
+                version = 0
+                for vid, vec in zip(ids, vecs):
+                    version = self._next_version()
+                    p.ids.append(int(vid))
+                    p.vectors.append(np.asarray(vec, np.float32))
+                    p.versions.append(version)
+                    p.deleted.append(False)
+                if version == 0:
+                    version = self._next_version()
+                self._postings[pid] = p
+                self._metadata[pid] = PostingMetadata(
+                    version, len(p.ids), np.asarray(centroid, np.float32).copy()
+                )
+                self._rewrite_log(pid)
+                self._save_metadata(pid)
+        return True
+
+    # -- GC ----------------------------------------------------------------
+
+    def needs_garbage_collection(self, posting_id: int, threshold: float) -> bool:
+        """deleted/total > threshold (storage.rs:199-225)."""
+        with self._lock:
+            p = self._postings.get(posting_id)
+            if p is None or not p.ids:
+                return False
+            dead = sum(p.deleted)
+            return dead / len(p.ids) > threshold
+
+    def collect_garbage(self, posting_id: int) -> int:
+        """Compact the log: drop tombstoned entries.  Returns #reclaimed."""
+        with self._lock:
+            p = self._postings.get(posting_id)
+            if p is None:
+                return 0
+            keep = [i for i, d in enumerate(p.deleted) if not d]
+            reclaimed = len(p.ids) - len(keep)
+            if reclaimed == 0:
+                return 0
+            p.ids = [p.ids[i] for i in keep]
+            p.vectors = [p.vectors[i] for i in keep]
+            p.versions = [p.versions[i] for i in keep]
+            p.deleted = [False] * len(keep)
+            self._rewrite_log(posting_id)
+        return reclaimed
+
+    # -- centroids ---------------------------------------------------------
+
+    def get_posting_centroid(self, posting_id: int) -> np.ndarray:
+        """storage.rs:239-247."""
+        with self._lock:
+            meta = self._metadata.get(posting_id)
+            if meta is None:
+                raise LireStorageError(f"posting {posting_id} does not exist")
+            return meta.centroid.copy()
+
+    def update_posting_centroid(self, posting_id: int, centroid: np.ndarray) -> None:
+        """storage.rs:250-259."""
+        centroid = np.asarray(centroid, np.float32).reshape(-1)
+        with self._lock:
+            meta = self._metadata.get(posting_id)
+            if meta is None:
+                raise LireStorageError(f"posting {posting_id} does not exist")
+            meta.centroid = centroid.copy()
+            self._save_metadata(posting_id)
+
+    # -- persistence -------------------------------------------------------
+
+    def _append_record(self, posting_id: int, op: int, vector_id: int, version: int, vec: np.ndarray) -> None:
+        path = self._log_path(posting_id)
+        new = not os.path.exists(path)
+        with open(path, "ab") as f:
+            if new:
+                f.write(_LOG_MAGIC + struct.pack("<i", self.dim))
+            f.write(struct.pack("<Bqq", op, vector_id, version))
+            f.write(np.ascontiguousarray(vec, "<f4").tobytes())
+
+    def _rewrite_log(self, posting_id: int) -> None:
+        p = self._postings[posting_id]
+        path = self._log_path(posting_id)
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(_LOG_MAGIC + struct.pack("<i", self.dim))
+            for i in range(len(p.ids)):
+                f.write(struct.pack("<Bqq", _OP_ADD, p.ids[i], p.versions[i]))
+                f.write(np.ascontiguousarray(p.vectors[i], "<f4").tobytes())
+        os.replace(tmp, path)
+
+    def _save_metadata(self, posting_id: int) -> None:
+        meta = self._metadata[posting_id]
+        tmp = self._meta_path(posting_id) + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(struct.pack("<qqi", meta.version, meta.vector_count, self.dim))
+            f.write(np.ascontiguousarray(meta.centroid, "<f4").tobytes())
+        os.replace(tmp, self._meta_path(posting_id))
+
+    def _load_all(self) -> None:
+        """Reload every posting log + metadata on open (storage.rs:46-65)."""
+        if not os.path.isdir(self._postings_dir):
+            return
+        for name in sorted(os.listdir(self._postings_dir)):
+            if not (name.startswith("posting_") and name.endswith(".log")):
+                continue
+            pid = int(name[len("posting_") : -len(".log")])
+            self._load_log(pid)
+        for pid in self._postings:
+            mp = self._meta_path(pid)
+            if os.path.exists(mp):
+                with open(mp, "rb") as f:
+                    version, count, dim = struct.unpack("<qqi", f.read(20))
+                    centroid = np.frombuffer(f.read(4 * dim), "<f4").copy()
+                self._metadata[pid] = PostingMetadata(version, count, centroid)
+            else:
+                p = self._postings[pid]
+                live = [i for i, dd in enumerate(p.deleted) if not dd]
+                cent = p.vectors[live[0]].copy() if live else np.zeros(self.dim, np.float32)
+                self._metadata[pid] = PostingMetadata(
+                    max(p.versions, default=0), len(live), cent
+                )
+
+    def _load_log(self, posting_id: int) -> None:
+        path = self._log_path(posting_id)
+        with open(path, "rb") as f:
+            magic = f.read(8)
+            if magic != _LOG_MAGIC:
+                raise LireStorageError(f"{path}: bad log magic {magic!r}")
+            (dim,) = struct.unpack("<i", f.read(4))
+            if dim != self.dim:
+                raise LireStorageError(f"{path}: dim {dim} != storage dim {self.dim}")
+            p = _Posting(self.dim)
+            rec_head = struct.Struct("<Bqq")
+            while True:
+                head = f.read(rec_head.size)
+                if not head:
+                    break
+                if len(head) < rec_head.size:
+                    break  # torn tail write: ignore the partial record
+                op, vid, version = rec_head.unpack(head)
+                payload = f.read(4 * self.dim)
+                if len(payload) < 4 * self.dim:
+                    break
+                if op == _OP_ADD:
+                    p.ids.append(vid)
+                    p.vectors.append(np.frombuffer(payload, "<f4").copy())
+                    p.versions.append(version)
+                    p.deleted.append(False)
+                elif op == _OP_DEL:
+                    for i in range(len(p.ids) - 1, -1, -1):
+                        if p.ids[i] == vid and not p.deleted[i]:
+                            p.deleted[i] = True
+                            break
+                self._current_version = max(self._current_version, version)
+            self._postings[posting_id] = p

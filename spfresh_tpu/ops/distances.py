@@ -70,7 +70,9 @@ def _sq_l2_pairwise(x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
 
 
 def _elementwise_pairwise(x: jnp.ndarray, y: jnp.ndarray, metric: str, tile_n: int) -> jnp.ndarray:
-    """VPU path for L1/Linf: tiled |x[:,None,:] - y[None,:,:]| reduction."""
+    """VPU path: tiled (x[:,None,:] - y[None,:,:]) reduction.  Also serves as
+    the *exact* squared-L2 path — the MXU expansion loses ~1e-3 relative
+    precision to cancellation, which matters for ground-truth computation."""
     xf = x.astype(ACCUM_DTYPE)
     yf = y.astype(ACCUM_DTYPE)
     n = xf.shape[0]
@@ -81,33 +83,40 @@ def _elementwise_pairwise(x: jnp.ndarray, y: jnp.ndarray, metric: str, tile_n: i
     xt = xf.reshape(-1, tile_n, xf.shape[-1])
 
     def one_tile(xb):
-        diff = jnp.abs(xb[:, None, :] - yf[None, :, :])
+        diff = xb[:, None, :] - yf[None, :, :]
+        if metric == EUCLIDEAN:
+            return jnp.sum(diff * diff, axis=-1)
         if metric == MANHATTAN:
-            return jnp.sum(diff, axis=-1)
-        return jnp.max(diff, axis=-1)
+            return jnp.sum(jnp.abs(diff), axis=-1)
+        return jnp.max(jnp.abs(diff), axis=-1)
 
     out = jax.lax.map(one_tile, xt).reshape(-1, yf.shape[0])
     return out[:n]
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "tile_n"))
+@functools.partial(jax.jit, static_argnames=("metric", "tile_n", "exact"))
 def pairwise_distance(
     x: jnp.ndarray,
     y: jnp.ndarray,
     metric: str = EUCLIDEAN,
     tile_n: int = 1024,
+    exact: bool = False,
 ) -> jnp.ndarray:
     """All-pairs distances between rows of ``x`` (n, d) and ``y`` (m, d).
 
     Returns an (n, m) f32 matrix.  ``metric`` is one of
     ``"Euclidean"`` (squared L2), ``"Manhattan"`` (L1), ``"Chebyshev"`` (Linf).
+    For Euclidean, ``exact=False`` (default) uses the fast MXU expansion
+    (adequate for probe selection); ``exact=True`` uses the elementwise
+    difference form (bit-matched with ``rowwise_distance``, for rerank-grade
+    precision and ground truth).
     """
     metric = canonical_metric(metric)
     if x.ndim != 2 or y.ndim != 2:
         raise ValueError(f"expected 2-d inputs, got {x.shape} and {y.shape}")
     if x.shape[-1] != y.shape[-1]:
         raise ValueError(f"dimension mismatch: {x.shape[-1]} vs {y.shape[-1]}")
-    if metric == EUCLIDEAN:
+    if metric == EUCLIDEAN and not exact:
         return _sq_l2_pairwise(x, y)
     return _elementwise_pairwise(x, y, metric, tile_n)
 

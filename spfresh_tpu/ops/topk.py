@@ -24,27 +24,33 @@ def smallest_k(dists: jnp.ndarray, k: int):
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
-def smallest_k_unique(dists: jnp.ndarray, ids: jnp.ndarray, k: int, oversample: int = 4):
-    """k smallest entries with distinct ``ids`` per row.
+def smallest_k_unique(dists: jnp.ndarray, ids: jnp.ndarray, k: int):
+    """k smallest entries with distinct ``ids`` per row — exact.
 
-    dists: (..., n) f32, ids: (..., n) int.  Duplicate ids (replicated points
-    appearing in several probed posting lists) are masked to +inf after the
-    first occurrence inside an oversampled top-(k*oversample) prefilter, then
-    re-selected down to k.  Exact as long as a row has < k*oversample
-    duplicates among its top candidates, which holds in practice because a
-    point is replicated into at most a handful of lists.
+    dists: (..., n) f32, ids: (..., n) int.  Replicated points appear in
+    several probed posting lists with *identical* distances, so deduplication
+    is exact: sort candidates by id, mask every entry equal to its
+    predecessor to +inf, then top-k.  O(n log n) per row, fully batched.
 
-    Returns (values (..., k), ids (..., k)).
+    Returns (values (..., k), ids (..., k)); k must be <= n.
     """
-    kk = min(k * oversample, dists.shape[-1])
-    vals, idx = jax.lax.top_k(-dists, kk)
-    vals = -vals
-    cand_ids = jnp.take_along_axis(ids, idx, axis=-1)
-    # Mark entries whose id equals an earlier (better-ranked) entry's id.
-    same = cand_ids[..., :, None] == cand_ids[..., None, :]  # (..., kk, kk)
-    earlier = jnp.tril(jnp.ones((kk, kk), dtype=bool), k=-1)
-    dup = jnp.any(same & earlier, axis=-1)
-    vals = jnp.where(dup, jnp.inf, vals)
-    out_vals, out_idx = jax.lax.top_k(-vals, min(k, kk))
-    out_ids = jnp.take_along_axis(cand_ids, out_idx, axis=-1)
+    if k > dists.shape[-1]:
+        raise ValueError(f"k={k} exceeds candidate count {dists.shape[-1]}")
+    # Lexicographic sort by (id, dist): stable id-sort of a dist-sorted array
+    # keeps entries dist-ascending within each id group, so keep-first keeps
+    # the minimum-distance copy (a replica can coexist with a masked-to-inf
+    # padding read of the same id — the finite copy must win).
+    order1 = jnp.argsort(dists, axis=-1)
+    ids1 = jnp.take_along_axis(ids, order1, axis=-1)
+    d1 = jnp.take_along_axis(dists, order1, axis=-1)
+    order = jnp.argsort(ids1, axis=-1, stable=True)
+    sid = jnp.take_along_axis(ids1, order, axis=-1)
+    sd = jnp.take_along_axis(d1, order, axis=-1)
+    prev = jnp.concatenate(
+        [jnp.full_like(sid[..., :1], jnp.iinfo(sid.dtype).min), sid[..., :-1]],
+        axis=-1,
+    )
+    sd = jnp.where(sid == prev, jnp.inf, sd)
+    out_vals, out_idx = jax.lax.top_k(-sd, k)
+    out_ids = jnp.take_along_axis(sid, out_idx, axis=-1)
     return -out_vals, out_ids

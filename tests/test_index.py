@@ -1,0 +1,236 @@
+"""SPANN index tests: config validation (config.rs:59-87 parity), posting
+store roundtrips (posting_lists.rs tests), end-to-end build/search on the
+reference's toy example (examples/build_index.rs: query (1,2) with k=1 must
+return point_id 0), save/load roundtrip, and recall vs. brute force."""
+
+import os
+
+import numpy as np
+import pytest
+
+from spfresh_tpu.index import (
+    Config,
+    FileBasedPostingListStore,
+    SpannIndex,
+    SpannIndexBuilder,
+    brute_force_search,
+)
+from spfresh_tpu.index.posting_store import read_packed_postings, write_packed_postings
+
+
+# -- config ----------------------------------------------------------------
+
+
+def test_config_defaults_and_validation(tmp_path):
+    cfg_file = tmp_path / "cfg.yaml"
+    cfg_file.write_text(
+        "clustering_params:\n"
+        "  distance_metric: \"Euclidean\"\n"
+        "  initialization_method: \"Random\"\n"
+        "  initial_k: 4\n"
+        f"output_path: \"{tmp_path / 'out'}\"\n"
+    )
+    cfg = Config.from_file(str(cfg_file))
+    assert cfg.initial_k == 4
+    assert cfg.distance_metric == "Euclidean"
+    params = cfg.to_clustering_params()
+    assert params.initial_k == 4
+    assert params.desired_cluster_size is None  # builder supplies 0.18n
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        {"clustering_params": {"distance_metric": "Cosine"}},
+        {"clustering_params": {"initialization_method": "FarthestFirst"}},
+        {"clustering_params": {"initial_k": 0}},
+        {"search": {"nprobe": -1}},
+        {"search": {"prune_factor": 0.5}},
+    ],
+)
+def test_config_rejects_invalid(bad):
+    with pytest.raises(ValueError):
+        Config.from_dict(bad)
+
+
+# -- posting store ---------------------------------------------------------
+
+
+def test_file_posting_store_roundtrip(tmp_path, rng):
+    store = FileBasedPostingListStore(str(tmp_path))
+    ids = np.array([3, 1, 4], np.int64)
+    vecs = rng.standard_normal((3, 5)).astype(np.float32)
+    store.insert_posting_list(7, ids, vecs)
+    got = store.get_posting_list(7)
+    assert got is not None
+    np.testing.assert_array_equal(got[0], ids)
+    np.testing.assert_allclose(got[1], vecs)
+    assert store.get_posting_list(99) is None
+
+    # Lazy reload: manifest only (posting_lists.rs:115-129)
+    store2 = FileBasedPostingListStore.load_from_directory(str(tmp_path))
+    assert store2.cluster_ids() == [7]
+    got2 = store2.get_posting_list(7)
+    np.testing.assert_allclose(got2[1], vecs)
+
+    store2.delete_posting_list(7)
+    assert store2.get_posting_list(7) is None
+
+
+def test_packed_postings_roundtrip(tmp_path, rng):
+    path = str(tmp_path / "p.csr")
+    offsets = np.array([0, 2, 5], np.int64)
+    ids = np.array([10, 11, 20, 21, 22], np.int64)
+    vecs = rng.standard_normal((5, 3)).astype(np.float32)
+    write_packed_postings(path, [4, 9], offsets, ids, vecs)
+    for mmap in (True, False):
+        cids, offs, rids, rvecs = read_packed_postings(path, mmap=mmap)
+        np.testing.assert_array_equal(np.asarray(cids), [4, 9])
+        np.testing.assert_array_equal(np.asarray(offs), offsets)
+        np.testing.assert_array_equal(np.asarray(rids), ids)
+        np.testing.assert_allclose(np.asarray(rvecs), vecs)
+
+
+# -- end-to-end toy slice (reference examples) -----------------------------
+
+
+def _toy_config(tmp_path, **kw):
+    return Config.from_dict(
+        {
+            "clustering_params": {
+                "distance_metric": "Euclidean",
+                "initialization_method": "Random",
+                "initial_k": 4,
+                "rng_seed": 42,
+                **kw.pop("clustering_params", {}),
+            },
+            "output_path": str(tmp_path / "data"),
+            **kw,
+        }
+    )
+
+
+def test_toy_build_and_query(tmp_path, toy_data):
+    # examples/build_index.rs: 6x2 data, k=4, Euclidean, query (1,2) k=1 -> id 0
+    index = SpannIndexBuilder(_toy_config(tmp_path)).with_data(toy_data).build(dim=2)
+    result = index.find_k_nearest_neighbor_spann(np.array([1.0, 2.0]), k=1)
+    assert result is not None
+    assert result[0].point_id == 0
+    np.testing.assert_allclose(result[0].vector, [1.0, 2.0])
+
+
+def test_toy_load_and_query(tmp_path, toy_data):
+    # examples/load_index.rs: reload from disk, same answer.
+    cfg = _toy_config(tmp_path)
+    SpannIndexBuilder(cfg).with_data(toy_data).build(dim=2)
+    loaded = SpannIndexBuilder(cfg).load(dim=2)
+    result = loaded.find_k_nearest_neighbor_spann(np.array([1.0, 2.0]), k=1)
+    assert result[0].point_id == 0
+
+
+def test_dim_mismatch_rejected(tmp_path, toy_data):
+    with pytest.raises(ValueError):
+        SpannIndexBuilder(_toy_config(tmp_path)).with_data(toy_data).build(dim=3)
+
+
+def test_save_load_roundtrip_both_layouts(tmp_path, rng):
+    data = rng.standard_normal((80, 6)).astype(np.float32)
+    cfg = _toy_config(tmp_path, clustering_params={"desired_cluster_size": 16})
+    index = SpannIndexBuilder(cfg).with_data(data).build(save=False)
+    queries = rng.standard_normal((5, 6)).astype(np.float32)
+    base_ids, base_d = index.search(queries, k=5, nprobe=4)
+    for layout in ("packed", "per_cluster"):
+        d = str(tmp_path / layout)
+        index.save(d, format=layout)
+        loaded = SpannIndex.load(d)
+        ids, dists = loaded.search(queries, k=5, nprobe=4)
+        np.testing.assert_array_equal(ids, base_ids)
+        np.testing.assert_allclose(dists, base_d, rtol=1e-5)
+
+
+# -- search semantics ------------------------------------------------------
+
+
+def test_search_batched_matches_single(tmp_path, rng):
+    data = rng.standard_normal((200, 8)).astype(np.float32)
+    cfg = _toy_config(tmp_path, clustering_params={"desired_cluster_size": 32, "initial_k": 3})
+    index = SpannIndexBuilder(cfg).with_data(data).build(save=False)
+    queries = rng.standard_normal((10, 8)).astype(np.float32)
+    ids_all, d_all = index.search(queries, k=3, nprobe=4)
+    for i in [0, 5, 9]:
+        ids_one, d_one = index.search(queries[i], k=3, nprobe=4)
+        np.testing.assert_array_equal(ids_one[0], ids_all[i])
+
+
+def test_search_full_probe_is_exact(tmp_path, rng):
+    # Probing every posting list with no pruning must equal brute force.
+    data = rng.standard_normal((150, 8)).astype(np.float32)
+    cfg = _toy_config(tmp_path, clustering_params={"desired_cluster_size": 25, "initial_k": 3})
+    index = SpannIndexBuilder(cfg).with_data(data).build(save=False)
+    queries = rng.standard_normal((8, 8)).astype(np.float32)
+    ids, dists = index.search(queries, k=10, nprobe=index.num_clusters)
+    gt_d, gt_i = brute_force_search(data, queries, k=10)
+    recall = np.mean([len(set(ids[q]) & set(gt_i[q])) / 10 for q in range(8)])
+    assert recall == 1.0
+    np.testing.assert_allclose(np.sort(dists, axis=1), np.sort(gt_d, axis=1), rtol=1e-4)
+
+
+def test_search_respects_metric(tmp_path, rng):
+    # Quirk-1 fix: rerank uses the configured metric, not hardwired L2.
+    data = rng.standard_normal((100, 6)).astype(np.float32)
+    cfg = _toy_config(
+        tmp_path,
+        clustering_params={"distance_metric": "Manhattan", "desired_cluster_size": 20},
+    )
+    index = SpannIndexBuilder(cfg).with_data(data).build(save=False)
+    queries = rng.standard_normal((4, 6)).astype(np.float32)
+    ids, dists = index.search(queries, k=5, nprobe=index.num_clusters)
+    gt_d, gt_i = brute_force_search(data, queries, k=5, metric="Manhattan")
+    for q in range(4):
+        assert set(ids[q]) == set(gt_i[q])
+
+
+def test_recall_at_10_reasonable(tmp_path, rng):
+    data = rng.standard_normal((2000, 16)).astype(np.float32)
+    cfg = _toy_config(
+        tmp_path,
+        clustering_params={
+            "initialization_method": "KMeans++",
+            "initial_k": 8,
+            "desired_cluster_size": 100,
+        },
+    )
+    index = SpannIndexBuilder(cfg).with_data(data).build(save=False)
+    queries = rng.standard_normal((20, 16)).astype(np.float32)
+    _, gt_i = brute_force_search(data, queries, k=10)
+    # Unstructured Gaussian data is the hard case for IVF-style indexes;
+    # probing half the lists should still recover most true neighbors.
+    nprobe = max(1, index.num_clusters // 2)
+    ids, _ = index.search(queries, k=10, nprobe=nprobe)
+    recall = np.mean([len(set(ids[q]) & set(gt_i[q])) / 10 for q in range(20)])
+    assert recall >= 0.8, f"recall@10 {recall} too low at nprobe={nprobe}"
+    # And recall must be monotone-ish in nprobe: full probe is exact.
+    ids_full, _ = index.search(queries, k=10, nprobe=index.num_clusters)
+    recall_full = np.mean([len(set(ids_full[q]) & set(gt_i[q])) / 10 for q in range(20)])
+    assert recall_full == 1.0
+
+
+def test_pruning_can_drop_candidates(tmp_path, toy_data):
+    cfg = _toy_config(tmp_path)
+    index = SpannIndexBuilder(cfg).with_data(toy_data).build(save=False)
+    # Very tight prune factor: far-away candidates masked to inf -> id slots -1.
+    ids, dists = index.search(np.array([[100.0, 100.0]]), k=6, nprobe=1, prune_factor=1.0)
+    assert (ids == -1).any() or np.isinf(dists).any() or len(ids[0]) == 6
+
+
+def test_replica_dedup(tmp_path):
+    # Points replicated into several posting lists must not appear twice.
+    rng = np.random.default_rng(0)
+    data = rng.standard_normal((60, 4)).astype(np.float32)
+    cfg = _toy_config(tmp_path, clustering_params={"desired_cluster_size": 15, "initial_k": 3})
+    index = SpannIndexBuilder(cfg).with_data(data).build(save=False)
+    assert index.num_vectors >= 60  # replication happened (or at least coverage)
+    ids, _ = index.search(data[:10], k=10, nprobe=index.num_clusters)
+    for row in ids:
+        row = row[row >= 0]
+        assert len(set(row.tolist())) == len(row)
