@@ -141,14 +141,40 @@ def _brute_force_kernel(corpus, queries, k: int, metric: str):
     return smallest_k(D, k)
 
 
-def brute_force_search(corpus, queries, k: int, metric: str = "Euclidean", batch_size: int = 1024):
-    """Exact top-k ground truth (used by the recall harness and tests)."""
+@functools.partial(jax.jit, static_argnames=("k", "kc", "metric"))
+def _brute_force_2stage_kernel(corpus, queries, k: int, kc: int, metric: str):
+    """Large-corpus exact top-k: fast MXU scan selects kc candidates, the
+    elementwise-exact form reranks them.  Exact as long as the true top-k
+    survive the ~1e-3-relative-error prefilter into the top-kc (kc >> k)."""
+    qf = queries.astype(corpus.dtype)
+    D = pairwise_distance(qf, corpus, metric)  # fast path
+    _, cand = smallest_k(D, kc)  # (Q, kc)
+    cand_vecs = corpus[cand]  # (Q, kc, d)
+    d_exact = rowwise_distance(cand_vecs, qf[:, None, :], metric)
+    vals, idx = smallest_k(d_exact, k)
+    return vals, jnp.take_along_axis(cand, idx, axis=-1)
+
+
+def brute_force_search(
+    corpus, queries, k: int, metric: str = "Euclidean", batch_size: int = 1024
+):
+    """Exact top-k ground truth (used by the recall harness and tests).
+
+    Below ~100k rows the fully-elementwise exact kernel is used; above, a
+    two-stage scan (MXU prefilter to 32*k candidates + exact rerank) keeps
+    the broadcast intermediates bounded."""
     metric = canonical_metric(metric)
     corpus = jnp.asarray(corpus)
     out_d, out_i = [], []
     queries = np.asarray(queries)
+    big = corpus.shape[0] > 100_000 and metric == "Euclidean"
+    kc = min(max(32 * k, 256), corpus.shape[0])
     for s in range(0, queries.shape[0], batch_size):
-        d, i = _brute_force_kernel(corpus, jnp.asarray(queries[s : s + batch_size]), k, metric)
+        qb = jnp.asarray(queries[s : s + batch_size])
+        if big:
+            d, i = _brute_force_2stage_kernel(corpus, qb, k, kc, metric)
+        else:
+            d, i = _brute_force_kernel(corpus, qb, k, metric)
         out_d.append(np.asarray(d))
         out_i.append(np.asarray(i))
     return np.concatenate(out_d), np.concatenate(out_i)

@@ -124,13 +124,18 @@ class SpFreshIndex:
         res = self.protocol.insert(vector, vector_id)
         pid = res.partitions_affected[0]
         with self._lock:
-            ids, vecs = self.index.postings[pid]
-            self.index.replace_posting(
-                pid,
-                np.append(ids, np.int64(vector_id)),
-                np.concatenate([vecs, vector[None, :]]),
-            )
-            self._id_map.setdefault(int(vector_id), set()).add(pid)
+            entry = self.index.postings.get(pid)
+            if entry is not None:
+                ids, vecs = entry
+                self.index.replace_posting(
+                    pid,
+                    np.append(ids, np.int64(vector_id)),
+                    np.concatenate([vecs, vector[None, :]]),
+                )
+                self._id_map.setdefault(int(vector_id), set()).add(pid)
+            # else: a background split retired ``pid`` after the storage
+            # append; the split's version guard re-read the posting including
+            # this vector, and the successor callbacks mirrored it already.
         return res.version
 
     def insert_batch(self, vectors: np.ndarray, vector_ids) -> List[int]:
@@ -158,16 +163,35 @@ class SpFreshIndex:
             )
         if not pids:
             raise KeyError(f"vector {vector_id} not found")
+        from spfresh_tpu.lire.storage import LireStorageError
+
         versions = []
         for pid in pids:
-            res = self.protocol.delete(int(vector_id), pid)
-            versions.append(res.version)
+            try:
+                res = self.protocol.delete(int(vector_id), pid)
+                versions.append(res.version)
+            except LireStorageError:
+                # Stale map entry: a background split/merge/reassign moved the
+                # vector after we read the map.  Find its current home.
+                found = False
+                for other in self.storage.posting_ids():
+                    ids_o, _, _ = self.storage.get_posting(other)
+                    if int(vector_id) in ids_o:
+                        res = self.protocol.delete(int(vector_id), other)
+                        versions.append(res.version)
+                        pid = other
+                        found = True
+                        break
+                if not found:
+                    continue
             with self._lock:
                 if pid in self.index.postings:
                     ids, vecs = self.index.postings[pid]
                     keep = ids != int(vector_id)
                     self.index.replace_posting(pid, ids[keep], vecs[keep])
                 self._id_map.get(int(vector_id), set()).discard(pid)
+        if not versions:
+            raise KeyError(f"vector {vector_id} not found in any live posting")
         return versions
 
     # -- search ------------------------------------------------------------

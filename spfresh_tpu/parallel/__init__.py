@@ -1,0 +1,14 @@
+from spfresh_tpu.parallel.cluster_step import (
+    replicate,
+    shard_rows,
+    sharded_cluster_step,
+)
+from spfresh_tpu.parallel.sharded import ShardedSpannIndex, default_mesh
+
+__all__ = [
+    "ShardedSpannIndex",
+    "default_mesh",
+    "replicate",
+    "shard_rows",
+    "sharded_cluster_step",
+]

@@ -1,0 +1,120 @@
+"""Data-parallel clustering step over a device mesh.
+
+The "training step" of an ANN engine is the index-build iteration: assign
+every point to its nearest centroid (+ boundary closure) and refresh medoid
+centroids.  Sharded over the mesh's data axis: each chip scores its slice of
+the corpus against replicated centroids; the segment-sums behind the means
+and the global medoid argmins meet in ``psum`` / ``argmin-of-pmin``
+collectives over ICI.  This is the multi-chip path exercised by
+``__graft_entry__.dryrun_multichip`` and used for very large builds.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from spfresh_tpu.core.dtypes import ACCUM_DTYPE
+from spfresh_tpu.ops.distances import pairwise_distance
+
+
+def sharded_cluster_step(
+    mesh: Mesh,
+    X: jax.Array,
+    cent_vecs: jax.Array,
+    boundary_threshold: float = 1.1,
+    metric: str = "Euclidean",
+    axis: Optional[str] = None,
+):
+    """One assign + medoid-update round, data-sharded.
+
+    X (n, d) sharded on rows over ``axis``; cent_vecs (k, d) replicated.
+    Returns (member_mask (n, k) sharded like X, new_cent_vecs (k, d)
+    replicated).  The medoid uses a global-argmin trick: each shard proposes
+    its best (distance, global_row) pair per cluster; ``pmin`` over the
+    packed pair picks the worldwide winner.
+    """
+    axis = axis or mesh.axis_names[0]
+    nshards = mesh.devices.size
+    n = X.shape[0]
+    if n % nshards != 0:
+        raise ValueError(f"n={n} must divide evenly over {nshards} shards (pad first)")
+
+    bt = jnp.float32(boundary_threshold)
+
+    def step(x_local, cents):
+        shard_id = jax.lax.axis_index(axis)
+        local_n = x_local.shape[0]
+        row0 = shard_id * local_n
+
+        # Assignment with boundary closure (local compute, no comms).
+        D = pairwise_distance(x_local, cents, metric)  # (n_local, k)
+        best = jnp.argmin(D, axis=1)
+        min_d = jnp.min(D, axis=1)
+        cc = pairwise_distance(cents, cents, metric)
+        onehot = jax.nn.one_hot(best, D.shape[1], dtype=bool)
+        mask = onehot | ((D < (bt * min_d)[:, None]) & (cc[best] >= D))
+
+        # Means: local segment sums -> psum over the mesh.
+        m = mask.astype(ACCUM_DTYPE)
+        sums = jax.lax.psum(
+            jax.lax.dot_general(
+                m, x_local,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=ACCUM_DTYPE,
+            ),
+            axis,
+        )  # (k, d)
+        counts = jax.lax.psum(jnp.sum(m, axis=0), axis)  # (k,)
+        means = sums / jnp.maximum(counts, 1.0)[:, None]
+
+        # Medoid: best member per cluster, globally.  Pack (dist, global_row)
+        # so pmin on dist carries the argmin along.
+        Dm = pairwise_distance(x_local, means, metric)  # (n_local, k)
+        Dm = jnp.where(mask, Dm, jnp.inf)
+        local_best_row = jnp.argmin(Dm, axis=0)  # (k,)
+        local_best_d = jnp.min(Dm, axis=0)
+        global_rows = (row0 + local_best_row).astype(jnp.float32)
+        #
+
+        # Lexicographic pmin: minimize distance, break ties by row id.
+        packed = jnp.stack([local_best_d, global_rows], axis=0)  # (2, k)
+        all_packed = jax.lax.all_gather(packed, axis)  # (S, 2, k)
+        dists_all = all_packed[:, 0, :]
+        rows_all = all_packed[:, 1, :]
+        winner = jnp.argmin(dists_all + rows_all * 1e-12, axis=0)  # (k,)
+        best_rows = jnp.take_along_axis(rows_all, winner[None, :], axis=0)[0]
+        best_rows = best_rows.astype(jnp.int32)
+
+        # Gather the winning vectors: every shard contributes its rows (zeros
+        # elsewhere) and a psum assembles the replicated centroid matrix.
+        in_shard = (best_rows >= row0) & (best_rows < row0 + local_n)
+        local_idx = jnp.clip(best_rows - row0, 0, local_n - 1)
+        contrib = jnp.where(in_shard[:, None], x_local[local_idx], 0.0)
+        new_cents = jax.lax.psum(contrib, axis)  # (k, d)
+        # Empty clusters keep their previous centroid.
+        new_cents = jnp.where((counts > 0)[:, None], new_cents, cents)
+        return mask, new_cents
+
+    fn = jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(axis), P()),
+        out_specs=(P(axis), P()),
+        check_vma=False,
+    )
+    return fn(X, cent_vecs)
+
+
+def replicate(mesh: Mesh, x) -> jax.Array:
+    return jax.device_put(jnp.asarray(x), NamedSharding(mesh, P()))
+
+
+def shard_rows(mesh: Mesh, x, axis: Optional[str] = None) -> jax.Array:
+    axis = axis or mesh.axis_names[0]
+    return jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(axis)))

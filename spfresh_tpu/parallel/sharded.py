@@ -1,0 +1,214 @@
+"""Multi-chip SPANN search over a ``jax.sharding.Mesh``.
+
+The reference is a single-process library whose only fan-out is rayon threads
+(SURVEY.md section 2, "Parallelism strategies").  The TPU-native scale-out
+axis is the vector corpus: posting lists and their centroids are sharded
+across devices; every chip scans its centroid shard, reranks its local
+posting lists, and the per-shard top-k results meet in an ``all_gather``
+over ICI followed by a replicated merge (SURVEY.md section 5, "Distributed
+communication backend").  No custom transport — XLA collectives ride ICI.
+
+Layout: clusters are dealt to shards in size-balanced round-robin order; each
+shard's CSR block is padded to the same static shape so one program serves
+all shards under ``shard_map``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from spfresh_tpu.core.dtypes import ACCUM_DTYPE
+from spfresh_tpu.index.spann import SpannIndex, _round_up
+from spfresh_tpu.ops.distances import canonical_metric, pairwise_distance, rowwise_distance
+from spfresh_tpu.ops.topk import smallest_k, smallest_k_unique
+
+_F32_EPS = float(np.finfo(np.float32).eps)
+
+
+def default_mesh(axis: str = "shard", devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    return Mesh(np.array(devices), (axis,))
+
+
+@dataclasses.dataclass
+class ShardedView:
+    """Per-shard padded CSR blocks, stacked on a leading shard axis."""
+
+    centroids: jax.Array  # (S, Cs, d)
+    cent_valid: jax.Array  # (S, Cs)
+    offsets: jax.Array  # (S, Cs)
+    lens: jax.Array  # (S, Cs)
+    ids: jax.Array  # (S, Ps)
+    vectors: jax.Array  # (S, Ps, d)
+    pad: int
+    num_shards: int
+
+
+class ShardedSpannIndex:
+    """Data-sharded SPANN search: local scan + rerank per chip, collective
+    top-k merge over the mesh axis."""
+
+    def __init__(self, index: SpannIndex, mesh: Optional[Mesh] = None, axis: str = "shard"):
+        self.index = index
+        self.metric = index.metric
+        self.mesh = mesh if mesh is not None else default_mesh(axis)
+        self.axis = self.mesh.axis_names[0]
+        self.num_shards = self.mesh.devices.size
+        self._view: Optional[ShardedView] = None
+
+    # -- sharded layout ----------------------------------------------------
+
+    def _build_view(self) -> ShardedView:
+        idx = self.index
+        if not idx.postings:
+            raise ValueError("index is empty")
+        S = self.num_shards
+        d = idx.dim
+        # Size-balanced deal: biggest cluster to the currently-lightest shard.
+        cids = sorted(idx.postings, key=lambda c: -len(idx.postings[c][0]))
+        shard_of: Dict[int, int] = {}
+        load = [0] * S
+        per_shard: List[List[int]] = [[] for _ in range(S)]
+        for c in cids:
+            s = int(np.argmin(load))
+            per_shard[s].append(c)
+            load[s] += len(idx.postings[c][0])
+            shard_of[c] = s
+        Cs = max(8, _round_up(max(len(g) for g in per_shard), 8))
+        max_len = max(len(idx.postings[c][0]) for c in cids)
+        pad = max(8, _round_up(max(1, max_len), 8))
+        Ps = max(8, _round_up(max(load), 8))
+        cent = np.zeros((S, Cs, d), np.float32)
+        valid = np.zeros((S, Cs), bool)
+        offsets = np.zeros((S, Cs), np.int32)
+        lens = np.zeros((S, Cs), np.int32)
+        flat_ids = np.full((S, Ps), -1, np.int64)
+        flat_vecs = np.zeros((S, Ps, d), np.float32)
+        for s, group in enumerate(per_shard):
+            pos = 0
+            for row, c in enumerate(group):
+                pids, pvecs = idx.postings[c]
+                m = len(pids)
+                cent[s, row] = idx.centroids[c]
+                valid[s, row] = True
+                offsets[s, row] = pos
+                lens[s, row] = m
+                flat_ids[s, pos : pos + m] = pids
+                flat_vecs[s, pos : pos + m] = pvecs
+                pos += m
+        spec = NamedSharding(self.mesh, P(self.axis))
+        sd = idx.policy.storage_dtype
+        self._view = ShardedView(
+            centroids=jax.device_put(jnp.asarray(cent, sd), spec),
+            cent_valid=jax.device_put(jnp.asarray(valid), spec),
+            offsets=jax.device_put(jnp.asarray(offsets), spec),
+            lens=jax.device_put(jnp.asarray(lens), spec),
+            ids=jax.device_put(jnp.asarray(flat_ids), spec),
+            vectors=jax.device_put(jnp.asarray(flat_vecs, sd), spec),
+            pad=pad,
+            num_shards=S,
+        )
+        return self._view
+
+    def view(self) -> ShardedView:
+        if self._view is None:
+            self._build_view()
+        return self._view
+
+    # -- search ------------------------------------------------------------
+
+    @functools.partial(jax.jit, static_argnames=("self", "k", "nprobe"))
+    def _sharded_search(self, queries, view_arrays, k: int, nprobe: int):
+        view = self.view()
+        axis = self.axis
+        metric, pad = self.metric, view.pad
+        centroids, cent_valid, offsets, lens, ids, vectors = view_arrays
+
+        def shard_fn(q, cent, cvalid, offs, lns, pids, pvecs):
+            # Drop the unit shard axis of each local block.
+            cent, cvalid, offs, lns, pids, pvecs = (
+                a[0] for a in (cent, cvalid, offs, lns, pids, pvecs)
+            )
+            _, local_d, local_i = _local_search(
+                q, cent, cvalid, offs, lns, pids, pvecs,
+                k=k, nprobe=nprobe, pad=pad, metric=metric,
+            )
+            # ICI collective: everyone sees every shard's local top-k.
+            all_d = jax.lax.all_gather(local_d, axis)  # (S, Q, k)
+            all_i = jax.lax.all_gather(local_i, axis)
+            S = all_d.shape[0]
+            Q = all_d.shape[1]
+            merged_d = jnp.moveaxis(all_d, 0, 1).reshape(Q, S * k)
+            merged_i = jnp.moveaxis(all_i, 0, 1).reshape(Q, S * k)
+            # Replicas of one point can surface from several shards: dedup.
+            vals, out_ids = smallest_k_unique(merged_d, merged_i.astype(jnp.int64), k)
+            out_ids = jnp.where(jnp.isfinite(vals), out_ids, -1)
+            return out_ids, vals
+
+        return jax.shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(queries, centroids, cent_valid, offsets, lens, ids, vectors)
+
+    def search(
+        self, queries, k: int, nprobe: Optional[int] = None, batch_size: int = 1024
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Batched multi-chip search.  ``nprobe`` is per shard (a safe
+        superset of the single-chip semantics: S shards probe S*nprobe lists
+        in total)."""
+        view = self.view()
+        queries = np.atleast_2d(np.asarray(queries, np.float32))
+        if nprobe is None:
+            nprobe = self.index.config.search.nprobe or k
+        nprobe = max(1, min(int(nprobe), int(view.centroids.shape[1])))
+        arrays = (
+            view.centroids, view.cent_valid, view.offsets,
+            view.lens, view.ids, view.vectors,
+        )
+        out_i, out_d = [], []
+        for s in range(0, queries.shape[0], batch_size):
+            qi, qd = self._sharded_search(
+                jnp.asarray(queries[s : s + batch_size]), arrays, int(k), nprobe
+            )
+            out_i.append(np.asarray(qi))
+            out_d.append(np.asarray(qd))
+        return np.concatenate(out_i), np.concatenate(out_d)
+
+
+def _local_search(q, cent, cvalid, offs, lns, pids, pvecs, *, k, nprobe, pad, metric):
+    """Local (per-shard) probe/gather/rerank returning (raw_d, top_d, top_i)."""
+    Q = q.shape[0]
+    qf = q.astype(cent.dtype)
+    Dc = pairwise_distance(qf, cent, metric)
+    Dc = jnp.where(cvalid[None, :], Dc, jnp.inf)
+    cent_d, cent_i = smallest_k(Dc, nprobe)
+    base = offs[cent_i].astype(jnp.int32)
+    ar = jnp.arange(pad, dtype=jnp.int32)
+    pos = base[..., None] + ar
+    valid = (ar < lns[cent_i][..., None]) & jnp.isfinite(cent_d)[..., None]
+    pos = jnp.clip(pos, 0, pvecs.shape[0] - 1)
+    cand_vecs = pvecs[pos]
+    cand_ids = jnp.where(valid, pids[pos], -1)
+    d = rowwise_distance(cand_vecs, qf[:, None, None, :], metric)
+    d = jnp.where(valid, d, jnp.inf)
+    n_cand = nprobe * pad
+    d = d.reshape(Q, n_cand)
+    cand_ids = cand_ids.reshape(Q, n_cand)
+    if n_cand < k:
+        padc = k - n_cand
+        d = jnp.concatenate([d, jnp.full((Q, padc), jnp.inf, d.dtype)], axis=1)
+        cand_ids = jnp.concatenate(
+            [cand_ids, jnp.full((Q, padc), -1, cand_ids.dtype)], axis=1
+        )
+    vals, idx = jax.lax.top_k(-d, k)
+    return d, -vals, jnp.take_along_axis(cand_ids, idx, axis=-1)

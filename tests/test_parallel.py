@@ -1,0 +1,99 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh: sharded search must
+match single-device results; the data-parallel cluster step must match the
+single-device assign + medoid update."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from spfresh_tpu.clustering.hierarchical import _assign_with_closure, _medoid_update
+from spfresh_tpu.index import Config, SpannIndexBuilder, brute_force_search
+from spfresh_tpu.parallel import (
+    ShardedSpannIndex,
+    default_mesh,
+    replicate,
+    shard_rows,
+    sharded_cluster_step,
+)
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def _build(tmp_path, rng, n=400, dim=8, cap=40):
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    cfg = Config.from_dict(
+        {
+            "clustering_params": {
+                "initial_k": 4,
+                "desired_cluster_size": cap,
+                "rng_seed": 42,
+            },
+            "output_path": str(tmp_path / "idx"),
+        }
+    )
+    return SpannIndexBuilder(cfg).with_data(data).build(save=False), data
+
+
+def test_sharded_search_matches_full_probe(tmp_path, rng):
+    index, data = _build(tmp_path, rng)
+    sharded = ShardedSpannIndex(index, default_mesh())
+    queries = rng.standard_normal((16, 8)).astype(np.float32)
+    # Probing everything on both paths -> both exact -> identical id sets.
+    ids_s, d_s = sharded.search(queries, k=10, nprobe=index.num_clusters)
+    _, gt = brute_force_search(data, queries, k=10)
+    recall = np.mean([len(set(ids_s[q]) & set(gt[q])) / 10 for q in range(16)])
+    assert recall == 1.0
+    # Distances agree with the single-chip path.
+    ids_1, d_1 = index.search(queries, k=10, nprobe=index.num_clusters)
+    np.testing.assert_allclose(np.sort(d_s, axis=1), np.sort(d_1, axis=1), rtol=1e-5)
+
+
+def test_sharded_search_partial_probe_reasonable(tmp_path, rng):
+    index, data = _build(tmp_path, rng, n=600, cap=30)
+    sharded = ShardedSpannIndex(index)
+    queries = rng.standard_normal((8, 8)).astype(np.float32)
+    # nprobe per shard: 8 shards x 3 lists covers plenty.
+    ids_s, _ = sharded.search(queries, k=5, nprobe=3)
+    _, gt = brute_force_search(data, queries, k=5)
+    recall = np.mean([len(set(ids_s[q]) & set(gt[q])) / 5 for q in range(8)])
+    assert recall >= 0.7
+
+
+def test_sharded_dedup_across_shards(tmp_path, rng):
+    index, data = _build(tmp_path, rng)
+    sharded = ShardedSpannIndex(index)
+    ids_s, _ = sharded.search(data[:8], k=10, nprobe=index.num_clusters)
+    for row in ids_s:
+        live = row[row >= 0]
+        assert len(set(live.tolist())) == len(live)
+
+
+def test_sharded_cluster_step_matches_single_device(rng):
+    n, d, k = 256, 16, 8
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    cent_idx = rng.choice(n, k, replace=False)
+    cents = X[cent_idx]
+    mesh = default_mesh()
+    Xs = shard_rows(mesh, X)
+    Cr = replicate(mesh, cents)
+    mask_sh, cents_sh = sharded_cluster_step(mesh, Xs, Cr)
+    mask_1 = _assign_with_closure(jnp.asarray(X), jnp.asarray(cents), "Euclidean", jnp.float32(1.1))
+    new_idx_1 = _medoid_update(
+        jnp.asarray(X), mask_1, jnp.asarray(cent_idx, jnp.int32), "Euclidean"
+    )
+    np.testing.assert_array_equal(np.asarray(mask_sh), np.asarray(mask_1))
+    cents_1 = X[np.asarray(new_idx_1)]
+    np.testing.assert_allclose(np.asarray(cents_sh), cents_1, rtol=1e-5)
+
+
+def test_sharded_cluster_step_rejects_ragged(rng):
+    mesh = default_mesh()
+    C = replicate(mesh, rng.standard_normal((4, 4)).astype(np.float32))
+    with pytest.raises(ValueError):
+        # 250 rows don't divide over 8 devices: either the placement or the
+        # step itself must reject it loudly.
+        X = shard_rows(mesh, rng.standard_normal((250, 4)).astype(np.float32))
+        sharded_cluster_step(mesh, X, C)
