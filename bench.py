@@ -52,8 +52,22 @@ def main():
 
     log(f"bench: n={n} dim={args.dim} nq={nq} device={jax.devices()[0]}")
     rng = np.random.default_rng(12345)
-    data = rng.standard_normal((n, args.dim)).astype(np.float32)
-    queries = rng.standard_normal((nq, args.dim)).astype(np.float32)
+    # SIFT-like data model: a mixture of Gaussians (real embedding corpora are
+    # clustered; uniform Gaussian noise has no nearest-neighbor structure and
+    # degenerates every IVF index to a full scan).  Queries are drawn from the
+    # same mixture, like SIFT queries come from the same distribution.
+    n_centers = max(64, n // 1000)
+    centers = rng.standard_normal((n_centers, args.dim)).astype(np.float32)
+    spread = 0.35
+
+    def draw(m):
+        a = rng.integers(0, n_centers, size=m)
+        return (
+            centers[a] + spread * rng.standard_normal((m, args.dim))
+        ).astype(np.float32)
+
+    data = draw(n)
+    queries = draw(nq)
 
     t0 = time.perf_counter()
     gt_d, gt_i = brute_force_search(data, queries, args.k)
@@ -88,7 +102,7 @@ def main():
     for nprobe in (2, 4, 8, 16, 24, 32, 48, 64, 96, 128, 192, 256):
         if nprobe > index.num_clusters:
             break
-        index.search(queries[:8], args.k, nprobe=nprobe)  # warm compile
+        ids, _ = index.search(queries, args.k, nprobe=nprobe)  # warm (compile)
         t0 = time.perf_counter()
         ids, _ = index.search(queries, args.k, nprobe=nprobe)
         dt = time.perf_counter() - t0

@@ -68,7 +68,22 @@ def canonical_init(name: str) -> str:
 
 @dataclasses.dataclass
 class ClusteringParams:
-    """Mirror of ClusteringParams (hierarchical.rs:18-24)."""
+    """Mirror of ClusteringParams (hierarchical.rs:18-24), plus replication
+    control.
+
+    ``replication``:
+    * ``"final"`` (default) — subdivision uses hard balanced splits and ONE
+      global closure pass at the end adds each point to at most
+      ``max_replicas - 1`` extra clusters within the boundary threshold of
+      its base cluster.  This is the SPANN paper's multi-replica assignment
+      with a replica cap.
+    * ``"nested"`` — reference parity: closure replication inside every
+      assignment/split (hierarchical.rs:328-346).  WARNING: replicas compound
+      multiplicatively with subdivision depth — with a small cluster-size cap
+      on clustered data this explodes (measured 44x blowup on a 64-mixture
+      set at cap=256); it matches the reference only at the reference's
+      shallow default (cap = 0.18 n -> 2-3 levels).
+    """
 
     metric: str = EUCLIDEAN
     initialization_method: str = RANDOM
@@ -76,12 +91,18 @@ class ClusteringParams:
     initial_k: int = 4
     rng_seed: Optional[int] = None
     boundary_threshold: float = BOUNDARY_THRESHOLD
+    replication: str = "final"
+    max_replicas: int = 8
 
     def __post_init__(self):
         self.metric = canonical_metric(self.metric)
         self.initialization_method = canonical_init(self.initialization_method)
         if self.initial_k <= 0:
             raise ValueError("initial_k must be > 0")
+        if self.replication not in ("final", "nested"):
+            raise ValueError("replication must be 'final' or 'nested'")
+        if self.max_replicas < 1:
+            raise ValueError("max_replicas must be >= 1")
 
 
 @dataclasses.dataclass
@@ -157,8 +178,25 @@ def _kmeanspp_init(key, X, k: int, metric: str):
     return chosen
 
 
-@functools.partial(jax.jit, static_argnames=("metric",))
-def _split_level(X, idx_mat, valid, c1_pos, metric: str, boundary_threshold):
+@functools.partial(jax.jit, static_argnames=("metric", "n_extra"))
+def _final_replica_pass(X_tile, base_tile, cents, cc, metric: str, boundary_threshold, n_extra: int):
+    """Global closure pass (``replication='final'``): for each point, the
+    n_extra nearest non-base clusters j with
+    dist(p, c_j) < bt * dist(p, c_base) AND dist(c_base, c_j) >= dist(p, c_j)
+    (the reference's closure rule, hierarchical.rs:328-346, applied once
+    against the full centroid set).  Returns (idx (t, n_extra), valid)."""
+    D = pairwise_distance(X_tile, cents, metric)  # (t, C)
+    db = jnp.take_along_axis(D, base_tile[:, None], axis=1)[:, 0]
+    bt = boundary_threshold.astype(ACCUM_DTYPE)
+    onehot = jax.nn.one_hot(base_tile, D.shape[1], dtype=bool)
+    eligible = (D < (bt * db)[:, None]) & (cc[base_tile] >= D) & ~onehot
+    Dm = jnp.where(eligible, D, jnp.inf)
+    vals, idx = jax.lax.top_k(-Dm, n_extra)
+    return idx, jnp.isfinite(-vals)
+
+
+@functools.partial(jax.jit, static_argnames=("metric", "closure"))
+def _split_level(X, idx_mat, valid, c1_pos, metric: str, boundary_threshold, closure: bool = True):
     """Batched binary split of S clusters at once (create_subclusters,
     hierarchical.rs:107-135, level-synchronous).
 
@@ -180,16 +218,20 @@ def _split_level(X, idx_mat, valid, c1_pos, metric: str, boundary_threshold):
     c2 = pts[rows, c2_pos]
     d2 = rowwise_distance(pts, c2[:, None, :], metric)
 
-    # 2-way assignment with boundary closure; ties go to the first seed
-    # (the reference's fold keeps the earlier index on ties,
-    # hierarchical.rs:316-326).
+    # 2-way assignment; ties go to the first seed (the reference's fold keeps
+    # the earlier index on ties, hierarchical.rs:316-326).  Closure
+    # replication inside the split only in 'nested' (reference-parity) mode.
     best_is_2 = d2 < d1
-    cc = rowwise_distance(c1, c2, metric)[:, None]  # (S, 1)
-    bt = boundary_threshold.astype(ACCUM_DTYPE)
-    rep_into_1 = best_is_2 & (d1 < bt * d2) & (cc >= d1)
-    rep_into_2 = (~best_is_2) & (d2 < bt * d1) & (cc >= d2)
-    m1 = valid & ((~best_is_2) | rep_into_1)
-    m2 = valid & (best_is_2 | rep_into_2)
+    if closure:
+        cc = rowwise_distance(c1, c2, metric)[:, None]  # (S, 1)
+        bt = boundary_threshold.astype(ACCUM_DTYPE)
+        rep_into_1 = best_is_2 & (d1 < bt * d2) & (cc >= d1)
+        rep_into_2 = (~best_is_2) & (d2 < bt * d1) & (cc >= d2)
+        m1 = valid & ((~best_is_2) | rep_into_1)
+        m2 = valid & (best_is_2 | rep_into_2)
+    else:
+        m1 = valid & ~best_is_2
+        m2 = valid & best_is_2
 
     # Guaranteed-progress fallback (SURVEY.md quirk 6): if either child would
     # equal the parent or be empty, use an exact balanced split by distance
@@ -242,6 +284,8 @@ class HierarchicalClustering:
         self._assign_points()
         self._update_centroids()
         self._subdivide_clusters(int(cap))
+        if self.params.replication == "final":
+            self._finalize_replication()
         return self
 
     def labels(self) -> np.ndarray:
@@ -295,16 +339,69 @@ class HierarchicalClustering:
         ]
 
     def _assign_points(self) -> None:
-        mask = np.asarray(
-            _assign_with_closure(
-                self.data,
-                self.centroid_vectors(),
-                self.params.metric,
-                jnp.float32(self.params.boundary_threshold),
+        if self.params.replication == "nested":
+            mask = np.asarray(
+                _assign_with_closure(
+                    self.data,
+                    self.centroid_vectors(),
+                    self.params.metric,
+                    jnp.float32(self.params.boundary_threshold),
+                )
             )
-        )
-        for j, c in enumerate(self.clusters):
-            c.points = np.flatnonzero(mask[:, j]).astype(np.int64)
+            for j, c in enumerate(self.clusters):
+                c.points = np.flatnonzero(mask[:, j]).astype(np.int64)
+        else:
+            # Hard assignment: replicas are added once at the end
+            # (_finalize_replication), not compounded through the hierarchy.
+            D = pairwise_distance(self.data, self.centroid_vectors(), self.params.metric)
+            best = np.asarray(jnp.argmin(D, axis=1))
+            for j, c in enumerate(self.clusters):
+                c.points = np.flatnonzero(best == j).astype(np.int64)
+
+    def _finalize_replication(self) -> None:
+        """SPANN multi-replica assignment: one global closure pass adding at
+        most max_replicas - 1 replicas per point on top of its base cluster."""
+        n_extra = min(self.params.max_replicas - 1, len(self.clusters) - 1)
+        if n_extra <= 0:
+            return
+        n = self.data.shape[0]
+        base = np.zeros(n, np.int64)
+        for ci, c in enumerate(self.clusters):
+            base[c.points] = ci
+        cents = self.centroid_vectors()
+        cc = pairwise_distance(cents, cents, self.params.metric)
+        tile = max(1, min(n, (1 << 24) // max(1, len(self.clusters))))
+        extra_pts: List[np.ndarray] = []
+        extra_cls: List[np.ndarray] = []
+        bt = jnp.float32(self.params.boundary_threshold)
+        for s in range(0, n, tile):
+            idx, valid = _final_replica_pass(
+                self.data[s : s + tile],
+                jnp.asarray(base[s : s + tile], jnp.int32),
+                cents,
+                cc,
+                self.params.metric,
+                bt,
+                n_extra,
+            )
+            idx = np.asarray(idx)
+            valid = np.asarray(valid)
+            pts = np.broadcast_to(
+                np.arange(s, s + idx.shape[0])[:, None], idx.shape
+            )
+            extra_pts.append(pts[valid])
+            extra_cls.append(idx[valid])
+        if not extra_pts:
+            return
+        pts = np.concatenate(extra_pts)
+        cls = np.concatenate(extra_cls)
+        order = np.argsort(cls, kind="stable")
+        pts, cls = pts[order], cls[order]
+        bounds = np.searchsorted(cls, np.arange(len(self.clusters) + 1))
+        for ci, c in enumerate(self.clusters):
+            extra = pts[bounds[ci] : bounds[ci + 1]]
+            if len(extra):
+                c.points = np.sort(np.concatenate([c.points, extra]))
 
     def _update_centroids(self) -> None:
         n = self.data.shape[0]
@@ -352,6 +449,7 @@ class HierarchicalClustering:
                 c1_pos,
                 self.params.metric,
                 jnp.float32(self.params.boundary_threshold),
+                closure=self.params.replication == "nested",
             )
             m1 = np.asarray(m1)
             m2 = np.asarray(m2)

@@ -26,6 +26,7 @@ class SearchConfig:
     nprobe: Optional[int] = None  # None -> nprobe = k (reference behavior)
     prune_factor: Optional[float] = None  # e.g. 1.2 for reference-style pruning
     query_batch_size: int = 256
+    engine: str = "auto"  # "pallas" | "xla" | "auto" (pallas on TPU)
 
     def validate(self) -> None:
         if self.nprobe is not None and self.nprobe <= 0:
@@ -34,6 +35,8 @@ class SearchConfig:
             raise ValueError("search.prune_factor must be >= 1.0")
         if self.query_batch_size <= 0:
             raise ValueError("search.query_batch_size must be > 0")
+        if self.engine not in ("auto", "pallas", "xla"):
+            raise ValueError("search.engine must be 'auto', 'pallas', or 'xla'")
 
 
 @dataclasses.dataclass
@@ -47,6 +50,8 @@ class Config:
     data_file: Optional[str] = None
     desired_cluster_size: Optional[int] = None  # None -> round(0.18 * n)
     rng_seed: Optional[int] = None
+    replication: str = "final"  # "final" (SPANN replica pass) | "nested" (reference parity)
+    max_replicas: int = 8
     storage_dtype: str = "float32"  # or "bfloat16" for HBM-lean indexes
     search: SearchConfig = dataclasses.field(default_factory=SearchConfig)
 
@@ -65,11 +70,14 @@ class Config:
             data_file=raw.get("data_file"),
             desired_cluster_size=cp.get("desired_cluster_size"),
             rng_seed=cp.get("rng_seed"),
+            replication=cp.get("replication", "final"),
+            max_replicas=int(cp.get("max_replicas", 8)),
             storage_dtype=raw.get("storage_dtype", "float32"),
             search=SearchConfig(
                 nprobe=sc.get("nprobe"),
                 prune_factor=sc.get("prune_factor"),
                 query_batch_size=int(sc.get("query_batch_size", 256)),
+                engine=sc.get("engine", "auto"),
             ),
         )
         cfg.validate()
@@ -104,6 +112,8 @@ class Config:
             desired_cluster_size=self.desired_cluster_size,
             initial_k=self.initial_k,
             rng_seed=self.rng_seed,
+            replication=self.replication,
+            max_replicas=self.max_replicas,
         )
 
     def to_dict(self) -> Dict[str, Any]:
@@ -114,6 +124,8 @@ class Config:
                 "initial_k": self.initial_k,
                 "desired_cluster_size": self.desired_cluster_size,
                 "rng_seed": self.rng_seed,
+                "replication": self.replication,
+                "max_replicas": self.max_replicas,
             },
             "output_path": self.output_path,
             "data_file": self.data_file,
@@ -122,6 +134,7 @@ class Config:
                 "nprobe": self.search.nprobe,
                 "prune_factor": self.search.prune_factor,
                 "query_batch_size": self.search.query_batch_size,
+                "engine": self.search.engine,
             },
         }
 

@@ -135,6 +135,60 @@ def _search_kernel(
     return out_ids, vals
 
 
+@functools.partial(
+    jax.jit, static_argnames=("k", "nprobe", "pad", "metric", "prune", "interpret")
+)
+def _search_kernel_padded(
+    queries,
+    centroids,
+    cent_valid,
+    lens,
+    ids2d,
+    vectors3d,
+    prune_factor,
+    *,
+    k: int,
+    nprobe: int,
+    pad: int,
+    metric: str,
+    prune: bool,
+    interpret: bool,
+):
+    """Padded-layout search: centroid scan on the MXU, posting gather +
+    rerank in the fused Pallas kernel (contiguous slab DMA at HBM
+    bandwidth), then masked global top-k with replica dedup."""
+    from spfresh_tpu.ops.pallas.rerank import padded_rerank_distances
+
+    Q = queries.shape[0]
+    qf = queries.astype(centroids.dtype)
+    Dc = pairwise_distance(qf, centroids, metric)
+    Dc = jnp.where(cent_valid[None, :], Dc, jnp.inf)
+    cent_d, rows = smallest_k(Dc, nprobe)  # (Q, nprobe)
+
+    d = padded_rerank_distances(
+        qf, rows.astype(jnp.int32), vectors3d, metric, interpret=interpret
+    )  # (Q, nprobe, pad)
+    ar = jnp.arange(pad, dtype=jnp.int32)
+    valid = (ar < lens[rows][..., None]) & jnp.isfinite(cent_d)[..., None]
+    cand_ids = jnp.where(valid, ids2d[rows], -1)
+    d = jnp.where(valid, d, jnp.inf)
+    if prune:
+        thr = prune_factor.astype(ACCUM_DTYPE) * (cent_d[:, 0] + _F32_EPS)
+        d = jnp.where(d <= thr[:, None, None], d, jnp.inf)
+    n_cand = nprobe * pad
+    d = d.reshape(Q, n_cand)
+    cand_ids = cand_ids.reshape(Q, n_cand).astype(jnp.int64)
+    if n_cand < k:
+        padc = k - n_cand
+        d = jnp.concatenate([d, jnp.full((Q, padc), jnp.inf, d.dtype)], axis=1)
+        cand_ids = jnp.concatenate(
+            [cand_ids, jnp.full((Q, padc), -1, cand_ids.dtype)], axis=1
+        )
+    vals, out_ids = smallest_k_unique(d, cand_ids, k)
+    out_ids = jnp.where(jnp.isfinite(vals), out_ids, -1)
+    return out_ids, vals
+
+
 @functools.partial(jax.jit, static_argnames=("k", "metric"))
 def _brute_force_kernel(corpus, queries, k: int, metric: str):
     D = pairwise_distance(queries.astype(corpus.dtype), corpus, metric, exact=True)
@@ -197,6 +251,24 @@ class DeviceView:
     cluster_rows: Dict[int, int]  # cluster_id -> row in the padded arrays
 
 
+@dataclasses.dataclass
+class PaddedView:
+    """Slab layout for the Pallas fast path: every posting list is one
+    contiguous (pad, d_pad) block of a (Cpad, pad, d_pad) HBM array, so the
+    rerank kernel's DMAs are whole-slab streams, not element gathers.
+    d is zero-padded to a lane multiple (128); zeros cancel in every metric
+    because queries are padded identically."""
+
+    centroids: jnp.ndarray  # (Cpad, d_pad)
+    cent_valid: jnp.ndarray  # (Cpad,)
+    lens: jnp.ndarray  # (Cpad,) int32
+    ids2d: jnp.ndarray  # (Cpad, pad) int64
+    vectors3d: jnp.ndarray  # (Cpad, pad, d_pad) storage dtype
+    pad: int
+    d_pad: int
+    cluster_rows: Dict[int, int]
+
+
 class SpannIndex:
     """Mirror of SpannIndex (spann_index.rs:17-21) with batched search and
     mutable posting state for SPFresh updates."""
@@ -212,7 +284,10 @@ class SpannIndex:
         self.centroids: Dict[int, np.ndarray] = {}
         self._next_cluster_id = 0
         self._view: Optional[DeviceView] = None
-        self._dirty = True
+        self._padded_view: Optional[PaddedView] = None
+        self._gen = 0  # bumped on every mutation; views cache their build gen
+        self._view_gen = -1
+        self._padded_gen = -1
 
     # -- construction ------------------------------------------------------
 
@@ -223,7 +298,7 @@ class SpannIndex:
         for c in clusters:
             ids = np.asarray(c.points, dtype=np.int64)
             self.add_cluster(data[ids], ids, centroid=data[c.centroid_idx])
-        self._dirty = True
+        self._gen += 1
 
     def add_cluster(self, vectors: np.ndarray, ids: np.ndarray, centroid: np.ndarray) -> int:
         cid = self._next_cluster_id
@@ -233,13 +308,13 @@ class SpannIndex:
             self.dim = vectors.shape[1]
         self.postings[cid] = (np.asarray(ids, np.int64), vectors)
         self.centroids[cid] = np.asarray(centroid, np.float32)
-        self._dirty = True
+        self._gen += 1
         return cid
 
     def remove_cluster(self, cluster_id: int) -> None:
         self.postings.pop(cluster_id, None)
         self.centroids.pop(cluster_id, None)
-        self._dirty = True
+        self._gen += 1
 
     def replace_posting(self, cluster_id: int, ids: np.ndarray, vectors: np.ndarray,
                         centroid: Optional[np.ndarray] = None) -> None:
@@ -249,7 +324,7 @@ class SpannIndex:
         )
         if centroid is not None:
             self.centroids[cluster_id] = np.asarray(centroid, np.float32)
-        self._dirty = True
+        self._gen += 1
 
     @property
     def num_clusters(self) -> int:
@@ -263,7 +338,7 @@ class SpannIndex:
     # -- device view -------------------------------------------------------
 
     def device_view(self) -> DeviceView:
-        if self._view is not None and not self._dirty:
+        if self._view is not None and self._view_gen == self._gen:
             return self._view
         if not self.postings:
             raise ValueError("index is empty")
@@ -305,8 +380,51 @@ class SpannIndex:
             pad=pad,
             cluster_rows=cluster_rows,
         )
-        self._dirty = False
+        self._view_gen = self._gen
         return self._view
+
+    def padded_view(self) -> PaddedView:
+        """Slab layout for the Pallas rerank kernel: (Cpad, pad, d_pad) with
+        d_pad a lane multiple (128) and pad a sublane multiple (16)."""
+        if self._padded_view is not None and self._padded_gen == self._gen:
+            return self._padded_view
+        if not self.postings:
+            raise ValueError("index is empty")
+        d = self.dim
+        d_pad = max(128, _round_up(d, 128))
+        cids = sorted(self.postings)
+        C = len(cids)
+        Cpad = max(8, _next_pow2(C))
+        max_len = max(len(self.postings[c][0]) for c in cids)
+        pad = max(16, _round_up(max(1, max_len), 16))
+        lens = np.zeros(Cpad, np.int32)
+        cent = np.zeros((Cpad, d_pad), np.float32)
+        valid = np.zeros(Cpad, bool)
+        ids2d = np.full((Cpad, pad), -1, np.int64)
+        vecs3d = np.zeros((Cpad, pad, d_pad), np.float32)
+        cluster_rows: Dict[int, int] = {}
+        for row, c in enumerate(cids):
+            ids, vecs = self.postings[c]
+            m = len(ids)
+            lens[row] = m
+            cent[row, :d] = self.centroids[c]
+            valid[row] = True
+            ids2d[row, :m] = ids
+            vecs3d[row, :m, :d] = vecs
+            cluster_rows[c] = row
+        sd = self.policy.storage_dtype
+        self._padded_view = PaddedView(
+            centroids=jnp.asarray(cent, sd),
+            cent_valid=jnp.asarray(valid),
+            lens=jnp.asarray(lens),
+            ids2d=jnp.asarray(ids2d),
+            vectors3d=jnp.asarray(vecs3d, sd),
+            pad=pad,
+            d_pad=d_pad,
+            cluster_rows=cluster_rows,
+        )
+        self._padded_gen = self._gen
+        return self._padded_view
 
     # -- search ------------------------------------------------------------
 
@@ -317,40 +435,75 @@ class SpannIndex:
         nprobe: Optional[int] = None,
         prune_factor: Optional[float] = None,
         batch_size: Optional[int] = None,
+        engine: Optional[str] = None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched ANN search.  Returns (ids (Q, k) int64, dists (Q, k) f32);
-        id -1 marks an empty slot (fewer than k reachable candidates)."""
-        view = self.device_view()
+        id -1 marks an empty slot (fewer than k reachable candidates).
+
+        ``engine``: "pallas" (fused slab-DMA rerank, default on TPU),
+        "xla" (gather-based, default elsewhere), or None for auto."""
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         if queries.shape[1] != self.dim:
             raise ValueError(f"query dim {queries.shape[1]} != index dim {self.dim}")
+        if engine is None:
+            engine = self.config.search.engine
+        if engine == "auto":
+            engine = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
         if nprobe is None:
             nprobe = self.config.search.nprobe or k  # reference: nprobe == k
-        nprobe = max(1, min(int(nprobe), int(view.centroids.shape[0])))
         if prune_factor is None:
             prune_factor = self.config.search.prune_factor
         prune = prune_factor is not None
         pf = jnp.float32(prune_factor if prune else 0.0)
         bs = batch_size or self.config.search.query_batch_size
         out_i, out_d = [], []
-        for s in range(0, queries.shape[0], bs):
-            qi, qd = _search_kernel(
-                jnp.asarray(queries[s : s + bs]),
-                view.centroids,
-                view.cent_valid,
-                view.offsets,
-                view.lens,
-                view.ids,
-                view.vectors,
-                pf,
-                k=int(k),
-                nprobe=nprobe,
-                pad=view.pad,
-                metric=self.metric,
-                prune=prune,
-            )
-            out_i.append(np.asarray(qi))
-            out_d.append(np.asarray(qd))
+        if engine == "pallas":
+            view = self.padded_view()
+            nprobe = max(1, min(int(nprobe), int(view.centroids.shape[0])))
+            interpret = jax.devices()[0].platform != "tpu"
+            qpad = np.zeros((queries.shape[0], view.d_pad), np.float32)
+            qpad[:, : self.dim] = queries
+            for s in range(0, queries.shape[0], bs):
+                qi, qd = _search_kernel_padded(
+                    jnp.asarray(qpad[s : s + bs]),
+                    view.centroids,
+                    view.cent_valid,
+                    view.lens,
+                    view.ids2d,
+                    view.vectors3d,
+                    pf,
+                    k=int(k),
+                    nprobe=nprobe,
+                    pad=view.pad,
+                    metric=self.metric,
+                    prune=prune,
+                    interpret=interpret,
+                )
+                out_i.append(np.asarray(qi))
+                out_d.append(np.asarray(qd))
+        elif engine == "xla":
+            view = self.device_view()
+            nprobe = max(1, min(int(nprobe), int(view.centroids.shape[0])))
+            for s in range(0, queries.shape[0], bs):
+                qi, qd = _search_kernel(
+                    jnp.asarray(queries[s : s + bs]),
+                    view.centroids,
+                    view.cent_valid,
+                    view.offsets,
+                    view.lens,
+                    view.ids,
+                    view.vectors,
+                    pf,
+                    k=int(k),
+                    nprobe=nprobe,
+                    pad=view.pad,
+                    metric=self.metric,
+                    prune=prune,
+                )
+                out_i.append(np.asarray(qi))
+                out_d.append(np.asarray(qd))
+        else:
+            raise ValueError(f"unknown search engine {engine!r}")
         return np.concatenate(out_i), np.concatenate(out_d)
 
     def find_k_nearest_neighbor_spann(self, query, k: int) -> Optional[List[PointData]]:
@@ -454,5 +607,5 @@ class SpannIndex:
         idx._next_cluster_id = max(
             [idx._next_cluster_id] + [c + 1 for c in idx.postings]
         )
-        idx._dirty = True
+        idx._gen += 1
         return idx

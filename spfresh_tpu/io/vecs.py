@@ -19,6 +19,16 @@ _ELEM = {"f": ("<f4", 4), "i": ("<i4", 4), "b": ("<u1", 1)}
 
 
 def _read_vecs(path: str, kind: str) -> np.ndarray:
+    # Prefer the native mmap reader when the C++ runtime is built.
+    try:
+        from spfresh_tpu import native
+
+        if native.available():
+            out = native.read_vecs_native(path, kind)
+            if out is not None:
+                return out
+    except Exception:
+        pass  # fall through to the pure-numpy path
     dtype, esize = _ELEM[kind]
     size = os.path.getsize(path)
     with open(path, "rb") as f:

@@ -85,9 +85,10 @@ def test_fit_pairs_cluster_together(toy_data):
 
 
 def test_subdivision_on_larger_data(rng):
+    # max_replicas=1 -> no replica pass: strict size caps must hold.
     data = rng.standard_normal((200, 8)).astype(np.float32)
     hc = HierarchicalClustering(
-        _params(initial_k=2, desired_cluster_size=20), data
+        _params(initial_k=2, desired_cluster_size=20, max_replicas=1), data
     ).fit()
     assert all(len(c) <= 20 for c in hc.clusters)
     assigned = set(np.concatenate([c.points for c in hc.clusters]).tolist())
@@ -97,6 +98,32 @@ def test_subdivision_on_larger_data(rng):
     for c in hc.clusters:
         if len(c):
             assert c.centroid_idx in set(c.points.tolist())
+
+
+def test_final_replication_bounded(rng):
+    data = rng.standard_normal((300, 8)).astype(np.float32)
+    hc = HierarchicalClustering(
+        _params(initial_k=2, desired_cluster_size=30, max_replicas=4), data
+    ).fit()
+    total = sum(len(c) for c in hc.clusters)
+    assert 300 <= total <= 300 * 4  # replication bounded by max_replicas
+    # Base membership is intact: every point appears somewhere.
+    assigned = set(np.concatenate([c.points for c in hc.clusters]).tolist())
+    assert assigned == set(range(300))
+    # Replicas only modestly exceed the cap (bounded by the replica pass).
+    assert max(len(c) for c in hc.clusters) <= 30 * 4
+
+
+def test_nested_replication_reference_parity(rng):
+    # 'nested' mode: the reference's in-split closure; caps hold including
+    # replicas (subdivision re-checks sizes after replication).
+    data = rng.standard_normal((200, 8)).astype(np.float32)
+    hc = HierarchicalClustering(
+        _params(initial_k=2, desired_cluster_size=25, replication="nested"), data
+    ).fit()
+    assert all(len(c) <= 25 for c in hc.clusters)
+    assigned = set(np.concatenate([c.points for c in hc.clusters]).tolist())
+    assert assigned == set(range(200))
 
 
 def test_duplicate_points_terminate():
