@@ -1,0 +1,107 @@
+"""Criterion-parity benchmark suite (reference:
+/root/reference/benches/clustering_benchmark.rs): index build, index load,
+and search latency at {1k, 10k, 100k, 1M} x 128-d seeded Gaussian f32.
+
+Usage:
+    python benchmarks/clustering_benchmark.py [--sizes 1000 10000] [--json out.json]
+
+The reference's criterion groups are bench_index_build (:37-61), bench_load
+(:63-88), bench_search (k=10, 100 queries/iter, :90-126); this mirrors those
+workloads and adds recall (which criterion never measured).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import numpy as np
+
+
+def bench_size(n: int, dim: int, out_dir: str, reps: int = 3):
+    from spfresh_tpu.eval import recall_at_k
+    from spfresh_tpu.index import Config, SpannIndexBuilder, brute_force_search
+
+    # Seeded Gaussian like the reference (clustering_benchmark.rs:11-15).
+    rng = np.random.default_rng(42)
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    queries = rng.standard_normal((100, dim)).astype(np.float32)
+
+    cfg = Config.from_dict(
+        {
+            "clustering_params": {
+                "distance_metric": "Euclidean",
+                "initialization_method": "Random",
+                "initial_k": max(4, min(64, n // 1000)),
+                "desired_cluster_size": max(64, min(512, n // 16)),
+                "rng_seed": 42,
+            },
+            "output_path": os.path.join(out_dir, f"idx_{n}"),
+        }
+    )
+    results = {"n": n, "dim": dim}
+
+    # bench_index_build
+    builder = SpannIndexBuilder(cfg).with_data(data)
+    index = builder.build()  # warm (compile) + save for the load bench
+    t0 = time.perf_counter()
+    index = builder.build(save=False)
+    results["build_s"] = time.perf_counter() - t0
+    results["clusters"] = index.num_clusters
+    results["replication"] = index.num_vectors / n
+
+    # bench_load
+    t0 = time.perf_counter()
+    loaded = SpannIndexBuilder(cfg).load()
+    results["load_s"] = time.perf_counter() - t0
+
+    # bench_search (k=10, 100 queries per iteration)
+    k = 10
+    nprobe = max(2, min(16, index.num_clusters))
+    loaded.search(queries, k, nprobe=nprobe)  # warm
+    times = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        ids, _ = loaded.search(queries, k, nprobe=nprobe)
+        times.append(time.perf_counter() - t0)
+    results["search_s_per_100q"] = min(times)
+    results["qps"] = 100 / min(times)
+    _, gt = brute_force_search(data, queries, k)
+    results["recall_at_10"] = recall_at_k(ids, gt, k)
+    return results
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", type=int, nargs="+", default=[1_000, 10_000, 100_000, 1_000_000])
+    ap.add_argument("--dim", type=int, default=128)
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--out-dir", default="/tmp/spann_criterion")
+    args = ap.parse_args()
+
+    all_results = []
+    for n in args.sizes:
+        r = bench_size(n, args.dim, args.out_dir)
+        all_results.append(r)
+        print(
+            f"n={n:>9,}  build={r['build_s']:7.2f}s  load={r['load_s']:6.2f}s  "
+            f"search(100q)={r['search_s_per_100q'] * 1e3:7.1f}ms  "
+            f"qps={r['qps']:8,.0f}  recall@10={r['recall_at_10']:.3f}  "
+            f"clusters={r['clusters']}",
+            flush=True,
+        )
+    if args.json:
+        with open(args.json, "w") as f:
+            json.dump(all_results, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

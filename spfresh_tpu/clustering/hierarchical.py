@@ -93,6 +93,12 @@ class ClusteringParams:
     boundary_threshold: float = BOUNDARY_THRESHOLD
     replication: str = "final"
     max_replicas: int = 8
+    # Posting-length ceiling under 'final' replication: a cluster accepts
+    # replicas only up to ceil(replica_overflow * cap) total members (closest
+    # replicas win).  Keeps the padded search layout tight — without it,
+    # popular clusters absorb replicas from every neighbor and one fat
+    # posting inflates the pad for the whole index.
+    replica_overflow: float = 1.25
 
     def __post_init__(self):
         self.metric = canonical_metric(self.metric)
@@ -192,7 +198,7 @@ def _final_replica_pass(X_tile, base_tile, cents, cc, metric: str, boundary_thre
     eligible = (D < (bt * db)[:, None]) & (cc[base_tile] >= D) & ~onehot
     Dm = jnp.where(eligible, D, jnp.inf)
     vals, idx = jax.lax.top_k(-Dm, n_extra)
-    return idx, jnp.isfinite(-vals)
+    return idx, -vals
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "closure"))
@@ -373,9 +379,10 @@ class HierarchicalClustering:
         tile = max(1, min(n, (1 << 24) // max(1, len(self.clusters))))
         extra_pts: List[np.ndarray] = []
         extra_cls: List[np.ndarray] = []
+        extra_d: List[np.ndarray] = []
         bt = jnp.float32(self.params.boundary_threshold)
         for s in range(0, n, tile):
-            idx, valid = _final_replica_pass(
+            idx, dists = _final_replica_pass(
                 self.data[s : s + tile],
                 jnp.asarray(base[s : s + tile], jnp.int32),
                 cents,
@@ -385,21 +392,31 @@ class HierarchicalClustering:
                 n_extra,
             )
             idx = np.asarray(idx)
-            valid = np.asarray(valid)
+            dists = np.asarray(dists)
+            valid = np.isfinite(dists)
             pts = np.broadcast_to(
                 np.arange(s, s + idx.shape[0])[:, None], idx.shape
             )
             extra_pts.append(pts[valid])
             extra_cls.append(idx[valid])
+            extra_d.append(dists[valid])
         if not extra_pts:
             return
         pts = np.concatenate(extra_pts)
         cls = np.concatenate(extra_cls)
-        order = np.argsort(cls, kind="stable")
+        dst = np.concatenate(extra_d)
+        # Per-cluster replica budget: members <= ceil(overflow * cap); the
+        # closest replicas win the remaining slots.
+        cap = self.params.desired_cluster_size
+        if cap is None:
+            cap = max(1, int(round(0.18 * n)))
+        limit = max(int(np.ceil(self.params.replica_overflow * cap)), 1)
+        order = np.lexsort((dst, cls))  # by cluster, then distance ascending
         pts, cls = pts[order], cls[order]
         bounds = np.searchsorted(cls, np.arange(len(self.clusters) + 1))
         for ci, c in enumerate(self.clusters):
-            extra = pts[bounds[ci] : bounds[ci + 1]]
+            budget = max(0, limit - len(c.points))
+            extra = pts[bounds[ci] : bounds[ci] + min(budget, bounds[ci + 1] - bounds[ci])]
             if len(extra):
                 c.points = np.sort(np.concatenate([c.points, extra]))
 

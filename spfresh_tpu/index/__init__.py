@@ -7,6 +7,7 @@ from spfresh_tpu.index.posting_store import (
     read_packed_postings,
     write_packed_postings,
 )
+from spfresh_tpu.index.lazy import LazySpannIndex
 from spfresh_tpu.index.spann import SpannIndex, brute_force_search
 
 __all__ = [
@@ -15,6 +16,7 @@ __all__ = [
     "FileBasedPostingListStore",
     "PointData",
     "PostingListStore",
+    "LazySpannIndex",
     "SpannIndex",
     "SpannIndexBuilder",
     "brute_force_search",

@@ -45,6 +45,7 @@ from spfresh_tpu.index.posting_store import (
 )
 from spfresh_tpu.ops.distances import canonical_metric, pairwise_distance, rowwise_distance
 from spfresh_tpu.ops.topk import smallest_k, smallest_k_unique
+from spfresh_tpu.utils import metrics
 
 MANIFEST = "manifest.json"
 CENTROIDS_FILE = "centroids.npy.gz"
@@ -60,13 +61,23 @@ def _next_pow2(x: int) -> int:
     return 1 if x <= 1 else 1 << (x - 1).bit_length()
 
 
+
+def _max_multiplicity(all_ids: np.ndarray) -> int:
+    """Largest number of postings any single point id appears in (replicas).
+    Drives the exact-dedup oversampling bound in smallest_k_unique."""
+    if all_ids.size == 0:
+        return 1
+    _, counts = np.unique(all_ids, return_counts=True)
+    return int(counts.max())
+
+
 # ---------------------------------------------------------------------------
 # Jitted search pipeline
 # ---------------------------------------------------------------------------
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "nprobe", "pad", "metric", "prune")
+    jax.jit, static_argnames=("k", "nprobe", "pad", "metric", "prune", "max_dup")
 )
 def _search_kernel(
     queries,
@@ -83,6 +94,7 @@ def _search_kernel(
     pad: int,
     metric: str,
     prune: bool,
+    max_dup: int = 8,
 ):
     """probe -> gather -> rerank -> merge for one query batch.
 
@@ -130,13 +142,14 @@ def _search_kernel(
         cand_ids = jnp.concatenate(
             [cand_ids, jnp.full((Q, padc), -1, cand_ids.dtype)], axis=1
         )
-    vals, out_ids = smallest_k_unique(d, cand_ids, k)
+    vals, out_ids = smallest_k_unique(d, cand_ids, k, max_dup=max_dup)
     out_ids = jnp.where(jnp.isfinite(vals), out_ids, -1)
     return out_ids, vals
 
 
 @functools.partial(
-    jax.jit, static_argnames=("k", "nprobe", "pad", "metric", "prune", "interpret")
+    jax.jit,
+    static_argnames=("k", "nprobe", "pad", "metric", "prune", "interpret", "max_dup"),
 )
 def _search_kernel_padded(
     queries,
@@ -153,6 +166,7 @@ def _search_kernel_padded(
     metric: str,
     prune: bool,
     interpret: bool,
+    max_dup: int = 8,
 ):
     """Padded-layout search: centroid scan on the MXU, posting gather +
     rerank in the fused Pallas kernel (contiguous slab DMA at HBM
@@ -184,7 +198,7 @@ def _search_kernel_padded(
         cand_ids = jnp.concatenate(
             [cand_ids, jnp.full((Q, padc), -1, cand_ids.dtype)], axis=1
         )
-    vals, out_ids = smallest_k_unique(d, cand_ids, k)
+    vals, out_ids = smallest_k_unique(d, cand_ids, k, max_dup=max_dup)
     out_ids = jnp.where(jnp.isfinite(vals), out_ids, -1)
     return out_ids, vals
 
@@ -249,6 +263,7 @@ class DeviceView:
     vectors: jnp.ndarray  # (Ppad, d) storage dtype
     pad: int  # static per-cluster gather width (>= max posting length)
     cluster_rows: Dict[int, int]  # cluster_id -> row in the padded arrays
+    max_dup: int = 8  # max multiplicity of any point id across postings
 
 
 @dataclasses.dataclass
@@ -267,6 +282,7 @@ class PaddedView:
     pad: int
     d_pad: int
     cluster_rows: Dict[int, int]
+    max_dup: int = 8
 
 
 class SpannIndex:
@@ -379,6 +395,7 @@ class SpannIndex:
             vectors=jnp.asarray(flat_vecs, sd),
             pad=pad,
             cluster_rows=cluster_rows,
+            max_dup=_max_multiplicity(flat_ids[:P]),
         )
         self._view_gen = self._gen
         return self._view
@@ -413,6 +430,7 @@ class SpannIndex:
             vecs3d[row, :m, :d] = vecs
             cluster_rows[c] = row
         sd = self.policy.storage_dtype
+        all_ids = np.concatenate([self.postings[c][0] for c in cids]) if cids else np.empty(0, np.int64)
         self._padded_view = PaddedView(
             centroids=jnp.asarray(cent, sd),
             cent_valid=jnp.asarray(valid),
@@ -422,6 +440,7 @@ class SpannIndex:
             pad=pad,
             d_pad=d_pad,
             cluster_rows=cluster_rows,
+            max_dup=_max_multiplicity(all_ids),
         )
         self._padded_gen = self._gen
         return self._padded_view
@@ -445,6 +464,7 @@ class SpannIndex:
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         if queries.shape[1] != self.dim:
             raise ValueError(f"query dim {queries.shape[1]} != index dim {self.dim}")
+        metrics.inc("search.queries", queries.shape[0])
         if engine is None:
             engine = self.config.search.engine
         if engine == "auto":
@@ -478,6 +498,7 @@ class SpannIndex:
                     metric=self.metric,
                     prune=prune,
                     interpret=interpret,
+                    max_dup=view.max_dup,
                 )
                 out_i.append(np.asarray(qi))
                 out_d.append(np.asarray(qd))
@@ -499,6 +520,7 @@ class SpannIndex:
                     pad=view.pad,
                     metric=self.metric,
                     prune=prune,
+                    max_dup=view.max_dup,
                 )
                 out_i.append(np.asarray(qi))
                 out_d.append(np.asarray(qd))

@@ -20,6 +20,7 @@ import threading
 from typing import Callable, Dict, List, Optional
 
 from spfresh_tpu.lire.operations import LireContext, OperationResult, PartitionOperation
+from spfresh_tpu.utils import metrics
 
 log = logging.getLogger(__name__)
 
@@ -134,10 +135,13 @@ class TwoStagePipeline:
         try:
             result = op.execute(self.ctx)
         except Exception as e:  # noqa: BLE001 — op failure flags maintenance
+            metrics.inc(f"lire.{type(op).__name__.lower()}.failed")
             log.warning("LIRE op %s failed: %s", type(op).__name__, e)
             for pid in affected:
                 self._set_status(pid, PartitionStatus.NEEDS_MAINTENANCE)
             return TaskOutcome(op, None, e)
+        metrics.inc(f"lire.{type(op).__name__.lower()}.ok")
+        metrics.inc("lire.vectors_moved", result.vectors_moved)
         for pid in affected:
             self._set_status(pid, PartitionStatus.READY)
         for pid in result.new_postings:

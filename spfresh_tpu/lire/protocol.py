@@ -25,6 +25,7 @@ from spfresh_tpu.lire.operations import (
 )
 from spfresh_tpu.lire.pipeline import TwoStagePipeline
 from spfresh_tpu.lire.storage import LireStorage
+from spfresh_tpu.utils import metrics
 
 log = logging.getLogger(__name__)
 
@@ -72,12 +73,14 @@ class LireProtocol:
             if posting_id is None:
                 raise ValueError("no postings exist; build an index first")
         version = self.storage.store_vector(posting_id, vector_id, vector)
+        metrics.inc("lire.insert")
         if self.needs_split(posting_id):
             self.schedule_maintenance(Split(posting_id))
         return UpdateResult(0, [posting_id], version)
 
     def delete(self, vector_id: int, posting_id: int) -> UpdateResult:
         version = self.storage.mark_deleted(posting_id, vector_id)
+        metrics.inc("lire.delete")
         if self.needs_merge(posting_id):
             target = self._nearest_other_partition(posting_id)
             if target is not None:

@@ -49,13 +49,12 @@ def _reduce(metric: str, diff: jnp.ndarray) -> jnp.ndarray:
     return jnp.max(jnp.abs(diff), axis=1)
 
 
-def _make_kernel(metric: str, pb: int):
+def _make_kernel(metric: str, nprobe: int):
     def kernel(rows_ref, q_ref, v_hbm, out_ref, slab, sems):
         q = pl.program_id(0)
-        p = pl.program_id(1)
 
         def get_dma(slot, j):
-            row = rows_ref[q, p * pb + j]
+            row = rows_ref[q, j]
             return pltpu.make_async_copy(v_hbm.at[row], slab.at[slot], sems.at[slot])
 
         get_dma(0, 0).start()
@@ -64,7 +63,7 @@ def _make_kernel(metric: str, pb: int):
         def body(j, _):
             slot = j % 2
 
-            @pl.when(j + 1 < pb)
+            @pl.when(j + 1 < nprobe)
             def _():
                 get_dma((j + 1) % 2, j + 1).start()
 
@@ -73,7 +72,7 @@ def _make_kernel(metric: str, pb: int):
             out_ref[0, j, :] = _reduce(metric, v - qv)
             return 0
 
-        jax.lax.fori_loop(0, pb, body, 0)
+        jax.lax.fori_loop(0, nprobe, body, 0)
 
     return kernel
 
@@ -110,39 +109,33 @@ def padded_rerank_distances(
     nprobe = rows.shape[1]
     C, pad, d2 = vectors3d.shape
     assert d == d2, (d, d2)
-    # Round probes up to the 8-per-step grid; extra steps recompute slab 0
-    # and are masked by the caller.
-    np_pad = ((nprobe + _PB - 1) // _PB) * _PB
-    if np_pad != nprobe:
-        rows = jnp.concatenate(
-            [rows, jnp.zeros((Q, np_pad - nprobe), rows.dtype)], axis=1
-        )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(Q, np_pad // _PB),
+        grid=(Q,),
         in_specs=[
-            pl.BlockSpec((Q, d), lambda q, p, rows_ref: (0, 0)),  # queries, VMEM
+            pl.BlockSpec((Q, d), lambda q, rows_ref: (0, 0)),  # queries, VMEM
             pl.BlockSpec(memory_space=pltpu.ANY),  # posting slabs stay in HBM
         ],
-        out_specs=pl.BlockSpec((1, _PB, pad), lambda q, p, rows_ref: (q, p, 0)),
+        # Block dims equal to array dims satisfy the TPU tiling rule for any
+        # nprobe — one step writes a query's full (nprobe, pad) row.
+        out_specs=pl.BlockSpec((1, nprobe, pad), lambda q, rows_ref: (q, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, pad, d), vectors3d.dtype),  # double buffer
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
-    out = pl.pallas_call(
-        _make_kernel(metric, _PB),
+    return pl.pallas_call(
+        _make_kernel(metric, nprobe),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Q, np_pad, pad), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Q, nprobe, pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(2 * pad * d * vectors3d.dtype.itemsize
-                                 + Q * d * 4 + _PB * pad * 4 + (1 << 20)),
+                                 + Q * d * 4 + nprobe * pad * 4 + (1 << 20)),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * Q * np_pad * pad * d,
-            bytes_accessed=Q * np_pad * pad * d * vectors3d.dtype.itemsize,
+            flops=2 * Q * nprobe * pad * d,
+            bytes_accessed=Q * nprobe * pad * d * vectors3d.dtype.itemsize,
             transcendentals=0,
         ),
     )(rows.astype(jnp.int32), queries, vectors3d)
-    return out[:, :nprobe, :]

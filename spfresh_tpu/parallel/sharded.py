@@ -25,7 +25,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from spfresh_tpu.core.dtypes import ACCUM_DTYPE
-from spfresh_tpu.index.spann import SpannIndex, _round_up
+from spfresh_tpu.index.spann import SpannIndex, _max_multiplicity, _round_up
 from spfresh_tpu.ops.distances import canonical_metric, pairwise_distance, rowwise_distance
 from spfresh_tpu.ops.topk import smallest_k, smallest_k_unique
 
@@ -49,6 +49,7 @@ class ShardedView:
     vectors: jax.Array  # (S, Ps, d)
     pad: int
     num_shards: int
+    max_dup: int = 8
 
 
 class ShardedSpannIndex:
@@ -114,6 +115,9 @@ class ShardedSpannIndex:
             vectors=jax.device_put(jnp.asarray(flat_vecs, sd), spec),
             pad=pad,
             num_shards=S,
+            max_dup=_max_multiplicity(
+                np.concatenate([idx.postings[c][0] for c in cids])
+            ),
         )
         return self._view
 
@@ -148,7 +152,9 @@ class ShardedSpannIndex:
             merged_d = jnp.moveaxis(all_d, 0, 1).reshape(Q, S * k)
             merged_i = jnp.moveaxis(all_i, 0, 1).reshape(Q, S * k)
             # Replicas of one point can surface from several shards: dedup.
-            vals, out_ids = smallest_k_unique(merged_d, merged_i.astype(jnp.int64), k)
+            vals, out_ids = smallest_k_unique(
+                merged_d, merged_i.astype(jnp.int64), k, max_dup=view.max_dup
+            )
             out_ids = jnp.where(jnp.isfinite(vals), out_ids, -1)
             return out_ids, vals
 

@@ -234,3 +234,20 @@ def test_replica_dedup(tmp_path):
     for row in ids:
         row = row[row >= 0]
         assert len(set(row.tolist())) == len(row)
+
+
+def test_lazy_index_matches_resident(tmp_path, rng):
+    from spfresh_tpu.index import LazySpannIndex
+
+    data = rng.standard_normal((200, 12)).astype(np.float32)
+    cfg = _toy_config(tmp_path, clustering_params={"desired_cluster_size": 30, "initial_k": 3})
+    index = SpannIndexBuilder(cfg).with_data(data).build(save=False)
+    d = str(tmp_path / "lazy")
+    index.save(d, format="packed")
+    with LazySpannIndex(d) as lazy:
+        q = rng.standard_normal((7, 12)).astype(np.float32)
+        nprobe = index.num_clusters
+        ids_r, d_r = index.search(q, k=5, nprobe=nprobe)
+        ids_l, d_l = lazy.search(q, k=5, nprobe=nprobe)
+        np.testing.assert_array_equal(ids_r, ids_l)
+        np.testing.assert_allclose(d_r, d_l, rtol=1e-5)
