@@ -1,0 +1,108 @@
+"""SPFresh streaming-update benchmark (BASELINE.md config 5 analogue):
+build an index, then stream interleaved inserts/deletes while measuring
+update throughput, background-maintenance counts, and recall drift.
+
+Usage:
+    python benchmarks/streaming_updates.py [--n 100000] [--updates 20000]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=100_000)
+    ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument("--updates", type=int, default=20_000)
+    ap.add_argument("--batch", type=int, default=512)
+    ap.add_argument("--store", default="/tmp/spfresh_stream_store")
+    args = ap.parse_args()
+
+    from spfresh_tpu.eval import recall_at_k
+    from spfresh_tpu.index import Config, SpannIndexBuilder, brute_force_search
+    from spfresh_tpu.lire import LireConfig, SpFreshIndex
+    from spfresh_tpu.utils import metrics
+
+    rng = np.random.default_rng(7)
+    n_centers = max(32, args.n // 1000)
+    centers = rng.standard_normal((n_centers, args.dim)).astype(np.float32)
+
+    def draw(m):
+        a = rng.integers(0, n_centers, size=m)
+        return (centers[a] + 0.35 * rng.standard_normal((m, args.dim))).astype(np.float32)
+
+    data = draw(args.n)
+    cfg = Config.from_dict(
+        {
+            "clustering_params": {
+                "initialization_method": "KMeans++",
+                "initial_k": 16,
+                "desired_cluster_size": 512,
+                "rng_seed": 42,
+            },
+            "output_path": "/tmp/spfresh_stream_idx",
+        }
+    )
+    t0 = time.perf_counter()
+    index = SpannIndexBuilder(cfg).with_data(data).build(save=False)
+    print(f"build: {time.perf_counter() - t0:.1f}s clusters={index.num_clusters}", flush=True)
+
+    import shutil
+
+    shutil.rmtree(args.store, ignore_errors=True)
+    lire_cfg = LireConfig(max_partition_size=1024, min_partition_size=16)
+    with SpFreshIndex(index, args.store, lire_cfg) as fresh:
+        queries = draw(200)
+        _, gt0 = brute_force_search(data, queries, 10)
+        ids0, _ = fresh.search(queries, 10, nprobe=16)
+        print(f"recall before updates: {recall_at_k(ids0, gt0, 10):.4f}", flush=True)
+
+        new_vecs = draw(args.updates)
+        new_ids = np.arange(args.n, args.n + args.updates)
+        t0 = time.perf_counter()
+        for s in range(0, args.updates, args.batch):
+            fresh.insert_batch(new_vecs[s : s + args.batch], new_ids[s : s + args.batch])
+        insert_s = time.perf_counter() - t0
+        print(f"inserts: {args.updates / insert_s:,.0f}/s ({insert_s:.1f}s)", flush=True)
+
+        del_ids = rng.choice(args.n, size=args.updates // 2, replace=False)
+        t0 = time.perf_counter()
+        deleted = 0
+        for vid in del_ids:
+            try:
+                fresh.delete(int(vid))
+                deleted += 1
+            except KeyError:
+                pass
+        delete_s = time.perf_counter() - t0
+        print(f"deletes: {deleted / delete_s:,.0f}/s ({delete_s:.1f}s)", flush=True)
+
+        t0 = time.perf_counter()
+        fresh.flush()
+        print(f"background drain: {time.perf_counter() - t0:.1f}s", flush=True)
+
+        # Recall after updates against the mutated ground truth.
+        live_mask = np.ones(args.n, bool)
+        live_mask[del_ids[:deleted]] = False
+        all_data = np.concatenate([data[live_mask], new_vecs])
+        all_ids = np.concatenate([np.arange(args.n)[live_mask], new_ids])
+        _, gt_rows = brute_force_search(all_data, queries, 10)
+        gt = all_ids[gt_rows]
+        ids1, _ = fresh.search(queries, 10, nprobe=16)
+        print(f"recall after updates: {recall_at_k(ids1, gt, 10):.4f}", flush=True)
+        print("metrics:", {k: v for k, v in sorted(metrics.snapshot().items())}, flush=True)
+
+
+if __name__ == "__main__":
+    main()

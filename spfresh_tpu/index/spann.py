@@ -235,7 +235,10 @@ def brute_force_search(
     corpus = jnp.asarray(corpus)
     out_d, out_i = [], []
     queries = np.asarray(queries)
-    big = corpus.shape[0] > 100_000 and metric == "Euclidean"
+    # The fully-elementwise exact form broadcasts (tile, n, d) — past ~10k
+    # rows that intermediate thrashes HBM; the 2-stage prefilter+rerank is
+    # exact and keeps memory bounded.
+    big = corpus.shape[0] > 10_000 and metric == "Euclidean"
     kc = min(max(32 * k, 256), corpus.shape[0])
     for s in range(0, queries.shape[0], batch_size):
         qb = jnp.asarray(queries[s : s + batch_size])
@@ -500,8 +503,8 @@ class SpannIndex:
                     interpret=interpret,
                     max_dup=view.max_dup,
                 )
-                out_i.append(np.asarray(qi))
-                out_d.append(np.asarray(qd))
+                out_i.append(qi)
+                out_d.append(qd)
         elif engine == "xla":
             view = self.device_view()
             nprobe = max(1, min(int(nprobe), int(view.centroids.shape[0])))
@@ -522,11 +525,16 @@ class SpannIndex:
                     prune=prune,
                     max_dup=view.max_dup,
                 )
-                out_i.append(np.asarray(qi))
-                out_d.append(np.asarray(qd))
+                out_i.append(qi)
+                out_d.append(qd)
         else:
             raise ValueError(f"unknown search engine {engine!r}")
-        return np.concatenate(out_i), np.concatenate(out_d)
+        # One device->host sync for the whole call, after all batches are in
+        # flight (async dispatch overlaps compute with the next upload).
+        return (
+            np.concatenate([np.asarray(x) for x in out_i]),
+            np.concatenate([np.asarray(x) for x in out_d]),
+        )
 
     def find_k_nearest_neighbor_spann(self, query, k: int) -> Optional[List[PointData]]:
         """Single-query parity API (spann_index.rs:148-197): nprobe = k and

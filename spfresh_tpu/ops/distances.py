@@ -76,7 +76,9 @@ def _elementwise_pairwise(x: jnp.ndarray, y: jnp.ndarray, metric: str, tile_n: i
     xf = x.astype(ACCUM_DTYPE)
     yf = y.astype(ACCUM_DTYPE)
     n = xf.shape[0]
-    tile_n = max(1, min(tile_n, n))
+    # Bound the (tile, m, d) broadcast intermediate to ~256 MB.
+    budget_rows = max(8, (1 << 26) // max(1, y.shape[0] * y.shape[1]))
+    tile_n = max(1, min(tile_n, budget_rows, n))
     pad = (-n) % tile_n
     if pad:
         xf = jnp.pad(xf, ((0, pad), (0, 0)))

@@ -251,3 +251,32 @@ def test_lazy_index_matches_resident(tmp_path, rng):
         ids_l, d_l = lazy.search(q, k=5, nprobe=nprobe)
         np.testing.assert_array_equal(ids_r, ids_l)
         np.testing.assert_allclose(d_r, d_l, rtol=1e-5)
+
+
+def test_bfloat16_storage_search(tmp_path, rng):
+    # bf16 HBM storage with f32 accumulation: recall should match f32 almost
+    # everywhere (bf16 has ~3 decimal digits; neighbors are well-separated).
+    data = rng.standard_normal((150, 16)).astype(np.float32)
+    base = _toy_config(tmp_path, clustering_params={"desired_cluster_size": 30})
+    cfg16 = Config.from_dict({**base.to_dict(), "storage_dtype": "bfloat16"})
+    i32 = SpannIndexBuilder(base).with_data(data).build(save=False)
+    i16 = SpannIndexBuilder(cfg16).with_data(data).build(save=False)
+    q = rng.standard_normal((6, 16)).astype(np.float32)
+    ids32, _ = i32.search(q, k=5, nprobe=i32.num_clusters)
+    ids16, _ = i16.search(q, k=5, nprobe=i16.num_clusters)
+    overlap = np.mean([len(set(ids32[r]) & set(ids16[r])) / 5 for r in range(6)])
+    assert overlap >= 0.8
+
+
+def test_high_dim_not_multiple_of_128(tmp_path, rng):
+    # GIST-like: d=60 pads to 128 in the slab layout; all engines agree.
+    data = rng.standard_normal((120, 60)).astype(np.float32)
+    cfg = _toy_config(tmp_path, clustering_params={"desired_cluster_size": 25, "initial_k": 3})
+    index = SpannIndexBuilder(cfg).with_data(data).build(save=False)
+    q = rng.standard_normal((4, 60)).astype(np.float32)
+    ids_x, d_x = index.search(q, k=5, nprobe=index.num_clusters, engine="xla")
+    ids_p, d_p = index.search(q, k=5, nprobe=index.num_clusters, engine="pallas")
+    np.testing.assert_array_equal(ids_x, ids_p)
+    _, gt = brute_force_search(data, q, k=5)
+    for r in range(4):
+        assert set(ids_x[r]) == set(gt[r])
