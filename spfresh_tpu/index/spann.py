@@ -209,14 +209,37 @@ def _brute_force_kernel(corpus, queries, k: int, metric: str):
     return smallest_k(D, k)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "kc", "metric"))
-def _brute_force_2stage_kernel(corpus, queries, k: int, kc: int, metric: str):
+@functools.partial(jax.jit, static_argnames=("k", "kc", "metric", "chunk"))
+def _brute_force_2stage_kernel(corpus, queries, k: int, kc: int, metric: str, chunk: int = 65536):
     """Large-corpus exact top-k: fast MXU scan selects kc candidates, the
     elementwise-exact form reranks them.  Exact as long as the true top-k
-    survive the ~1e-3-relative-error prefilter into the top-kc (kc >> k)."""
+    survive the ~1e-3-relative-error prefilter into the top-kc (kc >> k).
+
+    The corpus is scanned in ``chunk``-row pieces with a running top-kc merge
+    — ``lax.top_k`` over millions of columns at once is far slower than
+    chunked selection, and the (Q, n) distance matrix never materializes."""
+    n, d = corpus.shape
+    Q = queries.shape[0]
     qf = queries.astype(corpus.dtype)
-    D = pairwise_distance(qf, corpus, metric)  # fast path
-    _, cand = smallest_k(D, kc)  # (Q, kc)
+    chunk = min(chunk, n)
+    n_chunks = (n + chunk - 1) // chunk
+    pad_n = n_chunks * chunk
+    corpus_p = jnp.pad(corpus, ((0, pad_n - n), (0, 0)))
+
+    def body(i, state):
+        best_d, best_i = state
+        start = i * chunk
+        block = jax.lax.dynamic_slice(corpus_p, (start, 0), (chunk, d))
+        D = pairwise_distance(qf, block, metric)  # (Q, chunk) fast path
+        col = start + jax.lax.broadcasted_iota(jnp.int32, (Q, chunk), 1)
+        D = jnp.where(col < n, D, jnp.inf)
+        cat_d = jnp.concatenate([best_d, D], axis=1)
+        cat_i = jnp.concatenate([best_i, col], axis=1)
+        vals, idx = smallest_k(cat_d, kc)
+        return vals, jnp.take_along_axis(cat_i, idx, axis=1)
+
+    init = (jnp.full((Q, kc), jnp.inf), jnp.zeros((Q, kc), jnp.int32))
+    best_d, cand = jax.lax.fori_loop(0, n_chunks, body, init)
     cand_vecs = corpus[cand]  # (Q, kc, d)
     d_exact = rowwise_distance(cand_vecs, qf[:, None, :], metric)
     vals, idx = smallest_k(d_exact, k)
