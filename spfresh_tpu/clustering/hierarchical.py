@@ -201,60 +201,66 @@ def _final_replica_pass(X_tile, base_tile, cents, cc, metric: str, boundary_thre
     return idx, -vals
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "closure"))
-def _split_level(X, idx_mat, valid, c1_pos, metric: str, boundary_threshold, closure: bool = True):
-    """Batched binary split of S clusters at once (create_subclusters,
-    hierarchical.rs:107-135, level-synchronous).
+@functools.partial(jax.jit, static_argnames=("metric", "closure", "num_segments"))
+def _split_level_flat(
+    X, point_list, cluster_of, valid, c1_idx, metric: str, boundary_threshold,
+    closure: bool, num_segments: int,
+):
+    """Batched binary split of every oversized cluster at a level
+    (create_subclusters, hierarchical.rs:107-135, level-synchronous).
 
-    idx_mat: (S, L) member indices, padded; members are packed as a prefix so
-    ``valid`` is a prefix mask.  c1_pos: (S,) random member position per
-    cluster.  Returns (m1, m2, c2_pos): bool membership masks for the two
-    children and the position of the farthest-point seed.
+    Flat segment formulation: ``point_list`` (P,) concatenates all member
+    indices grouped by cluster, ``cluster_of`` (P,) names each member's
+    segment, ``c1_idx`` (S,) is the first seed (a random member) per cluster.
+    Memory is O(P d) regardless of cluster-size skew — the earlier (S, L)
+    padded form materialized a 16 GB gather on a 1M build when one cluster
+    dominated a level.
+
+    Returns (m1, m2 (P,) child membership, c2_idx (S,) second seeds,
+    degenerate (S,) flags, d1 (P,) seed-1 distances for the host-side
+    balanced fallback).
     """
-    S, L = idx_mat.shape
-    pts = X[idx_mat]  # (S, L, d) gather
-    rows = jnp.arange(S)
-    c1 = pts[rows, c1_pos]  # (S, d)
-    d1 = rowwise_distance(pts, c1[:, None, :], metric)  # (S, L)
+    P = point_list.shape[0]
+    pts = X[point_list]  # (P, d)
+    c1v = X[c1_idx]  # (S, d)
+    d1 = rowwise_distance(pts, c1v[cluster_of], metric)  # (P,)
 
-    # Farthest member from c1 becomes the second seed (hierarchical.rs:111-126).
-    col = jax.lax.broadcasted_iota(jnp.int32, (S, L), 1)
-    d1_for_max = jnp.where(valid & (col != c1_pos[:, None]), d1, -jnp.inf)
-    c2_pos = jnp.argmax(d1_for_max, axis=1)
-    c2 = pts[rows, c2_pos]
-    d2 = rowwise_distance(pts, c2[:, None, :], metric)
+    # Farthest member from c1 becomes the second seed (hierarchical.rs:111-126);
+    # argmax via segment_max + first-position-at-max.
+    is_c1 = point_list == c1_idx[cluster_of]
+    d1m = jnp.where(valid & ~is_c1, d1, -jnp.inf)
+    seg_max = jax.ops.segment_max(d1m, cluster_of, num_segments=num_segments)
+    pos = jnp.arange(P, dtype=jnp.int32)
+    at_max = valid & ~is_c1 & (d1m == seg_max[cluster_of])
+    c2_pos = jax.ops.segment_min(
+        jnp.where(at_max, pos, P), cluster_of, num_segments=num_segments
+    )
+    c2_pos = jnp.clip(c2_pos, 0, P - 1)
+    c2_idx = point_list[c2_pos]
+    c2v = X[c2_idx]
+    d2 = rowwise_distance(pts, c2v[cluster_of], metric)
 
     # 2-way assignment; ties go to the first seed (the reference's fold keeps
-    # the earlier index on ties, hierarchical.rs:316-326).  Closure
-    # replication inside the split only in 'nested' (reference-parity) mode.
-    best_is_2 = d2 < d1
+    # the earlier index, hierarchical.rs:316-326).  In-split closure only in
+    # 'nested' (reference-parity) mode.
+    best2 = d2 < d1
     if closure:
-        cc = rowwise_distance(c1, c2, metric)[:, None]  # (S, 1)
+        cc = rowwise_distance(c1v, c2v, metric)[cluster_of]  # (P,)
         bt = boundary_threshold.astype(ACCUM_DTYPE)
-        rep_into_1 = best_is_2 & (d1 < bt * d2) & (cc >= d1)
-        rep_into_2 = (~best_is_2) & (d2 < bt * d1) & (cc >= d2)
-        m1 = valid & ((~best_is_2) | rep_into_1)
-        m2 = valid & (best_is_2 | rep_into_2)
+        m1 = valid & (~best2 | (best2 & (d1 < bt * d2) & (cc >= d1)))
+        m2 = valid & (best2 | (~best2 & (d2 < bt * d1) & (cc >= d2)))
     else:
-        m1 = valid & ~best_is_2
-        m2 = valid & best_is_2
+        m1 = valid & ~best2
+        m2 = valid & best2
 
-    # Guaranteed-progress fallback (SURVEY.md quirk 6): if either child would
-    # equal the parent or be empty, use an exact balanced split by distance
-    # to c1 (stable rank, no replication).
-    cnt = jnp.sum(valid, axis=1)
-    cnt1 = jnp.sum(m1, axis=1)
-    cnt2 = jnp.sum(m2, axis=1)
+    # Degenerate split (SURVEY.md quirk 6): child equals parent or is empty;
+    # the host applies an exact balanced median split on d1 for those.
+    ones = valid.astype(jnp.int32)
+    cnt = jax.ops.segment_sum(ones, cluster_of, num_segments=num_segments)
+    cnt1 = jax.ops.segment_sum(m1.astype(jnp.int32), cluster_of, num_segments=num_segments)
+    cnt2 = jax.ops.segment_sum(m2.astype(jnp.int32), cluster_of, num_segments=num_segments)
     degenerate = (cnt1 == cnt) | (cnt2 == cnt) | (cnt1 == 0) | (cnt2 == 0)
-
-    order = jnp.argsort(jnp.where(valid, d1, jnp.inf), axis=1, stable=True)
-    rank = jnp.argsort(order, axis=1, stable=True)
-    half = (cnt + 1) // 2
-    m1_fb = valid & (rank < half[:, None])
-    m2_fb = valid & ~m1_fb
-    m1 = jnp.where(degenerate[:, None], m1_fb, m1)
-    m2 = jnp.where(degenerate[:, None], m2_fb, m2)
-    return m1, m2, c2_pos
+    return m1, m2, c2_idx, degenerate, d1
 
 
 # ---------------------------------------------------------------------------
@@ -435,48 +441,72 @@ class HierarchicalClustering:
 
     def _subdivide_clusters(self, cap: int) -> None:
         level = 0
+        closure = self.params.replication == "nested"
         while True:
             oversized = [i for i, c in enumerate(self.clusters) if len(c) > cap]
             if not oversized:
                 break
             level += 1
-            S_real = len(oversized)
-            L = next_pow2(max(len(self.clusters[i]) for i in oversized))
-            S = next_pow2(S_real)
-            idx_mat = np.zeros((S, L), dtype=np.int64)
-            valid = np.zeros((S, L), dtype=bool)
-            cnts = np.ones((S,), dtype=np.int64)  # pad rows: 1 avoids 0-range randint
-            for r, ci in enumerate(oversized):
-                m = self.clusters[ci].points
-                idx_mat[r, : len(m)] = m
-                valid[r, : len(m)] = True
-                cnts[r] = len(m)
-            # Members are prefix-packed, so a uniform position in [0, cnt) is a
-            # uniform member choice (points.choose, hierarchical.rs:110).
-            c1_pos = jax.random.randint(
-                jax.random.fold_in(self._key, 1000 + level),
-                (S,),
-                0,
-                jnp.asarray(cnts),
-            ).astype(jnp.int32)
-            m1, m2, c2_pos = _split_level(
+            members = [self.clusters[i].points for i in oversized]
+            lens = np.array([len(m) for m in members])
+            bounds = np.zeros(len(members) + 1, np.int64)
+            np.cumsum(lens, out=bounds[1:])
+            P = int(bounds[-1])
+            Ppad = next_pow2(P)
+            S = next_pow2(len(members))  # pad segments too: bounds compile count
+            point_list = np.zeros(Ppad, np.int32)
+            cluster_of = np.zeros(Ppad, np.int32)
+            valid = np.zeros(Ppad, bool)
+            point_list[:P] = np.concatenate(members)
+            valid[:P] = True
+            for r in range(len(members)):
+                cluster_of[bounds[r] : bounds[r + 1]] = r
+            # Random member as seed 1 per cluster (points.choose,
+            # hierarchical.rs:110); uniform positions drawn on device for
+            # rng_seed determinism.
+            offs = np.asarray(
+                jax.random.randint(
+                    jax.random.fold_in(self._key, 1000 + level),
+                    (len(members),),
+                    0,
+                    jnp.asarray(np.maximum(lens, 1)),
+                )
+            )
+            c1_idx = np.zeros(S, np.int32)
+            c1_idx[: len(members)] = np.array(
+                [members[r][offs[r]] for r in range(len(members))], np.int64
+            )
+            m1, m2, c2_idx, degenerate, d1 = _split_level_flat(
                 self.data,
-                jnp.asarray(idx_mat),
+                jnp.asarray(point_list),
+                jnp.asarray(cluster_of),
                 jnp.asarray(valid),
-                c1_pos,
+                jnp.asarray(c1_idx),
                 self.params.metric,
                 jnp.float32(self.params.boundary_threshold),
-                closure=self.params.replication == "nested",
+                closure=closure,
+                num_segments=S,
             )
             m1 = np.asarray(m1)
             m2 = np.asarray(m2)
-            c1_pos = np.asarray(c1_pos)
-            c2_pos = np.asarray(c2_pos)
+            c2_idx = np.asarray(c2_idx)
+            degenerate = np.asarray(degenerate)
+            d1 = np.asarray(d1)
             new_tail: List[Cluster] = []
             for r, ci in enumerate(oversized):
                 depth = self.clusters[ci].depth + 1
-                pts1 = idx_mat[r][m1[r]]
-                pts2 = idx_mat[r][m2[r]]
-                self.clusters[ci] = Cluster(int(idx_mat[r, c1_pos[r]]), pts1, depth)
-                new_tail.append(Cluster(int(idx_mat[r, c2_pos[r]]), pts2, depth))
+                lo, hi = int(bounds[r]), int(bounds[r + 1])
+                mem = members[r]
+                if degenerate[r]:
+                    # Exact balanced median split by distance to seed 1
+                    # (guaranteed progress on duplicate-heavy clusters).
+                    order = np.argsort(d1[lo:hi], kind="stable")
+                    half = (len(mem) + 1) // 2
+                    sel = np.zeros(len(mem), bool)
+                    sel[order[:half]] = True
+                    pts1, pts2 = mem[sel], mem[~sel]
+                else:
+                    pts1, pts2 = mem[m1[lo:hi]], mem[m2[lo:hi]]
+                self.clusters[ci] = Cluster(int(c1_idx[r]), pts1, depth)
+                new_tail.append(Cluster(int(c2_idx[r]), pts2, depth))
             self.clusters.extend(new_tail)
