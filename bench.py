@@ -42,7 +42,9 @@ def main():
     ap.add_argument("--cluster-size", type=int, default=256)
     ap.add_argument("--initial-k", type=int, default=16)
     ap.add_argument("--target-recall", type=float, default=0.90)
-    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--metric", default="Euclidean",
+                    help="Euclidean | Manhattan | Chebyshev (GIST-style stress: --metric Manhattan --dim 960)")
     args = ap.parse_args()
 
     n = args.n or (20_000 if args.small else 1_000_000)
@@ -70,13 +72,13 @@ def main():
     queries = draw(nq)
 
     t0 = time.perf_counter()
-    gt_d, gt_i = brute_force_search(data, queries, args.k)
+    gt_d, gt_i = brute_force_search(data, queries, args.k, metric=args.metric)
     log(f"ground truth: {time.perf_counter() - t0:.1f}s")
 
     cfg = Config.from_dict(
         {
             "clustering_params": {
-                "distance_metric": "Euclidean",
+                "distance_metric": args.metric,
                 "initialization_method": "KMeans++",
                 "initial_k": args.initial_k,
                 "desired_cluster_size": args.cluster_size,
@@ -133,7 +135,10 @@ def main():
     print(
         json.dumps(
             {
-                "metric": f"qps_per_chip_at_recall@{args.k}>={args.target_recall}_gauss{n // 1000}k_{args.dim}d",
+                "metric": (
+                    f"qps_per_chip_at_recall@{args.k}>={args.target_recall}"
+                    f"_gauss{n // 1000}k_{args.dim}d_{args.metric.lower()}"
+                ),
                 "value": round(qps, 1),
                 "unit": "qps",
                 "vs_baseline": round(qps / 10_000.0, 3),

@@ -382,7 +382,9 @@ class HierarchicalClustering:
             base[c.points] = ci
         cents = self.centroid_vectors()
         cc = pairwise_distance(cents, cents, self.params.metric)
-        tile = max(1, min(n, (1 << 24) // max(1, len(self.clusters))))
+        # Tile size balances the (tile, C) distance matrix (<= ~512 MB) against
+        # per-dispatch overhead — hundreds of tiny tiles were dispatch-bound.
+        tile = max(256, min(n, (1 << 27) // max(1, len(self.clusters))))
         extra_pts: List[np.ndarray] = []
         extra_cls: List[np.ndarray] = []
         extra_d: List[np.ndarray] = []

@@ -399,18 +399,19 @@ class SpannIndex:
         flat_ids = np.full(Ppad, -1, np.int64)
         flat_vecs = np.zeros((Ppad, d), np.float32)
         cluster_rows: Dict[int, int] = {}
-        pos = 0
+        # Vectorized packing: per-cluster python loops cost tens of seconds
+        # at 10k+ clusters; concatenate + one bulk copy is C-speed.
+        lens_l = np.array([len(self.postings[c][0]) for c in cids], np.int64)
+        offs_l = np.zeros(C + 1, np.int64)
+        np.cumsum(lens_l, out=offs_l[1:])
+        offsets[:C] = offs_l[:C]
+        lens[:C] = lens_l
+        valid[:C] = True
+        cent[:C] = np.stack([self.centroids[c] for c in cids]) if cids else cent[:0]
+        flat_ids[:P] = np.concatenate([self.postings[c][0] for c in cids]) if cids else flat_ids[:0]
+        flat_vecs[:P] = np.concatenate([self.postings[c][1] for c in cids]) if cids else flat_vecs[:0]
         for row, c in enumerate(cids):
-            ids, vecs = self.postings[c]
-            m = len(ids)
-            offsets[row] = pos
-            lens[row] = m
-            cent[row] = self.centroids[c]
-            valid[row] = True
-            flat_ids[pos : pos + m] = ids
-            flat_vecs[pos : pos + m] = vecs
             cluster_rows[c] = row
-            pos += m
         sd = self.policy.storage_dtype
         self._view = DeviceView(
             centroids=jnp.asarray(cent, sd),
@@ -446,14 +447,24 @@ class SpannIndex:
         ids2d = np.full((Cpad, pad), -1, np.int64)
         vecs3d = np.zeros((Cpad, pad, d_pad), np.float32)
         cluster_rows: Dict[int, int] = {}
+        # Vectorized slab packing (see device_view): compute each member's
+        # flat slot row*pad + within-cluster position, one fancy-index store.
+        lens_l = np.array([len(self.postings[c][0]) for c in cids], np.int64)
+        offs_l = np.zeros(C + 1, np.int64)
+        np.cumsum(lens_l, out=offs_l[1:])
+        P = int(offs_l[-1])
+        lens[:C] = lens_l
+        valid[:C] = True
+        cent[:C, :d] = np.stack([self.centroids[c] for c in cids]) if cids else cent[:0, :d]
+        if P:
+            flat_ids_all = np.concatenate([self.postings[c][0] for c in cids])
+            flat_vecs_all = np.concatenate([self.postings[c][1] for c in cids])
+            row_of = np.repeat(np.arange(C, dtype=np.int64), lens_l)
+            within = np.arange(P, dtype=np.int64) - np.repeat(offs_l[:C], lens_l)
+            slots = row_of * pad + within
+            ids2d.reshape(-1)[slots] = flat_ids_all
+            vecs3d.reshape(-1, d_pad)[slots, :d] = flat_vecs_all
         for row, c in enumerate(cids):
-            ids, vecs = self.postings[c]
-            m = len(ids)
-            lens[row] = m
-            cent[row, :d] = self.centroids[c]
-            valid[row] = True
-            ids2d[row, :m] = ids
-            vecs3d[row, :m, :d] = vecs
             cluster_rows[c] = row
         sd = self.policy.storage_dtype
         all_ids = np.concatenate([self.postings[c][0] for c in cids]) if cids else np.empty(0, np.int64)
@@ -507,6 +518,9 @@ class SpannIndex:
             view = self.padded_view()
             nprobe = max(1, min(int(nprobe), int(view.centroids.shape[0])))
             interpret = jax.devices()[0].platform != "tpu"
+            # The scalar-prefetched row table lives in SMEM (1 MB) and pads
+            # its last dim to 128 lanes: Q * 128 * 4B must fit with headroom.
+            bs = min(bs, 1024 * max(1, 128 // max(nprobe, 128)))
             qpad = np.zeros((queries.shape[0], view.d_pad), np.float32)
             qpad[:, : self.dim] = queries
             for s in range(0, queries.shape[0], bs):

@@ -256,6 +256,42 @@ class SpFreshIndex:
             if vectors and len(candidates) > 1:
                 self.protocol.schedule_maintenance(Reassign(vectors, candidates))
 
+    # -- maintenance / repair ----------------------------------------------
+
+    def repair(self) -> int:
+        """Re-run maintenance on partitions stuck in NEEDS_MAINTENANCE.
+
+        The reference marks failed partitions and stops there (SURVEY.md
+        section 5, "Failure detection": a soft flag with no repair loop).
+        Here the repair pass re-checks each flagged partition against the
+        split/merge thresholds and re-schedules the appropriate op; healthy
+        partitions are simply cleared back to READY.  Returns the number of
+        partitions inspected."""
+        from spfresh_tpu.lire.operations import Merge, Split
+        from spfresh_tpu.lire.pipeline import PartitionStatus
+
+        with self.pipeline._status_lock:
+            flagged = [
+                pid
+                for pid, st in self.pipeline._status.items()
+                if st == PartitionStatus.NEEDS_MAINTENANCE
+            ]
+        for pid in flagged:
+            if not self.storage.has_posting(pid):
+                self.pipeline._set_status(pid, PartitionStatus.READY)
+                continue
+            if self.protocol.needs_split(pid):
+                self.protocol.schedule_maintenance(Split(pid))
+            elif self.protocol.needs_merge(pid):
+                target = self.protocol._nearest_other_partition(pid)
+                if target is not None:
+                    self.protocol.schedule_maintenance(Merge(pid, target))
+                else:
+                    self.pipeline._set_status(pid, PartitionStatus.READY)
+            else:
+                self.pipeline._set_status(pid, PartitionStatus.READY)
+        return len(flagged)
+
     # -- lifecycle ---------------------------------------------------------
 
     def flush(self) -> None:

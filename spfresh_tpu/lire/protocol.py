@@ -101,41 +101,73 @@ class LireProtocol:
 
     def schedule_maintenance(self, op) -> bool:
         """Submit an op to the background stage; returns False when no
-        pipeline is attached (fire-and-forget callers can check)."""
+        pipeline is attached or an op on the same partition is already in
+        flight (every insert past the threshold would otherwise enqueue a
+        duplicate Split that fails once the first one retires the posting)."""
         if self.pipeline is None or not self.pipeline.is_running:
             log.debug("no running pipeline; %s not scheduled", type(op).__name__)
             return False
+        from spfresh_tpu.lire.pipeline import PartitionStatus
+
+        for pid in op.get_affected_partitions():
+            if self.pipeline.get_partition_status(pid) == PartitionStatus.PROCESSING:
+                return False
         self.pipeline.submit_task(op)
         return True
 
     # -- partition lookup (protocol.rs:121-136) ----------------------------
 
+    def _live_centroids(self, exclude: Optional[int] = None):
+        """Snapshot (pids, centroid matrix), tolerant of postings retired by
+        concurrent background splits/merges between listing and reading."""
+        from spfresh_tpu.lire.storage import LireStorageError
+
+        pids, cents = [], []
+        for p in self.storage.posting_ids():
+            if p == exclude:
+                continue
+            try:
+                cents.append(self.storage.get_posting_centroid(p))
+            except LireStorageError:
+                continue  # retired mid-snapshot
+            pids.append(p)
+        if not pids:
+            return [], None
+        return pids, np.stack(cents)
+
     def find_nearest_partition(self, vector: np.ndarray) -> Optional[int]:
-        pids = self.storage.posting_ids()
+        pids, cents = self._live_centroids()
         if not pids:
             return None
-        cents = np.stack([self.storage.get_posting_centroid(p) for p in pids])
         d = _dist(self.metric, cents, np.asarray(vector, np.float32)[None, :])
         return pids[int(np.argmin(d))]
 
     def _nearest_other_partition(self, posting_id: int) -> Optional[int]:
-        pids = [p for p in self.storage.posting_ids() if p != posting_id]
+        from spfresh_tpu.lire.storage import LireStorageError
+
+        pids, cents = self._live_centroids(exclude=posting_id)
         if not pids:
             return None
-        me = self.storage.get_posting_centroid(posting_id)
-        cents = np.stack([self.storage.get_posting_centroid(p) for p in pids])
+        try:
+            me = self.storage.get_posting_centroid(posting_id)
+        except LireStorageError:
+            return None
         d = _dist(self.metric, cents, me[None, :])
         return pids[int(np.argmin(d))]
 
     def get_nearby_postings(self, posting_id: int, count: Optional[int] = None) -> List[int]:
         """K nearest postings by centroid distance (real impl of the stub at
         protocol.rs:139-143) — the Reassign candidate set after split/merge."""
+        from spfresh_tpu.lire.storage import LireStorageError
+
         count = count or self.config.nearby_posting_count
-        pids = [p for p in self.storage.posting_ids() if p != posting_id]
-        if not pids or not self.storage.has_posting(posting_id):
+        pids, cents = self._live_centroids(exclude=posting_id)
+        if not pids:
             return []
-        me = self.storage.get_posting_centroid(posting_id)
-        cents = np.stack([self.storage.get_posting_centroid(p) for p in pids])
+        try:
+            me = self.storage.get_posting_centroid(posting_id)
+        except LireStorageError:
+            return []
         d = _dist(self.metric, cents, me[None, :])
         order = np.argsort(d, kind="stable")[:count]
         return [pids[int(i)] for i in order]
