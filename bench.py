@@ -32,6 +32,12 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+def _timed(fn):
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--small", action="store_true", help="smoke test scale")
@@ -90,7 +96,7 @@ def main():
     )
     t0 = time.perf_counter()
     index = SpannIndexBuilder(cfg).with_data(data).build(save=False)
-    index.device_view()
+    index.padded_view()  # materialize the search-engine view inside the clock
     build_s = time.perf_counter() - t0
     log(
         f"build: {build_s:.1f}s  clusters={index.num_clusters} "
@@ -105,9 +111,10 @@ def main():
         if nprobe > index.num_clusters:
             break
         ids, _ = index.search(queries, args.k, nprobe=nprobe)  # warm (compile)
-        t0 = time.perf_counter()
-        ids, _ = index.search(queries, args.k, nprobe=nprobe)
-        dt = time.perf_counter() - t0
+        dt = min(
+            _timed(lambda: index.search(queries, args.k, nprobe=nprobe))
+            for _ in range(3)  # best-of-3: the device tunnel adds ±40% jitter
+        )
         rec = recall_at_k(ids, gt_i, args.k)
         qps = nq / dt
         log(f"nprobe={nprobe:4d} recall@{args.k}={rec:.4f} qps={qps:,.0f}")
@@ -126,10 +133,12 @@ def main():
     else:
         nprobe, rec, qps = best
 
-    # Steady-state QPS: rerun the winning config on a warm cache.
-    t0 = time.perf_counter()
-    index.search(queries, args.k, nprobe=nprobe)
-    qps = nq / (time.perf_counter() - t0)
+    # Steady-state QPS: best of 3 on a warm cache (tunnel jitter).
+    if qps > 0:
+        qps = nq / min(
+            _timed(lambda: index.search(queries, args.k, nprobe=nprobe))
+            for _ in range(3)
+        )
     log(f"RESULT nprobe={nprobe} recall={rec:.4f} qps={qps:,.0f} build={build_s:.1f}s")
 
     print(

@@ -55,7 +55,9 @@ class SpannIndexBuilder:
 
         index = SpannIndex(self.config)
         index.create_posting_lists(hc.clusters, self.data)
-        index.device_view()  # materialize the centroid index (build_kdtree parity)
+        # The device view (centroid index, build_kdtree parity) materializes
+        # lazily on first search, in the layout the search engine needs —
+        # eagerly building both CSR and slab views would double the upload.
         if save:
             index.save(self.config.output_path)
         return index

@@ -7,6 +7,9 @@ from spfresh_tpu.lire.operations import (
     LireContext,
     LireOperationError,
     Merge,
+    MergeError,
+    ReassignError,
+    SplitError,
     OperationResult,
     PartitionOperation,
     Reassign,
@@ -29,6 +32,7 @@ __all__ = [
     "LireStorage",
     "LireStorageError",
     "Merge",
+    "MergeError",
     "OperationResult",
     "PartitionOperation",
     "PartitionStatus",
@@ -37,6 +41,8 @@ __all__ = [
     "Reassign",
     "SpFreshIndex",
     "Split",
+    "SplitError",
+    "ReassignError",
     "TaskOutcome",
     "TwoStagePipeline",
     "UpdateResult",

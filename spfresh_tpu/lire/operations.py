@@ -38,6 +38,18 @@ class LireOperationError(Exception):
     """Split/Merge/Reassign failure (LireError parity, lire/mod.rs:19-30)."""
 
 
+class SplitError(LireOperationError):
+    """LireError::Split parity."""
+
+
+class MergeError(LireOperationError):
+    """LireError::Merge parity."""
+
+
+class ReassignError(LireOperationError):
+    """LireError::Reassign parity."""
+
+
 @dataclasses.dataclass
 class LireContext:
     """Execution context handed to operations by the pipeline.
@@ -105,9 +117,9 @@ class Split(PartitionOperation):
 
     def validate(self, ctx: LireContext) -> None:
         if not ctx.storage.has_posting(self.posting_id):
-            raise LireOperationError(f"split: posting {self.posting_id} does not exist")
+            raise SplitError(f"split: posting {self.posting_id} does not exist")
         if ctx.storage.get_vector_count(self.posting_id) < 2:
-            raise LireOperationError("split: need at least 2 vectors")
+            raise SplitError("split: need at least 2 vectors")
 
     def execute(self, ctx: LireContext) -> OperationResult:
         self.validate(ctx)
@@ -116,7 +128,7 @@ class Split(PartitionOperation):
             version = ctx.storage.get_posting_version(self.posting_id)
             ids, vecs, vers = ctx.storage.get_posting(self.posting_id)
             if len(ids) < 2:
-                raise LireOperationError("split: posting shrank below 2 vectors")
+                raise SplitError("split: posting shrank below 2 vectors")
             # Seeds: first + farthest (operations.rs:33-58).
             c1 = vecs[0]
             d1 = _dist(metric, vecs, c1[None, :])
@@ -148,7 +160,7 @@ class Split(PartitionOperation):
                     retired_postings=[self.posting_id],
                 )
             # A concurrent insert advanced the version: retry on fresh data.
-        raise LireOperationError(
+        raise SplitError(
             f"split: posting {self.posting_id} kept changing; giving up after {self.max_retries} retries"
         )
 
@@ -164,10 +176,10 @@ class Merge(PartitionOperation):
 
     def validate(self, ctx: LireContext) -> None:
         if self.posting_id == self.target_id:
-            raise LireOperationError("merge: cannot merge a posting with itself")
+            raise MergeError("merge: cannot merge a posting with itself")
         for pid in (self.posting_id, self.target_id):
             if not ctx.storage.has_posting(pid):
-                raise LireOperationError(f"merge: posting {pid} does not exist")
+                raise MergeError(f"merge: posting {pid} does not exist")
 
     def execute(self, ctx: LireContext) -> OperationResult:
         self.validate(ctx)
@@ -212,7 +224,7 @@ class Merge(PartitionOperation):
                     new_postings=[pid],
                     retired_postings=[self.posting_id, self.target_id],
                 )
-        raise LireOperationError(
+        raise MergeError(
             f"merge: postings {self.posting_id},{self.target_id} kept changing"
         )
 
@@ -235,7 +247,7 @@ class Reassign(PartitionOperation):
 
     def validate(self, ctx: LireContext) -> None:
         if not self.candidate_postings:
-            raise LireOperationError("reassign: no candidate postings")
+            raise ReassignError("reassign: no candidate postings")
 
     def execute(self, ctx: LireContext) -> OperationResult:
         self.validate(ctx)
@@ -244,7 +256,7 @@ class Reassign(PartitionOperation):
             p for p in self.candidate_postings if ctx.storage.has_posting(p)
         ]
         if not cands:
-            raise LireOperationError("reassign: no live candidate postings")
+            raise ReassignError("reassign: no live candidate postings")
         cents = np.stack([ctx.storage.get_posting_centroid(p) for p in cands])
         moved = 0
         touched: set[int] = set()
