@@ -28,7 +28,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from spfresh_tpu.core.dtypes import ACCUM_DTYPE
 from spfresh_tpu.index.config import Config
 from spfresh_tpu.index.posting_store import read_packed_postings
 from spfresh_tpu.index.spann import CENTROIDS_FILE, MANIFEST, PACKED_FILE, _round_up

@@ -25,7 +25,7 @@ are bounded by max_partition_size so host<->device traffic is small.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Tuple
 
 import numpy as np
 

@@ -17,7 +17,6 @@ from typing import List, Optional
 import numpy as np
 
 from spfresh_tpu.lire.operations import (
-    LireContext,
     Merge,
     Reassign,
     Split,

@@ -26,7 +26,7 @@ import dataclasses
 import os
 import struct
 import threading
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 

@@ -11,8 +11,7 @@ collectives over ICI.  This is the multi-chip path exercised by
 
 from __future__ import annotations
 
-import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

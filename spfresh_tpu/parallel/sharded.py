@@ -24,9 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from spfresh_tpu.core.dtypes import ACCUM_DTYPE
 from spfresh_tpu.index.spann import SpannIndex, _max_multiplicity, _round_up
-from spfresh_tpu.ops.distances import canonical_metric, pairwise_distance, rowwise_distance
+from spfresh_tpu.ops.distances import pairwise_distance, rowwise_distance
 from spfresh_tpu.ops.topk import smallest_k, smallest_k_unique
 
 _F32_EPS = float(np.finfo(np.float32).eps)
