@@ -132,3 +132,39 @@ def test_storage_reopen_preserves_updates(tmp_path):
         all_live |= set(ids.tolist())
     assert 31337 in all_live
     assert 3 not in all_live
+
+
+def test_repair_clears_flags(tmp_path):
+    from spfresh_tpu.lire import Split
+    from spfresh_tpu.lire.pipeline import PartitionStatus
+
+    fresh, data, rng = build_fresh(tmp_path)
+    with fresh:
+        # Force a failure: split a nonexistent posting.
+        fresh.pipeline.submit_task(Split(99999))
+        fresh.pipeline.drain()
+        assert fresh.pipeline.get_partition_status(99999) == PartitionStatus.NEEDS_MAINTENANCE
+        inspected = fresh.repair()
+        fresh.flush()
+        assert inspected >= 1
+        assert fresh.pipeline.get_partition_status(99999) == PartitionStatus.READY
+
+
+def test_typed_lire_errors(tmp_path):
+    from spfresh_tpu.lire import (
+        LireOperationError,
+        Merge,
+        MergeError,
+        Split,
+        SplitError,
+    )
+    from spfresh_tpu.lire.operations import LireContext
+    from spfresh_tpu.lire import LireStorage
+
+    storage = LireStorage(str(tmp_path / "l"), 2)
+    ctx = LireContext(storage=storage, alloc_posting_id=lambda: 1)
+    with pytest.raises(SplitError):
+        Split(0).validate(ctx)
+    with pytest.raises(MergeError):
+        Merge(0, 0).validate(ctx)
+    assert issubclass(SplitError, LireOperationError)
