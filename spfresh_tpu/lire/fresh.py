@@ -139,18 +139,32 @@ class SpFreshIndex:
         return res.version
 
     def insert_batch(self, vectors: np.ndarray, vector_ids) -> List[int]:
-        """Batched insert: one centroid scan on device for the whole batch."""
+        """Batched insert: one device centroid scan for the whole batch, one
+        storage append per destination posting (not per vector)."""
+        from spfresh_tpu.lire.operations import Split
+
         vectors = np.asarray(vectors, np.float32)
+        vector_ids = np.asarray(vector_ids, np.int64)
         nearest, _ = self._nearest_postings(vectors)
-        versions = []
+        versions = np.zeros(len(vector_ids), np.int64)
+        order = np.argsort(nearest, kind="stable")
+        bounds = np.searchsorted(nearest[order], np.unique(nearest))
         touched: Set[int] = set()
-        for v, vid, pid in zip(vectors, vector_ids, nearest):
-            r = self.protocol.insert(v, int(vid), posting_id=int(pid))
-            versions.append(r.version)
-            touched.add(int(pid))
-            self._id_map.setdefault(int(vid), set()).add(int(pid))
+        groups = np.split(order, bounds[1:]) if len(bounds) else []
+        for grp in groups:
+            if len(grp) == 0:
+                continue
+            pid = int(nearest[grp[0]])
+            vs = self.storage.store_vectors(pid, vector_ids[grp], vectors[grp])
+            versions[grp] = vs
+            touched.add(pid)
+            with self._lock:
+                for vid in vector_ids[grp]:
+                    self._id_map.setdefault(int(vid), set()).add(pid)
+            if self.protocol.needs_split(pid):
+                self.protocol.schedule_maintenance(Split(pid))
         self._sync_mirror(touched)
-        return versions
+        return versions.tolist()
 
     def delete(self, vector_id: int, posting_id: Optional[int] = None) -> List[int]:
         """Tombstone a vector everywhere it lives (boundary replicas

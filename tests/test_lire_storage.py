@@ -164,3 +164,20 @@ def test_import_posting_bulk(tmp_path):
     got_ids, got_vecs, _ = s2.get_posting(5)
     np.testing.assert_array_equal(got_ids, ids)
     np.testing.assert_allclose(got_vecs, vecs)
+
+
+def test_store_vectors_batch(tmp_path):
+    s = make_storage(tmp_path)
+    ids = np.arange(50, dtype=np.int64)
+    vecs = np.random.default_rng(1).standard_normal((50, 4)).astype(np.float32)
+    versions = s.store_vectors(3, ids, vecs)
+    assert len(versions) == 50
+    assert len(set(versions)) == 50
+    assert s.get_vector_count(3) == 50
+    # Mixed with single stores, versions stay monotonic; reload preserves all.
+    v_next = s.store_vector(3, 99, np.ones(4))
+    assert v_next > max(versions)
+    s2 = make_storage(tmp_path)
+    got_ids, got_vecs, _ = s2.get_posting(3)
+    assert len(got_ids) == 51
+    np.testing.assert_allclose(got_vecs[:50], vecs)
