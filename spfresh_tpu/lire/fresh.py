@@ -215,20 +215,29 @@ class SpFreshIndex:
             return self.index.search(queries, k, **kw)
 
     def _nearest_postings(self, vectors: np.ndarray):
-        with self._lock:
-            view = self.index.device_view()
-            row_to_pid = {r: p for p, r in view.cluster_rows.items()}
+        """Route vectors to their nearest posting using a centroid-only device
+        cache — rebuilding the full posting view per insert batch would
+        re-upload hundreds of MB just to read a few-MB centroid matrix."""
         from spfresh_tpu.ops.distances import pairwise_distance
         import jax.numpy as jnp
 
-        D = np.asarray(
-            pairwise_distance(
-                jnp.asarray(vectors), view.centroids, self.index.metric
-            )
-        )
-        D = np.where(np.asarray(view.cent_valid)[None, :], D, np.inf)
+        with self._lock:
+            gen = self.index._gen
+            cache = getattr(self, "_centroid_cache", None)
+            if cache is None or cache[0] != gen:
+                pids = sorted(self.index.centroids)
+                mat = jnp.asarray(
+                    np.stack([self.index.centroids[p] for p in pids])
+                )
+                cache = (gen, pids, mat)
+                self._centroid_cache = cache
+        _, pids, mat = cache
+        D = np.asarray(pairwise_distance(jnp.asarray(vectors), mat, self.index.metric))
         rows = np.argmin(D, axis=1)
-        return np.array([row_to_pid[int(r)] for r in rows]), D[np.arange(len(rows)), rows]
+        return (
+            np.array([pids[int(r)] for r in rows]),
+            D[np.arange(len(rows)), rows],
+        )
 
     # -- background maintenance hooks --------------------------------------
 
