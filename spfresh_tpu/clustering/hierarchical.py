@@ -185,17 +185,20 @@ def _kmeanspp_init(key, X, k: int, metric: str):
 
 
 @functools.partial(jax.jit, static_argnames=("metric", "n_extra"))
-def _final_replica_pass(X_tile, base_tile, cents, cc, metric: str, boundary_threshold, n_extra: int):
+def _final_replica_pass(X_tile, base_tile, cents, metric: str, boundary_threshold, n_extra: int):
     """Global closure pass (``replication='final'``): for each point, the
     n_extra nearest non-base clusters j with
     dist(p, c_j) < bt * dist(p, c_base) AND dist(c_base, c_j) >= dist(p, c_j)
     (the reference's closure rule, hierarchical.rs:328-346, applied once
-    against the full centroid set).  Returns (idx (t, n_extra), valid)."""
+    against the full centroid set).  The centroid-centroid rows are computed
+    per tile — a full (C, C) matrix is 16 GB at 5M-scale cluster counts.
+    Returns (idx (t, n_extra), distances)."""
     D = pairwise_distance(X_tile, cents, metric)  # (t, C)
     db = jnp.take_along_axis(D, base_tile[:, None], axis=1)[:, 0]
     bt = boundary_threshold.astype(ACCUM_DTYPE)
     onehot = jax.nn.one_hot(base_tile, D.shape[1], dtype=bool)
-    eligible = (D < (bt * db)[:, None]) & (cc[base_tile] >= D) & ~onehot
+    cc_base = pairwise_distance(cents[base_tile], cents, metric)  # (t, C)
+    eligible = (D < (bt * db)[:, None]) & (cc_base >= D) & ~onehot
     Dm = jnp.where(eligible, D, jnp.inf)
     vals, idx = jax.lax.top_k(-Dm, n_extra)
     return idx, -vals
@@ -381,9 +384,9 @@ class HierarchicalClustering:
         for ci, c in enumerate(self.clusters):
             base[c.points] = ci
         cents = self.centroid_vectors()
-        cc = pairwise_distance(cents, cents, self.params.metric)
-        # Tile size balances the (tile, C) distance matrix (<= ~512 MB) against
-        # per-dispatch overhead — hundreds of tiny tiles were dispatch-bound.
+        # Tile size balances the two (tile, C) distance matrices (<= ~512 MB
+        # each) against per-dispatch overhead — hundreds of tiny tiles were
+        # dispatch-bound.
         tile = max(256, min(n, (1 << 27) // max(1, len(self.clusters))))
         extra_pts: List[np.ndarray] = []
         extra_cls: List[np.ndarray] = []
@@ -394,7 +397,6 @@ class HierarchicalClustering:
                 self.data[s : s + tile],
                 jnp.asarray(base[s : s + tile], jnp.int32),
                 cents,
-                cc,
                 self.params.metric,
                 bt,
                 n_extra,

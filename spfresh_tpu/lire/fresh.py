@@ -52,6 +52,7 @@ class SpFreshIndex:
         self.reassign_after_split = reassign_after_split
         self.reassign_nearby = reassign_nearby
         self._lock = threading.RLock()
+        self._centroid_cache = None  # (gen, pids, device matrix) for routing
         self.storage = LireStorage(storage_path, index.dim)
 
         # Import existing postings into storage (fresh storage only).
@@ -223,7 +224,7 @@ class SpFreshIndex:
 
         with self._lock:
             gen = self.index._gen
-            cache = getattr(self, "_centroid_cache", None)
+            cache = self._centroid_cache
             if cache is None or cache[0] != gen:
                 pids = sorted(self.index.centroids)
                 mat = jnp.asarray(

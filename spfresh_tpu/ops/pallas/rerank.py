@@ -31,9 +31,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from spfresh_tpu.ops.distances import CHEBYSHEV, EUCLIDEAN, MANHATTAN
 
-_PB = 8  # probed slabs per grid step (output sublane tile)
-
-
 def _on_tpu() -> bool:
     try:
         return jax.devices()[0].platform == "tpu"
