@@ -43,12 +43,12 @@ def main():
     ap.add_argument("--small", action="store_true", help="smoke test scale")
     ap.add_argument("--n", type=int, default=None)
     ap.add_argument("--dim", type=int, default=128)
-    ap.add_argument("--nq", type=int, default=1000)
+    ap.add_argument("--nq", type=int, default=4096)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--cluster-size", type=int, default=256)
     ap.add_argument("--initial-k", type=int, default=16)
     ap.add_argument("--target-recall", type=float, default=0.90)
-    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--metric", default="Euclidean",
                     help="Euclidean | Manhattan | Chebyshev (GIST-style stress: --metric Manhattan --dim 960)")
     args = ap.parse_args()

@@ -25,7 +25,7 @@ from spfresh_tpu.ops.distances import canonical_metric
 class SearchConfig:
     nprobe: Optional[int] = None  # None -> nprobe = k (reference behavior)
     prune_factor: Optional[float] = None  # e.g. 1.2 for reference-style pruning
-    query_batch_size: int = 1024
+    query_batch_size: int = 4096
     engine: str = "auto"  # "pallas" | "xla" | "auto" (pallas on TPU)
 
     def validate(self) -> None:
@@ -76,7 +76,7 @@ class Config:
             search=SearchConfig(
                 nprobe=sc.get("nprobe"),
                 prune_factor=sc.get("prune_factor"),
-                query_batch_size=int(sc.get("query_batch_size", 1024)),
+                query_batch_size=int(sc.get("query_batch_size", 4096)),
                 engine=sc.get("engine", "auto"),
             ),
         )

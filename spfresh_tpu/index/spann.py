@@ -534,9 +534,9 @@ class SpannIndex:
             view = self.padded_view()
             nprobe = max(1, min(int(nprobe), int(view.centroids.shape[0])))
             interpret = jax.devices()[0].platform != "tpu"
-            # The scalar-prefetched row table lives in SMEM (1 MB) and pads
-            # its last dim to 128 lanes: Q * 128 * 4B must fit with headroom.
-            bs = min(bs, 1024 * max(1, 128 // max(nprobe, 128)))
+            # The 1-D scalar-prefetched row table lives in SMEM (1 MB):
+            # Q * nprobe * 4B must fit with headroom.
+            bs = min(bs, max(256, (1 << 19) // max(1, nprobe)))
             qpad = np.zeros((queries.shape[0], view.d_pad), np.float32)
             qpad[:, : self.dim] = queries
             for s in range(0, queries.shape[0], bs):

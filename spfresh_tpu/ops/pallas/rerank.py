@@ -51,7 +51,9 @@ def _make_kernel(metric: str, nprobe: int):
         q = pl.program_id(0)
 
         def get_dma(slot, j):
-            row = rows_ref[q, j]
+            # rows_ref is 1-D (Q * nprobe,): a 2-D SMEM table pads its last
+            # dim to 128 lanes, which overflows the 1 MB SMEM at large Q.
+            row = rows_ref[q * nprobe + j]
             return pltpu.make_async_copy(v_hbm.at[row], slab.at[slot], sems.at[slot])
 
         get_dma(0, 0).start()
@@ -135,4 +137,4 @@ def padded_rerank_distances(
             bytes_accessed=Q * nprobe * pad * d * vectors3d.dtype.itemsize,
             transcendentals=0,
         ),
-    )(rows.astype(jnp.int32), queries, vectors3d)
+    )(rows.astype(jnp.int32).reshape(-1), queries, vectors3d)
