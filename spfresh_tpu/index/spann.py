@@ -263,6 +263,7 @@ def brute_force_search(
     the broadcast intermediates bounded."""
     metric = canonical_metric(metric)
     corpus = jnp.asarray(corpus)
+    k = min(int(k), int(corpus.shape[0]))
     out_d, out_i = [], []
     queries = np.asarray(queries)
     # The fully-elementwise exact form broadcasts (tile, n, d) — past ~10k

@@ -45,7 +45,16 @@ def smallest_k_unique(dists: jnp.ndarray, ids: jnp.ndarray, k: int, max_dup: int
     """
     n = dists.shape[-1]
     if k > n:
-        raise ValueError(f"k={k} exceeds candidate count {n}")
+        # Fewer candidates than requested: pad with inf/-1 so callers get a
+        # full-width result with -1 marking the empty slots.
+        pad = k - n
+        dists = jnp.concatenate(
+            [dists, jnp.full((*dists.shape[:-1], pad), jnp.inf, dists.dtype)], axis=-1
+        )
+        ids = jnp.concatenate(
+            [ids, jnp.full((*ids.shape[:-1], pad), -1, ids.dtype)], axis=-1
+        )
+        n = k
     kk = min(max(k * max(1, max_dup), k), n)
     neg, idx = jax.lax.top_k(-dists, kk)
     cand_ids = jnp.take_along_axis(ids, idx, axis=-1)
