@@ -49,6 +49,8 @@ def main():
     ap.add_argument("--initial-k", type=int, default=16)
     ap.add_argument("--target-recall", type=float, default=0.90)
     ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--storage-dtype", default="float32",
+                    help="float32 | bfloat16 (halves HBM footprint + slab traffic)")
     ap.add_argument("--metric", default="Euclidean",
                     help="Euclidean | Manhattan | Chebyshev (GIST-style stress: --metric Manhattan --dim 960)")
     args = ap.parse_args()
@@ -91,6 +93,7 @@ def main():
                 "rng_seed": 42,
             },
             "output_path": "/tmp/spann_bench_idx",
+            "storage_dtype": args.storage_dtype,
             "search": {"query_batch_size": args.batch},
         }
     )
