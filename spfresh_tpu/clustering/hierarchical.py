@@ -452,34 +452,33 @@ class HierarchicalClustering:
                 break
             level += 1
             members = [self.clusters[i].points for i in oversized]
+            nm = len(members)
             lens = np.array([len(m) for m in members])
-            bounds = np.zeros(len(members) + 1, np.int64)
+            bounds = np.zeros(nm + 1, np.int64)
             np.cumsum(lens, out=bounds[1:])
             P = int(bounds[-1])
             Ppad = next_pow2(P)
-            S = next_pow2(len(members))  # pad segments too: bounds compile count
+            S = next_pow2(nm)  # pad segments too: bounds compile count
             point_list = np.zeros(Ppad, np.int32)
             cluster_of = np.zeros(Ppad, np.int32)
             valid = np.zeros(Ppad, bool)
-            point_list[:P] = np.concatenate(members)
+            flat_members = np.concatenate(members)
+            point_list[:P] = flat_members
             valid[:P] = True
-            for r in range(len(members)):
-                cluster_of[bounds[r] : bounds[r + 1]] = r
+            cluster_of[:P] = np.repeat(np.arange(nm, dtype=np.int32), lens)
             # Random member as seed 1 per cluster (points.choose,
             # hierarchical.rs:110); uniform positions drawn on device for
             # rng_seed determinism.
             offs = np.asarray(
                 jax.random.randint(
                     jax.random.fold_in(self._key, 1000 + level),
-                    (len(members),),
+                    (nm,),
                     0,
                     jnp.asarray(np.maximum(lens, 1)),
                 )
             )
             c1_idx = np.zeros(S, np.int32)
-            c1_idx[: len(members)] = np.array(
-                [members[r][offs[r]] for r in range(len(members))], np.int64
-            )
+            c1_idx[:nm] = flat_members[bounds[:-1] + offs]
             m1, m2, c2_idx, degenerate, d1 = _split_level_flat(
                 self.data,
                 jnp.asarray(point_list),
@@ -491,26 +490,35 @@ class HierarchicalClustering:
                 closure=closure,
                 num_segments=S,
             )
-            m1 = np.asarray(m1)
-            m2 = np.asarray(m2)
+            m1 = np.asarray(m1)[:P]
+            m2 = np.asarray(m2)[:P]
             c2_idx = np.asarray(c2_idx)
             degenerate = np.asarray(degenerate)
-            d1 = np.asarray(d1)
+            # d1 is only consumed by the balanced fallback for degenerate
+            # clusters (rare); skip the (P,) f32 device->host pull otherwise.
+            d1 = np.asarray(d1) if degenerate[: len(members)].any() else None
+            # Vectorized child building: per-cluster boolean slicing costs
+            # seconds of host time at thousands of clusters per level; one
+            # global mask-select + reduceat/split is C-speed.
+            cnt1 = np.add.reduceat(m1.astype(np.int64), bounds[:-1])
+            cnt2 = np.add.reduceat(m2.astype(np.int64), bounds[:-1])
+            parts1 = np.split(flat_members[m1], np.cumsum(cnt1)[:-1])
+            parts2 = np.split(flat_members[m2], np.cumsum(cnt2)[:-1])
             new_tail: List[Cluster] = []
             for r, ci in enumerate(oversized):
                 depth = self.clusters[ci].depth + 1
-                lo, hi = int(bounds[r]), int(bounds[r + 1])
-                mem = members[r]
                 if degenerate[r]:
                     # Exact balanced median split by distance to seed 1
                     # (guaranteed progress on duplicate-heavy clusters).
+                    lo, hi = int(bounds[r]), int(bounds[r + 1])
+                    mem = members[r]
                     order = np.argsort(d1[lo:hi], kind="stable")
                     half = (len(mem) + 1) // 2
                     sel = np.zeros(len(mem), bool)
                     sel[order[:half]] = True
                     pts1, pts2 = mem[sel], mem[~sel]
                 else:
-                    pts1, pts2 = mem[m1[lo:hi]], mem[m2[lo:hi]]
+                    pts1, pts2 = parts1[r], parts2[r]
                 self.clusters[ci] = Cluster(int(c1_idx[r]), pts1, depth)
                 new_tail.append(Cluster(int(c2_idx[r]), pts2, depth))
             self.clusters.extend(new_tail)
