@@ -44,7 +44,10 @@ def sharded_cluster_step(
     if n % nshards != 0:
         raise ValueError(f"n={n} must divide evenly over {nshards} shards (pad first)")
 
-    bt = jnp.float32(boundary_threshold)
+    # numpy scalar: a jnp scalar here would be committed to the *default*
+    # backend at call time — this function must never touch it (the mesh may
+    # be a CPU mesh while the default backend is an unhealthy TPU).
+    bt = np.float32(boundary_threshold)
 
     def step(x_local, cents):
         shard_id = jax.lax.axis_index(axis)
@@ -78,17 +81,19 @@ def sharded_cluster_step(
         Dm = jnp.where(mask, Dm, jnp.inf)
         local_best_row = jnp.argmin(Dm, axis=0)  # (k,)
         local_best_d = jnp.min(Dm, axis=0)
-        global_rows = (row0 + local_best_row).astype(jnp.float32)
-        #
+        global_rows = (row0 + local_best_row).astype(jnp.int32)
 
-        # Lexicographic pmin: minimize distance, break ties by row id.
-        packed = jnp.stack([local_best_d, global_rows], axis=0)  # (2, k)
-        all_packed = jax.lax.all_gather(packed, axis)  # (S, 2, k)
-        dists_all = all_packed[:, 0, :]
-        rows_all = all_packed[:, 1, :]
-        winner = jnp.argmin(dists_all + rows_all * 1e-12, axis=0)  # (k,)
-        best_rows = jnp.take_along_axis(rows_all, winner[None, :], axis=0)[0]
-        best_rows = best_rows.astype(jnp.int32)
+        # Lexicographic global argmin: gather distances and int32 row ids as
+        # SEPARATE arrays (packing rows into f32 loses integer precision past
+        # 2^24 rows), take the min distance, then the smallest row id among
+        # the shards achieving it — an exact integer tie-break.
+        dists_all = jax.lax.all_gather(local_best_d, axis)  # (S, k) f32
+        rows_all = jax.lax.all_gather(global_rows, axis)  # (S, k) int32
+        min_d = jnp.min(dists_all, axis=0)  # (k,)
+        at_min = dists_all == min_d[None, :]
+        best_rows = jnp.min(
+            jnp.where(at_min, rows_all, jnp.iinfo(jnp.int32).max), axis=0
+        )  # (k,) int32
 
         # Gather the winning vectors: every shard contributes its rows (zeros
         # elsewhere) and a psum assembles the replicated centroid matrix.
@@ -110,10 +115,23 @@ def sharded_cluster_step(
     return fn(X, cent_vecs)
 
 
+def _host_array(x):
+    """Host staging that never touches the default jax backend.
+
+    ``jnp.asarray`` commits host data to the *default* device before any
+    re-placement — if that backend is unhealthy (e.g. a broken TPU tunnel
+    while virtualizing a CPU mesh) the transfer itself fails.  Committed jax
+    arrays pass through untouched; everything else stages via numpy.
+    """
+    if isinstance(x, jax.Array):
+        return x
+    return np.asarray(x)
+
+
 def replicate(mesh: Mesh, x) -> jax.Array:
-    return jax.device_put(jnp.asarray(x), NamedSharding(mesh, P()))
+    return jax.device_put(_host_array(x), NamedSharding(mesh, P()))
 
 
 def shard_rows(mesh: Mesh, x, axis: Optional[str] = None) -> jax.Array:
     axis = axis or mesh.axis_names[0]
-    return jax.device_put(jnp.asarray(x), NamedSharding(mesh, P(axis)))
+    return jax.device_put(_host_array(x), NamedSharding(mesh, P(axis)))

@@ -62,6 +62,7 @@ class ShardedSpannIndex:
         self.axis = self.mesh.axis_names[0]
         self.num_shards = self.mesh.devices.size
         self._view: Optional[ShardedView] = None
+        self._view_gen = -1  # index._gen at view build; stale views rebuild
 
     # -- sharded layout ----------------------------------------------------
 
@@ -104,24 +105,28 @@ class ShardedSpannIndex:
                 flat_vecs[s, pos : pos + m] = pvecs
                 pos += m
         spec = NamedSharding(self.mesh, P(self.axis))
+        # device_put straight from numpy: staging through jnp.asarray would
+        # commit each array to the *default* backend first — wrong placement,
+        # and a hard failure when virtualizing a CPU mesh over a broken TPU.
         sd = idx.policy.storage_dtype
         self._view = ShardedView(
-            centroids=jax.device_put(jnp.asarray(cent, sd), spec),
-            cent_valid=jax.device_put(jnp.asarray(valid), spec),
-            offsets=jax.device_put(jnp.asarray(offsets), spec),
-            lens=jax.device_put(jnp.asarray(lens), spec),
-            ids=jax.device_put(jnp.asarray(flat_ids), spec),
-            vectors=jax.device_put(jnp.asarray(flat_vecs, sd), spec),
+            centroids=jax.device_put(cent.astype(sd), spec),
+            cent_valid=jax.device_put(valid, spec),
+            offsets=jax.device_put(offsets, spec),
+            lens=jax.device_put(lens, spec),
+            ids=jax.device_put(flat_ids, spec),
+            vectors=jax.device_put(flat_vecs.astype(sd), spec),
             pad=pad,
             num_shards=S,
             max_dup=_max_multiplicity(
                 np.concatenate([idx.postings[c][0] for c in cids])
             ),
         )
+        self._view_gen = idx._gen
         return self._view
 
     def view(self) -> ShardedView:
-        if self._view is None:
+        if self._view is None or self._view_gen != self.index._gen:
             self._build_view()
         return self._view
 
@@ -180,10 +185,12 @@ class ShardedSpannIndex:
             view.centroids, view.cent_valid, view.offsets,
             view.lens, view.ids, view.vectors,
         )
+        qspec = NamedSharding(self.mesh, P())
         out_i, out_d = [], []
         for s in range(0, queries.shape[0], batch_size):
             qi, qd = self._sharded_search(
-                jnp.asarray(queries[s : s + batch_size]), arrays, int(k), nprobe
+                jax.device_put(queries[s : s + batch_size], qspec),
+                arrays, int(k), nprobe,
             )
             out_i.append(np.asarray(qi))
             out_d.append(np.asarray(qd))
