@@ -53,7 +53,10 @@ class SpFreshIndex:
         self.reassign_nearby = reassign_nearby
         self._lock = threading.RLock()
         self._centroid_cache = None  # (gen, pids, device matrix) for routing
-        self.storage = LireStorage(storage_path, index.dim)
+        # auto_create OFF: an insert racing a background split must NOT
+        # resurrect the retired posting as an unsearchable orphan — the
+        # protocol catches the storage error and re-routes (ADVICE r1).
+        self.storage = LireStorage(storage_path, index.dim, auto_create_postings=False)
 
         # Import existing postings into storage (fresh storage only).
         if not self.storage.posting_ids() and index.postings:
@@ -152,11 +155,26 @@ class SpFreshIndex:
         bounds = np.searchsorted(nearest[order], np.unique(nearest))
         touched: Set[int] = set()
         groups = np.split(order, bounds[1:]) if len(bounds) else []
+        from spfresh_tpu.lire.storage import LireStorageError
+
         for grp in groups:
             if len(grp) == 0:
                 continue
             pid = int(nearest[grp[0]])
-            vs = self.storage.store_vectors(pid, vector_ids[grp], vectors[grp])
+            try:
+                vs = self.storage.store_vectors(pid, vector_ids[grp], vectors[grp])
+            except LireStorageError:
+                # Routed-to posting retired by a concurrent background op:
+                # fall back to per-vector protocol inserts, which re-route
+                # each vector to its CURRENT nearest partition.
+                for j in grp:
+                    res = self.protocol.insert(vectors[j], int(vector_ids[j]))
+                    versions[j] = res.version
+                    touched.update(res.partitions_affected)
+                    with self._lock:
+                        for p in res.partitions_affected:
+                            self._id_map.setdefault(int(vector_ids[j]), set()).add(p)
+                continue
             versions[grp] = vs
             touched.add(pid)
             with self._lock:
@@ -187,16 +205,18 @@ class SpFreshIndex:
                 versions.append(res.version)
             except LireStorageError:
                 # Stale map entry: a background split/merge/reassign moved the
-                # vector after we read the map.  Find its current home.
+                # vector after we read the map.  The storage's reverse index
+                # knows its current homes — O(1), not a full-store scan.
                 found = False
-                for other in self.storage.posting_ids():
-                    ids_o, _, _ = self.storage.get_posting(other)
-                    if int(vector_id) in ids_o:
+                for other in self.storage.postings_of(int(vector_id)):
+                    try:
                         res = self.protocol.delete(int(vector_id), other)
-                        versions.append(res.version)
-                        pid = other
-                        found = True
-                        break
+                    except LireStorageError:
+                        continue
+                    versions.append(res.version)
+                    pid = other
+                    found = True
+                    break
                 if not found:
                     continue
             with self._lock:
@@ -291,7 +311,7 @@ class SpFreshIndex:
         split/merge thresholds and re-schedules the appropriate op; healthy
         partitions are simply cleared back to READY.  Returns the number of
         partitions inspected."""
-        from spfresh_tpu.lire.operations import Merge, Split
+        from spfresh_tpu.lire.operations import Split
         from spfresh_tpu.lire.pipeline import PartitionStatus
 
         with self.pipeline._status_lock:
@@ -307,9 +327,9 @@ class SpFreshIndex:
             if self.protocol.needs_split(pid):
                 self.protocol.schedule_maintenance(Split(pid))
             elif self.protocol.needs_merge(pid):
-                target = self.protocol._nearest_other_partition(pid)
-                if target is not None:
-                    self.protocol.schedule_maintenance(Merge(pid, target))
+                merge = self.protocol._plan_merge(pid)
+                if merge is not None:
+                    self.protocol.schedule_maintenance(merge)
                 else:
                     self.pipeline._set_status(pid, PartitionStatus.READY)
             else:

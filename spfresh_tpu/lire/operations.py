@@ -25,7 +25,7 @@ are bounded by max_partition_size so host<->device traffic is small.
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Dict, List, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -167,8 +167,13 @@ class Split(PartitionOperation):
 
 @dataclasses.dataclass
 class Merge(PartitionOperation):
+    """``max_size``: upper bound on the merged posting (the protocol passes
+    max_partition_size) — without it a merge can mint a posting that
+    immediately needs a split, ping-ponging with the split trigger."""
+
     posting_id: int
     target_id: int
+    max_size: Optional[int] = None
     max_retries: int = 5
 
     def get_affected_partitions(self) -> List[int]:
@@ -205,6 +210,11 @@ class Merge(PartitionOperation):
                     keep[int(vid)] = i
             sel = sorted(keep.values())
             ids, vecs = ids[sel], vecs[sel]
+            if self.max_size is not None and len(ids) > self.max_size:
+                raise MergeError(
+                    f"merge: {self.posting_id}+{self.target_id} would hold "
+                    f"{len(ids)} vectors > max {self.max_size}"
+                )
             if len(ids) == 0:
                 centroid = np.zeros(ctx.storage.dim, np.float32)
             else:
@@ -250,6 +260,16 @@ class Reassign(PartitionOperation):
             raise ReassignError("reassign: no candidate postings")
 
     def execute(self, ctx: LireContext) -> OperationResult:
+        """Batched: each source posting is snapshot once, destinations are
+        chosen in one vectorized argmin, and storage sees one append per
+        destination + one tombstone batch per source (the per-vector form
+        paid one file open+write per moved vector — thousands of tiny writes
+        on a 1-core host after a big split).
+
+        Ordering: the copy lands in the destination BEFORE the source
+        tombstone, so a crash or a concurrently-retired destination can
+        only leave a transient duplicate (handled by search dedup and merge's
+        newest-version-wins), never a lost vector."""
         self.validate(ctx)
         metric = ctx.metric
         cands = [
@@ -258,33 +278,61 @@ class Reassign(PartitionOperation):
         if not cands:
             raise ReassignError("reassign: no live candidate postings")
         cents = np.stack([ctx.storage.get_posting_centroid(p) for p in cands])
-        moved = 0
-        touched: set[int] = set()
+
+        by_src: Dict[int, List[Tuple[int, Optional[int]]]] = {}
         for vid, cur_pid, token in self.vectors:
-            if not ctx.storage.has_posting(cur_pid):
-                continue  # posting was split/merged away; its successor owns the vector now
+            by_src.setdefault(cur_pid, []).append((int(vid), token))
+
+        # Plan: (dst, vid, vec, src) for every vector that should move.
+        planned: List[Tuple[int, int, np.ndarray, int]] = []
+        for src, items in by_src.items():
+            if not ctx.storage.has_posting(src):
+                continue  # split/merged away; its successor owns the vectors
             try:
-                ids, vecs, vers = ctx.storage.get_posting(cur_pid)
+                ids, vecs, vers = ctx.storage.get_posting(src)
             except LireStorageError:
                 continue
-            where = np.flatnonzero(ids == vid)
-            if len(where) == 0:
-                continue  # moved or deleted since scheduling
-            i = int(where[0])
-            if token is not None and vers[i] != token:
-                continue  # optimistic-concurrency skip
-            v = vecs[i]
-            d = _dist(metric, cents, v[None, :])
-            best = cands[int(np.argmin(d))]
-            if best == cur_pid:
+            pos = {int(i): j for j, i in enumerate(ids)}
+            sel: List[Tuple[int, int]] = []
+            for vid, token in items:
+                j = pos.get(vid)
+                if j is None:
+                    continue  # moved or deleted since scheduling
+                if token is not None and vers[j] != token:
+                    continue  # optimistic-concurrency skip
+                sel.append((vid, j))
+            if not sel:
                 continue
+            V = vecs[[j for _, j in sel]]
+            D = _dist(metric, V[:, None, :], cents[None, :, :])  # (m, C)
+            best = np.argmin(D, axis=1)
+            for (vid, j), b in zip(sel, best):
+                dst = cands[int(b)]
+                if dst != src:
+                    planned.append((dst, vid, vecs[j], src))
+
+        # Commit: one store batch per destination, then one tombstone batch
+        # per source (only for vectors whose copy landed).
+        by_dst: Dict[int, List[int]] = {}
+        for i, (dst, _, _, _) in enumerate(planned):
+            by_dst.setdefault(dst, []).append(i)
+        moved = 0
+        del_by_src: Dict[int, List[int]] = {}
+        for dst, idxs in by_dst.items():
+            vids = [planned[i][1] for i in idxs]
+            V = np.stack([planned[i][2] for i in idxs])
             try:
-                ctx.storage.mark_deleted(cur_pid, vid)
-                ctx.storage.store_vector(best, vid, v)
+                ctx.storage.store_vectors(dst, vids, V)
             except LireStorageError:
-                continue
-            moved += 1
-            touched.update((cur_pid, best))
+                continue  # dst retired mid-op: leave the vectors at the source
+            moved += len(idxs)
+            for i in idxs:
+                del_by_src.setdefault(planned[i][3], []).append(planned[i][1])
+        for src, vids in del_by_src.items():
+            try:
+                ctx.storage.mark_deleted_batch(src, vids)
+            except LireStorageError:
+                pass  # src retired after the copies landed: duplicates only
         return OperationResult(
             vectors_moved=moved,
             new_postings=[],

@@ -66,12 +66,30 @@ class LireProtocol:
     # -- updates (protocol.rs:65-99) ---------------------------------------
 
     def insert(self, vector: np.ndarray, vector_id: int, posting_id: Optional[int] = None) -> UpdateResult:
+        from spfresh_tpu.lire.storage import LireStorageError
+
         vector = np.asarray(vector, np.float32).reshape(-1)
-        if posting_id is None:
-            posting_id = self.find_nearest_partition(vector)
+        routed = posting_id is None
+        for _ in range(8):
             if posting_id is None:
-                raise ValueError("no postings exist; build an index first")
-        version = self.storage.store_vector(posting_id, vector_id, vector)
+                posting_id = self.find_nearest_partition(vector)
+                if posting_id is None:
+                    raise ValueError("no postings exist; build an index first")
+            try:
+                version = self.storage.store_vector(posting_id, vector_id, vector)
+                break
+            except LireStorageError:
+                if not routed:
+                    raise
+                # The routed-to posting was retired by a concurrent background
+                # split/merge between routing and the append (storage refuses
+                # to resurrect it as an orphan) — re-route to the CURRENT
+                # nearest partition and retry.
+                posting_id = None
+        else:
+            raise LireStorageError(
+                "insert: nearest partition kept being retired; giving up"
+            )
         metrics.inc("lire.insert")
         if self.needs_split(posting_id):
             self.schedule_maintenance(Split(posting_id))
@@ -81,12 +99,25 @@ class LireProtocol:
         version = self.storage.mark_deleted(posting_id, vector_id)
         metrics.inc("lire.delete")
         if self.needs_merge(posting_id):
-            target = self._nearest_other_partition(posting_id)
-            if target is not None:
-                self.schedule_maintenance(Merge(posting_id, target))
+            merge = self._plan_merge(posting_id)
+            if merge is not None:
+                self.schedule_maintenance(merge)
         if self.storage.needs_garbage_collection(posting_id, self.config.gc_threshold):
             self.storage.collect_garbage(posting_id)
         return UpdateResult(0, [posting_id], version)
+
+    def _plan_merge(self, posting_id: int):
+        """Merge op for an undersized posting, or None.  The target is the
+        nearest partition that can absorb it without exceeding
+        max_partition_size (an unbounded merge would mint a posting that
+        immediately re-splits)."""
+        budget = self.config.max_partition_size - self.storage.get_vector_count(
+            posting_id
+        )
+        target = self._nearest_other_partition(posting_id, max_count=budget)
+        if target is None:
+            return None
+        return Merge(posting_id, target, max_size=self.config.max_partition_size)
 
     # -- triggers (protocol.rs:102-111) ------------------------------------
 
@@ -141,7 +172,9 @@ class LireProtocol:
         d = _dist(self.metric, cents, np.asarray(vector, np.float32)[None, :])
         return pids[int(np.argmin(d))]
 
-    def _nearest_other_partition(self, posting_id: int) -> Optional[int]:
+    def _nearest_other_partition(
+        self, posting_id: int, max_count: Optional[int] = None
+    ) -> Optional[int]:
         from spfresh_tpu.lire.storage import LireStorageError
 
         pids, cents = self._live_centroids(exclude=posting_id)
@@ -152,7 +185,12 @@ class LireProtocol:
         except LireStorageError:
             return None
         d = _dist(self.metric, cents, me[None, :])
-        return pids[int(np.argmin(d))]
+        if max_count is None:
+            return pids[int(np.argmin(d))]
+        for i in np.argsort(d, kind="stable"):
+            if self.storage.get_vector_count(pids[int(i)]) <= max_count:
+                return pids[int(i)]
+        return None
 
     def get_nearby_postings(self, posting_id: int, count: Optional[int] = None) -> List[int]:
         """K nearest postings by centroid distance (real impl of the stub at

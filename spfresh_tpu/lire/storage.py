@@ -23,6 +23,7 @@ hierarchy (HBM holds only centroids + the packed search snapshot).
 from __future__ import annotations
 
 import dataclasses
+import json
 import os
 import struct
 import threading
@@ -64,11 +65,21 @@ class _Posting:
 
 
 class LireStorage:
-    """Mirror of LireStorage (storage.rs:33-37) with a working format."""
+    """Mirror of LireStorage (storage.rs:33-37) with a working format.
 
-    def __init__(self, base_path: str, dim: int):
+    ``auto_create_postings`` controls whether an append to an unknown posting
+    id creates it (the reference's behavior, storage.rs:99-109).  Index-backed
+    deployments must pass False: with a concurrent background Split, an
+    auto-created posting silently resurrects a just-retired partition as an
+    orphan that exists in storage but not in the search index — the caller
+    should catch :class:`LireStorageError` and re-route to the current
+    nearest partition instead.
+    """
+
+    def __init__(self, base_path: str, dim: int, auto_create_postings: bool = True):
         self.base_path = str(base_path)
         self.dim = int(dim)
+        self.auto_create_postings = bool(auto_create_postings)
         self._postings_dir = os.path.join(self.base_path, "postings")
         self._meta_dir = os.path.join(self.base_path, "metadata")
         os.makedirs(self._postings_dir, exist_ok=True)
@@ -77,7 +88,11 @@ class LireStorage:
         self._current_version = 0
         self._postings: Dict[int, _Posting] = {}
         self._metadata: Dict[int, PostingMetadata] = {}
+        # Reverse index: vector_id -> posting ids holding a LIVE copy.  Kept
+        # exact under the lock so lookups never degrade to a full-store scan.
+        self._id_index: Dict[int, set] = {}
         self._record_size = 1 + 8 + 8 + 4 * self.dim
+        self._recover_journal()
         self._load_all()
 
     # -- paths -------------------------------------------------------------
@@ -103,14 +118,20 @@ class LireStorage:
                 f"vector dim {vector.shape[0]} != storage dim {self.dim}"
             )
         with self._lock:
-            version = self._next_version()
             p = self._postings.get(posting_id)
             if p is None:
+                if not self.auto_create_postings:
+                    raise LireStorageError(
+                        f"posting {posting_id} does not exist (auto-create disabled; "
+                        "it may have been retired by a concurrent split/merge)"
+                    )
                 p = self._postings[posting_id] = _Posting(self.dim)
+            version = self._next_version()
             p.ids.append(int(vector_id))
             p.vectors.append(vector)
             p.versions.append(version)
             p.deleted.append(False)
+            self._id_index.setdefault(int(vector_id), set()).add(posting_id)
             meta = self._metadata.get(posting_id)
             if meta is None:
                 # Centroid bootstraps from the first vector (storage.rs:106);
@@ -138,6 +159,11 @@ class LireStorage:
         with self._lock:
             p = self._postings.get(posting_id)
             if p is None:
+                if not self.auto_create_postings:
+                    raise LireStorageError(
+                        f"posting {posting_id} does not exist (auto-create disabled; "
+                        "it may have been retired by a concurrent split/merge)"
+                    )
                 p = self._postings[posting_id] = _Posting(self.dim)
             meta = self._metadata.get(posting_id)
             path = self._log_path(posting_id)
@@ -152,6 +178,7 @@ class LireStorage:
                     p.vectors.append(vec)
                     p.versions.append(version)
                     p.deleted.append(False)
+                    self._id_index.setdefault(int(vid), set()).add(posting_id)
                     f.write(struct.pack("<Bqq", _OP_ADD, int(vid), version))
                     f.write(np.ascontiguousarray(vec, "<f4").tobytes())
             if meta is None:
@@ -166,22 +193,33 @@ class LireStorage:
             self._save_metadata(posting_id)
         return versions
 
+    def _tombstone_locked(self, p: "_Posting", posting_id: int, vector_id: int) -> None:
+        """Flip the newest live copy's tombstone + fix the reverse index.
+        Caller holds the lock; raises if no live copy exists."""
+        for i in range(len(p.ids) - 1, -1, -1):
+            if p.ids[i] == vector_id and not p.deleted[i]:
+                p.deleted[i] = True
+                if not any(
+                    p.ids[j] == vector_id and not p.deleted[j]
+                    for j in range(len(p.ids))
+                ):
+                    s = self._id_index.get(int(vector_id))
+                    if s is not None:
+                        s.discard(posting_id)
+                        if not s:
+                            del self._id_index[int(vector_id)]
+                return
+        raise LireStorageError(
+            f"vector {vector_id} not found (or already deleted) in posting {posting_id}"
+        )
+
     def mark_deleted(self, posting_id: int, vector_id: int) -> int:
         """Tombstone a vector (storage.rs:126-173); returns the version."""
         with self._lock:
             p = self._postings.get(posting_id)
             if p is None:
                 raise LireStorageError(f"posting {posting_id} does not exist")
-            hit = False
-            for i in range(len(p.ids) - 1, -1, -1):
-                if p.ids[i] == vector_id and not p.deleted[i]:
-                    p.deleted[i] = True
-                    hit = True
-                    break
-            if not hit:
-                raise LireStorageError(
-                    f"vector {vector_id} not found (or already deleted) in posting {posting_id}"
-                )
+            self._tombstone_locked(p, posting_id, vector_id)
             version = self._next_version()
             meta = self._metadata[posting_id]
             meta.version = version
@@ -191,6 +229,42 @@ class LireStorage:
             )
             self._save_metadata(posting_id)
         return version
+
+    def mark_deleted_batch(self, posting_id: int, vector_ids) -> List[int]:
+        """Batched tombstones: one lock acquisition, one log-file open, one
+        metadata write for the whole batch (Reassign moves thousands of
+        vectors after a big split — per-vector file ops were the bottleneck
+        on a 1-core host).  Unknown/already-deleted ids are skipped; returns
+        the version stamps of the tombstones actually written."""
+        versions: List[int] = []
+        with self._lock:
+            p = self._postings.get(posting_id)
+            if p is None:
+                raise LireStorageError(f"posting {posting_id} does not exist")
+            hit_ids: List[int] = []
+            for vid in vector_ids:
+                try:
+                    self._tombstone_locked(p, posting_id, int(vid))
+                except LireStorageError:
+                    continue
+                hit_ids.append(int(vid))
+                versions.append(self._next_version())
+            if not hit_ids:
+                return []
+            path = self._log_path(posting_id)
+            new = not os.path.exists(path)
+            zeros = np.zeros(self.dim, "<f4").tobytes()
+            with open(path, "ab") as f:
+                if new:
+                    f.write(_LOG_MAGIC + struct.pack("<i", self.dim))
+                for vid, version in zip(hit_ids, versions):
+                    f.write(struct.pack("<Bqq", _OP_DEL, vid, version))
+                    f.write(zeros)
+            meta = self._metadata[posting_id]
+            meta.version = versions[-1]
+            meta.vector_count -= len(hit_ids)
+            self._save_metadata(posting_id)
+        return versions
 
     def get_posting(
         self, posting_id: int, include_deleted: bool = False
@@ -216,13 +290,34 @@ class LireStorage:
         with self._lock:
             return sorted(self._postings)
 
+    def postings_of(self, vector_id: int) -> List[int]:
+        """Posting ids holding a live copy of ``vector_id`` — O(1) reverse
+        lookup (replaces the full-store scan the update path needed when its
+        own map went stale under concurrent maintenance)."""
+        with self._lock:
+            return sorted(self._id_index.get(int(vector_id), ()))
+
     def has_posting(self, posting_id: int) -> bool:
         with self._lock:
             return posting_id in self._postings
 
+    def _unindex_posting_locked(self, posting_id: int) -> None:
+        p = self._postings.get(posting_id)
+        if p is None:
+            return
+        for vid, dead in zip(p.ids, p.deleted):
+            if dead:
+                continue
+            s = self._id_index.get(int(vid))
+            if s is not None:
+                s.discard(posting_id)
+                if not s:
+                    del self._id_index[int(vid)]
+
     def delete_posting(self, posting_id: int) -> None:
         """Retire a posting entirely (used by completed Split/Merge)."""
         with self._lock:
+            self._unindex_posting_locked(posting_id)
             self._postings.pop(posting_id, None)
             self._metadata.pop(posting_id, None)
             for path in (self._log_path(posting_id), self._meta_path(posting_id)):
@@ -265,6 +360,7 @@ class LireStorage:
                 p.vectors.append(vec.copy())
                 p.versions.append(version)
                 p.deleted.append(False)
+                self._id_index.setdefault(int(vid), set()).add(posting_id)
             if version == 0:
                 version = self._next_version()
             self._postings[posting_id] = p
@@ -286,20 +382,27 @@ class LireStorage:
         ``expected_versions``, i.e. a concurrent insert/delete landed after
         the op read its snapshot; the op then retries on fresh data.  All
         mutations happen under the storage lock, so inserts serialize against
-        the swap."""
+        the swap.
+
+        Crash safety (write-ahead ordering): a journal recording the intent
+        is written first, then the NEW generation's logs/metadata, and the
+        old generation's files are removed last.  A crash at any point leaves
+        exactly one complete generation on disk — :meth:`_recover_journal`
+        rolls the swap forward (all new logs present) or back (otherwise) on
+        the next open.  The r01 ordering removed the old files first; a crash
+        mid-swap permanently lost those vectors."""
         with self._lock:
             for pid, expect in zip(old_ids, expected_versions):
                 meta = self._metadata.get(pid)
                 if meta is None or meta.version != expect:
                     return False
-            # Retire old postings.
-            for pid in old_ids:
-                self._postings.pop(pid, None)
-                self._metadata.pop(pid, None)
-                for path in (self._log_path(pid), self._meta_path(pid)):
-                    if os.path.exists(path):
-                        os.remove(path)
-            # Create replacements; every vector gets a fresh version stamp.
+            # 1. Journal the intent (tmp + rename, so it is atomic itself).
+            self._write_journal(
+                {"old": [int(p) for p in old_ids],
+                 "new": [int(p) for p, _, _, _ in new_postings]}
+            )
+            # 2. Write the new generation (each log lands via tmp+rename, so
+            #    an existing log file is always complete).
             for pid, ids, vecs, centroid in new_postings:
                 p = _Posting(self.dim)
                 version = 0
@@ -309,6 +412,7 @@ class LireStorage:
                     p.vectors.append(np.asarray(vec, np.float32))
                     p.versions.append(version)
                     p.deleted.append(False)
+                    self._id_index.setdefault(int(vid), set()).add(pid)
                 if version == 0:
                     version = self._next_version()
                 self._postings[pid] = p
@@ -317,7 +421,55 @@ class LireStorage:
                 )
                 self._rewrite_log(pid)
                 self._save_metadata(pid)
+            # 3. Retire the old generation last.
+            for pid in old_ids:
+                self._unindex_posting_locked(pid)
+                self._postings.pop(pid, None)
+                self._metadata.pop(pid, None)
+                for path in (self._log_path(pid), self._meta_path(pid)):
+                    if os.path.exists(path):
+                        os.remove(path)
+            self._clear_journal()
         return True
+
+    # -- swap journal --------------------------------------------------------
+
+    @property
+    def _journal_path(self) -> str:
+        return os.path.join(self.base_path, "replace.journal")
+
+    def _write_journal(self, intent: dict) -> None:
+        tmp = self._journal_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(intent, f)
+        os.replace(tmp, self._journal_path)
+
+    def _clear_journal(self) -> None:
+        if os.path.exists(self._journal_path):
+            os.remove(self._journal_path)
+
+    def _recover_journal(self) -> None:
+        """Finish or roll back an atomic_replace interrupted by a crash.
+        Called before logs are loaded: if every NEW posting log exists the
+        swap is rolled forward (remove the old generation); otherwise rolled
+        back (remove any partial new files).  Log files are written via
+        tmp+rename, so existence implies completeness."""
+        if not os.path.exists(self._journal_path):
+            return
+        try:
+            with open(self._journal_path) as f:
+                intent = json.load(f)
+            new, old = intent.get("new", []), intent.get("old", [])
+        except Exception:
+            os.remove(self._journal_path)
+            return
+        complete = all(os.path.exists(self._log_path(p)) for p in new)
+        doomed = old if complete else new
+        for pid in doomed:
+            for path in (self._log_path(pid), self._meta_path(pid)):
+                if os.path.exists(path):
+                    os.remove(path)
+        os.remove(self._journal_path)
 
     # -- GC ----------------------------------------------------------------
 
@@ -454,3 +606,6 @@ class LireStorage:
                             break
                 self._current_version = max(self._current_version, version)
             self._postings[posting_id] = p
+            for vid, dead in zip(p.ids, p.deleted):
+                if not dead:
+                    self._id_index.setdefault(int(vid), set()).add(posting_id)
