@@ -30,7 +30,13 @@ import numpy as np
 
 from spfresh_tpu.index.config import Config
 from spfresh_tpu.index.posting_store import read_packed_postings
-from spfresh_tpu.index.spann import CENTROIDS_FILE, MANIFEST, PACKED_FILE, _round_up
+from spfresh_tpu.index.spann import (
+    CENTROIDS_FILE,
+    MANIFEST,
+    PACKED_FILE,
+    _ids_i32,
+    _round_up,
+)
 from spfresh_tpu.ops.distances import canonical_metric, pairwise_distance, rowwise_distance
 from spfresh_tpu.ops.topk import smallest_k, smallest_k_unique
 
@@ -49,8 +55,7 @@ def _rerank_staged(queries, slab_vecs, slab_ids, slab_lens, cent_d, k: int,
     ids = jnp.where(valid, slab_ids, -1)
     n_cand = nprobe * pad
     vals, out_ids = smallest_k_unique(
-        dist.reshape(Q, n_cand), ids.reshape(Q, n_cand).astype(jnp.int64), k,
-        max_dup=max_dup,
+        dist.reshape(Q, n_cand), ids.reshape(Q, n_cand), k, max_dup=max_dup,
     )
     return jnp.where(jnp.isfinite(vals), out_ids, -1), vals
 
@@ -140,7 +145,7 @@ class LazySpannIndex:
             qi, qd = _rerank_staged(
                 jnp.asarray(qb),
                 jnp.asarray(vecs.reshape(Q, nprobe, self.pad, self.dim)),
-                jnp.asarray(ids.reshape(Q, nprobe, self.pad)),
+                jnp.asarray(_ids_i32(ids).reshape(Q, nprobe, self.pad)),
                 jnp.asarray(lens.reshape(Q, nprobe)),
                 cent_d,
                 k=int(k),
@@ -149,7 +154,7 @@ class LazySpannIndex:
             )
             out_i.append(np.asarray(qi))
             out_d.append(np.asarray(qd))
-        return np.concatenate(out_i), np.concatenate(out_d)
+        return np.concatenate(out_i).astype(np.int64), np.concatenate(out_d)
 
     def close(self):
         if self._native is not None:

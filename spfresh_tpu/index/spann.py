@@ -62,6 +62,19 @@ def _next_pow2(x: int) -> int:
 
 
 
+def _ids_i32(a: np.ndarray) -> np.ndarray:
+    """Device views carry point ids as int32 (x64 is disabled on TPU; an
+    implicit int64 view would be silently truncated).  Ids must fit — past
+    2^31 points, re-map ids before indexing (the host/storage tier keeps
+    int64 throughout)."""
+    if a.size and (int(a.max()) >= np.iinfo(np.int32).max or int(a.min()) < -1):
+        raise ValueError(
+            "point ids must fit in int32 for the device view "
+            f"(got max {int(a.max())}, min {int(a.min())}); re-map ids"
+        )
+    return a.astype(np.int32)
+
+
 def _max_multiplicity(all_ids: np.ndarray) -> int:
     """Largest number of postings any single point id appears in (replicas).
     Drives the exact-dedup oversampling bound in smallest_k_unique."""
@@ -135,7 +148,7 @@ def _search_kernel(
     # spann_index.rs:188-193).
     n_cand = nprobe * pad
     d = d.reshape(Q, n_cand)
-    cand_ids = cand_ids.reshape(Q, n_cand).astype(jnp.int64)
+    cand_ids = cand_ids.reshape(Q, n_cand)
     if n_cand < k:  # degenerate tiny index: pad so top_k is well-defined
         padc = k - n_cand
         d = jnp.concatenate([d, jnp.full((Q, padc), jnp.inf, d.dtype)], axis=1)
@@ -198,7 +211,7 @@ def _search_kernel_padded(
         d = jnp.where(d <= thr[:, None, None], d, jnp.inf)
     n_cand = nprobe * pad
     d = d.reshape(Q, n_cand)
-    cand_ids = cand_ids.reshape(Q, n_cand).astype(jnp.int64)
+    cand_ids = cand_ids.reshape(Q, n_cand)
     if n_cand < k:
         padc = k - n_cand
         d = jnp.concatenate([d, jnp.full((Q, padc), jnp.inf, d.dtype)], axis=1)
@@ -293,7 +306,7 @@ class DeviceView:
     cent_valid: jnp.ndarray  # (Cpad,) bool
     offsets: jnp.ndarray  # (Cpad,) int32 — start of each cluster's slice
     lens: jnp.ndarray  # (Cpad,) int32
-    ids: jnp.ndarray  # (Ppad,) int64
+    ids: jnp.ndarray  # (Ppad,) int32 (-1 = padding; int64 on host/storage)
     vectors: jnp.ndarray  # (Ppad, d) storage dtype
     pad: int  # static per-cluster gather width (>= max posting length)
     cluster_rows: Dict[int, int]  # cluster_id -> row in the padded arrays
@@ -311,7 +324,7 @@ class PaddedView:
     centroids: jnp.ndarray  # (Cpad, d_pad)
     cent_valid: jnp.ndarray  # (Cpad,)
     lens: jnp.ndarray  # (Cpad,) int32
-    ids2d: jnp.ndarray  # (Cpad, pad) int64
+    ids2d: jnp.ndarray  # (Cpad, pad) int32 (-1 = padding)
     vectors3d: jnp.ndarray  # (Cpad, pad, d_pad) storage dtype
     pad: int
     d_pad: int
@@ -413,7 +426,7 @@ class SpannIndex:
         valid = np.zeros(Cpad, bool)
         P = sum(len(self.postings[c][0]) for c in cids)
         Ppad = max(8, _round_up(P, 8))
-        flat_ids = np.full(Ppad, -1, np.int64)
+        flat_ids = np.full(Ppad, -1, np.int32)
         flat_vecs = np.zeros((Ppad, d), np.float32)
         cluster_rows: Dict[int, int] = {}
         # Vectorized packing: per-cluster python loops cost tens of seconds
@@ -425,7 +438,9 @@ class SpannIndex:
         lens[:C] = lens_l
         valid[:C] = True
         cent[:C] = np.stack([self.centroids[c] for c in cids]) if cids else cent[:0]
-        flat_ids[:P] = np.concatenate([self.postings[c][0] for c in cids]) if cids else flat_ids[:0]
+        flat_ids[:P] = _ids_i32(
+            np.concatenate([self.postings[c][0] for c in cids])
+        ) if cids else flat_ids[:0]
         flat_vecs[:P] = np.concatenate([self.postings[c][1] for c in cids]) if cids else flat_vecs[:0]
         for row, c in enumerate(cids):
             cluster_rows[c] = row
@@ -461,7 +476,7 @@ class SpannIndex:
         lens = np.zeros(Cpad, np.int32)
         cent = np.zeros((Cpad, d_pad), np.float32)
         valid = np.zeros(Cpad, bool)
-        ids2d = np.full((Cpad, pad), -1, np.int64)
+        ids2d = np.full((Cpad, pad), -1, np.int32)
         vecs3d = np.zeros((Cpad, pad, d_pad), np.float32)
         cluster_rows: Dict[int, int] = {}
         # Vectorized slab packing (see device_view): compute each member's
@@ -474,7 +489,9 @@ class SpannIndex:
         valid[:C] = True
         cent[:C, :d] = np.stack([self.centroids[c] for c in cids]) if cids else cent[:0, :d]
         if P:
-            flat_ids_all = np.concatenate([self.postings[c][0] for c in cids])
+            flat_ids_all = _ids_i32(
+                np.concatenate([self.postings[c][0] for c in cids])
+            )
             flat_vecs_all = np.concatenate([self.postings[c][1] for c in cids])
             row_of = np.repeat(np.arange(C, dtype=np.int64), lens_l)
             within = np.arange(P, dtype=np.int64) - np.repeat(offs_l[:C], lens_l)
@@ -530,14 +547,20 @@ class SpannIndex:
         prune = prune_factor is not None
         pf = jnp.float32(prune_factor if prune else 0.0)
         bs = batch_size or self.config.search.query_batch_size
+        # The Pallas engine's 1-D scalar-prefetched row table (Q * nprobe
+        # int32) lives in SMEM (1 MB total): budget half of it and clamp the
+        # query batch; when nprobe alone blows the budget even at tiny
+        # batches (full-probe search on a huge index), the XLA engine is the
+        # correct tool — it has no SMEM table at all.
+        smem_entries = 1 << 17  # 512 KB of int32 entries
+        if engine == "pallas" and min(int(nprobe), self.num_clusters) > smem_entries // 8:
+            engine = "xla"
         out_i, out_d = [], []
         if engine == "pallas":
             view = self.padded_view()
             nprobe = max(1, min(int(nprobe), int(view.centroids.shape[0])))
             interpret = jax.devices()[0].platform != "tpu"
-            # The 1-D scalar-prefetched row table lives in SMEM (1 MB):
-            # Q * nprobe * 4B must fit with headroom.
-            bs = min(bs, max(256, (1 << 19) // max(1, nprobe)))
+            bs = min(bs, max(8, smem_entries // max(1, nprobe)))
             qpad = np.zeros((queries.shape[0], view.d_pad), np.float32)
             qpad[:, : self.dim] = queries
             for s in range(0, queries.shape[0], bs):
@@ -585,8 +608,9 @@ class SpannIndex:
             raise ValueError(f"unknown search engine {engine!r}")
         # One device->host sync for the whole call, after all batches are in
         # flight (async dispatch overlaps compute with the next upload).
+        # Ids widen back to the host-side int64 id space at the boundary.
         return (
-            np.concatenate([np.asarray(x) for x in out_i]),
+            np.concatenate([np.asarray(x) for x in out_i]).astype(np.int64),
             np.concatenate([np.asarray(x) for x in out_d]),
         )
 

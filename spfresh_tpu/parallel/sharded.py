@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from spfresh_tpu.index.spann import SpannIndex, _max_multiplicity, _round_up
+from spfresh_tpu.index.spann import SpannIndex, _ids_i32, _max_multiplicity, _round_up
 from spfresh_tpu.ops.distances import pairwise_distance, rowwise_distance
 from spfresh_tpu.ops.topk import smallest_k, smallest_k_unique
 
@@ -90,7 +90,7 @@ class ShardedSpannIndex:
         valid = np.zeros((S, Cs), bool)
         offsets = np.zeros((S, Cs), np.int32)
         lens = np.zeros((S, Cs), np.int32)
-        flat_ids = np.full((S, Ps), -1, np.int64)
+        flat_ids = np.full((S, Ps), -1, np.int32)
         flat_vecs = np.zeros((S, Ps, d), np.float32)
         for s, group in enumerate(per_shard):
             pos = 0
@@ -101,7 +101,7 @@ class ShardedSpannIndex:
                 valid[s, row] = True
                 offsets[s, row] = pos
                 lens[s, row] = m
-                flat_ids[s, pos : pos + m] = pids
+                flat_ids[s, pos : pos + m] = _ids_i32(pids)
                 flat_vecs[s, pos : pos + m] = pvecs
                 pos += m
         spec = NamedSharding(self.mesh, P(self.axis))
@@ -157,7 +157,7 @@ class ShardedSpannIndex:
             merged_i = jnp.moveaxis(all_i, 0, 1).reshape(Q, S * k)
             # Replicas of one point can surface from several shards: dedup.
             vals, out_ids = smallest_k_unique(
-                merged_d, merged_i.astype(jnp.int64), k, max_dup=view.max_dup
+                merged_d, merged_i, k, max_dup=view.max_dup
             )
             out_ids = jnp.where(jnp.isfinite(vals), out_ids, -1)
             return out_ids, vals
@@ -194,7 +194,7 @@ class ShardedSpannIndex:
             )
             out_i.append(np.asarray(qi))
             out_d.append(np.asarray(qd))
-        return np.concatenate(out_i), np.concatenate(out_d)
+        return np.concatenate(out_i).astype(np.int64), np.concatenate(out_d)
 
 
 def _local_search(q, cent, cvalid, offs, lns, pids, pvecs, *, k, nprobe, pad, metric):
