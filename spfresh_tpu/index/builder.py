@@ -54,7 +54,10 @@ class SpannIndexBuilder:
         hc = HierarchicalClustering(params, self.data).fit()
 
         index = SpannIndex(self.config)
-        index.create_posting_lists(hc.clusters, self.data)
+        # Hand the clustering phase's device-resident corpus to the index:
+        # the first search view then packs entirely on-chip (no multi-GB
+        # member-vector re-upload from the host).
+        index.create_posting_lists(hc.clusters, self.data, corpus_dev=hc.data)
         # The device view (centroid index, build_kdtree parity) materializes
         # lazily on first search, in the layout the search engine needs —
         # eagerly building both CSR and slab views would double the upload.

@@ -27,8 +27,14 @@ class SearchConfig:
     prune_factor: Optional[float] = None  # e.g. 1.2 for reference-style pruning
     query_batch_size: int = 4096
     engine: str = "auto"  # "pallas" | "xla" | "auto" (pallas on TPU)
+    # Spare member slots per posting slab: lets live inserts scatter into the
+    # device view in place instead of forcing a full repack the moment the
+    # largest posting grows by one.
+    slab_growth_slots: int = 16
 
     def validate(self) -> None:
+        if self.slab_growth_slots < 0:
+            raise ValueError("search.slab_growth_slots must be >= 0")
         if self.nprobe is not None and self.nprobe <= 0:
             raise ValueError("search.nprobe must be > 0")
         if self.prune_factor is not None and self.prune_factor < 1.0:
@@ -52,6 +58,7 @@ class Config:
     rng_seed: Optional[int] = None
     replication: str = "final"  # "final" (SPANN replica pass) | "nested" (reference parity)
     max_replicas: int = 8
+    max_split_ways: int = 8  # children per subdivision round (2 = binary parity)
     storage_dtype: str = "float32"  # or "bfloat16" for HBM-lean indexes
     search: SearchConfig = dataclasses.field(default_factory=SearchConfig)
 
@@ -72,12 +79,14 @@ class Config:
             rng_seed=cp.get("rng_seed"),
             replication=cp.get("replication", "final"),
             max_replicas=int(cp.get("max_replicas", 8)),
+            max_split_ways=int(cp.get("max_split_ways", 8)),
             storage_dtype=raw.get("storage_dtype", "float32"),
             search=SearchConfig(
                 nprobe=sc.get("nprobe"),
                 prune_factor=sc.get("prune_factor"),
                 query_batch_size=int(sc.get("query_batch_size", 4096)),
                 engine=sc.get("engine", "auto"),
+                slab_growth_slots=int(sc.get("slab_growth_slots", 16)),
             ),
         )
         cfg.validate()
@@ -114,6 +123,7 @@ class Config:
             rng_seed=self.rng_seed,
             replication=self.replication,
             max_replicas=self.max_replicas,
+            max_split_ways=self.max_split_ways,
         )
 
     def to_dict(self) -> Dict[str, Any]:
@@ -126,6 +136,7 @@ class Config:
                 "rng_seed": self.rng_seed,
                 "replication": self.replication,
                 "max_replicas": self.max_replicas,
+                "max_split_ways": self.max_split_ways,
             },
             "output_path": self.output_path,
             "data_file": self.data_file,
@@ -135,6 +146,7 @@ class Config:
                 "prune_factor": self.search.prune_factor,
                 "query_batch_size": self.search.query_batch_size,
                 "engine": self.search.engine,
+                "slab_growth_slots": self.search.slab_growth_slots,
             },
         }
 

@@ -44,7 +44,7 @@ from spfresh_tpu.index.posting_store import (
     write_packed_postings,
 )
 from spfresh_tpu.ops.distances import canonical_metric, pairwise_distance, rowwise_distance
-from spfresh_tpu.ops.topk import smallest_k, smallest_k_unique
+from spfresh_tpu.ops.topk import centroid_topk, smallest_k, smallest_k_unique
 from spfresh_tpu.utils import metrics
 
 MANIFEST = "manifest.json"
@@ -118,10 +118,9 @@ def _search_kernel(
     qf = queries.astype(centroids.dtype)
 
     # Stage 1 — centroid scan + top-nprobe (replaces kdtree.nearest_n,
-    # spann_index.rs:164).
-    Dc = pairwise_distance(qf, centroids, metric)
-    Dc = jnp.where(cent_valid[None, :], Dc, jnp.inf)
-    cent_d, cent_i = smallest_k(Dc, nprobe)  # (Q, nprobe)
+    # spann_index.rs:164); streams the centroid matrix in chunks past ~32k
+    # centroids instead of materializing (Q, C).
+    cent_d, cent_i = centroid_topk(qf, centroids, cent_valid, nprobe, metric)
 
     # Stage 2 — gather probed posting lists (replaces the per-list disk read,
     # spann_index.rs:169).
@@ -188,9 +187,7 @@ def _search_kernel_padded(
 
     Q = queries.shape[0]
     qf = queries.astype(centroids.dtype)
-    Dc = pairwise_distance(qf, centroids, metric)
-    Dc = jnp.where(cent_valid[None, :], Dc, jnp.inf)
-    cent_d, rows = smallest_k(Dc, nprobe)  # (Q, nprobe)
+    cent_d, rows = centroid_topk(qf, centroids, cent_valid, nprobe, metric)
 
     # Queries stay f32 inside the kernel: the dynamic per-query row read
     # needs f32 sublane alignment (bf16 rows fail Mosaic's divisibility
@@ -221,6 +218,89 @@ def _search_kernel_padded(
     vals, out_ids = smallest_k_unique(d, cand_ids, k, max_dup=max_dup)
     out_ids = jnp.where(jnp.isfinite(vals), out_ids, -1)
     return out_ids, vals
+
+
+@functools.partial(jax.jit, static_argnames=("Cpad", "pad", "d_pad", "sd"))
+def _pack_slabs_from_corpus(
+    corpus, rows, flat_ids, slots, Cpad: int, pad: int, d_pad: int, sd: str
+):
+    """Slab pack with ZERO vector upload: the corpus is already device-
+    resident from the clustering phase and a fresh build's member vectors are
+    corpus rows, so the host sends only the int32 row/slot/id arrays (~1% of
+    the member bytes) and the gather + dtype cast + scatter all run on-chip.
+    Turns the view materialization from an H2D-bandwidth problem into a
+    sub-second HBM shuffle."""
+    d = corpus.shape[1]
+    vecs = corpus[rows].astype(sd)
+    v = (
+        jnp.zeros((Cpad * pad, d_pad), sd)
+        .at[slots, :d].set(vecs)
+        .reshape(Cpad, pad, d_pad)
+    )
+    i = (
+        jnp.full((Cpad * pad,), -1, jnp.int32)
+        .at[slots].set(flat_ids)
+        .reshape(Cpad, pad)
+    )
+    return v, i
+
+
+@functools.partial(jax.jit, static_argnames=("Ppad", "sd"))
+def _flat_from_corpus(corpus, rows, Ppad: int, sd: str):
+    v = corpus[rows].astype(sd)
+    return jnp.pad(v, ((0, Ppad - v.shape[0]), (0, 0)))
+
+
+@functools.partial(jax.jit, static_argnames=("Cpad", "pad", "d_pad"))
+def _pack_slabs(flat_vecs, flat_ids, slots, Cpad: int, pad: int, d_pad: int):
+    """Device-side slab pack: scatter the flat member rows into the
+    (Cpad, pad, d_pad) layout ON the device.  The host uploads only the raw
+    (P, d) vectors in the storage dtype — no padding bytes cross the wire
+    (~15-30% of the padded buffer) and no multi-GB zero-padded host staging
+    buffer is materialized; the 1-core host's pack loop becomes one H2D
+    stream + one XLA scatter."""
+    P, d = flat_vecs.shape
+    v = (
+        jnp.zeros((Cpad * pad, d_pad), flat_vecs.dtype)
+        .at[slots, :d].set(flat_vecs)
+        .reshape(Cpad, pad, d_pad)
+    )
+    i = (
+        jnp.full((Cpad * pad,), -1, jnp.int32)
+        .at[slots].set(flat_ids)
+        .reshape(Cpad, pad)
+    )
+    return v, i
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
+def _scatter_appends(vectors3d, ids2d, lens, slots, vblk, iblk, rows, new_lens):
+    """Row-level append scatter: write B new member rows at their flat slab
+    slots (row * pad + position) and bump the touched rows' lengths.  The
+    upload is O(B * d_pad) — the appended vectors only — not whole slabs.
+    Duplicate slots (batch padding) carry identical rows."""
+    C, pad, dp = vectors3d.shape
+    v = vectors3d.reshape(C * pad, dp).at[slots].set(vblk).reshape(C, pad, dp)
+    i = ids2d.reshape(C * pad).at[slots].set(iblk).reshape(C, pad)
+    l = lens.at[rows].set(new_lens)
+    return v, i, l
+
+
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
+def _scatter_rows(vectors3d, ids2d, lens, cents, valid,
+                  rows, vblk, iblk, lblk, cblk, vldblk):
+    """In-place slab update: scatter B dirty postings' blocks into the view
+    arrays.  Donated buffers — XLA updates HBM in place, so the cost is the
+    (B, pad, d_pad) upload, not a re-materialization of the whole view.
+    Duplicate rows (batch padding) carry identical blocks, so scatter order
+    does not matter."""
+    return (
+        vectors3d.at[rows].set(vblk),
+        ids2d.at[rows].set(iblk),
+        lens.at[rows].set(lblk),
+        cents.at[rows].set(cblk),
+        valid.at[rows].set(vldblk),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric"))
@@ -319,7 +399,12 @@ class PaddedView:
     contiguous (pad, d_pad) block of a (Cpad, pad, d_pad) HBM array, so the
     rerank kernel's DMAs are whole-slab streams, not element gathers.
     d is zero-padded to a lane multiple (128); zeros cancel in every metric
-    because queries are padded identically."""
+    because queries are padded identically.
+
+    The view is update-in-place: ``free_rows`` are the unoccupied slab rows
+    (Cpad headroom) that incremental updates assign to postings created by
+    live inserts/splits, and mutated postings scatter into their existing
+    rows — no full repack/re-upload per update batch (SPFresh's point)."""
 
     centroids: jnp.ndarray  # (Cpad, d_pad)
     cent_valid: jnp.ndarray  # (Cpad,)
@@ -330,6 +415,11 @@ class PaddedView:
     d_pad: int
     cluster_rows: Dict[int, int]
     max_dup: int = 8
+    free_rows: List[int] = dataclasses.field(default_factory=list)
+    # cid -> the ids array its slab held at the last refresh.  Lets the next
+    # refresh recognize pure appends (the streaming-insert common case) and
+    # upload ONLY the appended rows instead of whole slabs.
+    snapshot: Dict[int, np.ndarray] = dataclasses.field(default_factory=dict)
 
 
 class SpannIndex:
@@ -351,17 +441,53 @@ class SpannIndex:
         self._gen = 0  # bumped on every mutation; views cache their build gen
         self._view_gen = -1
         self._padded_gen = -1
+        # Cluster ids mutated since the padded view was built; None means the
+        # change was structural (bulk load) and the next view is a full pack.
+        self._dirty_padded: Optional[set] = set()
+        # Subset of dirty cids whose CENTROID changed (append fast path must
+        # not skip the centroid row for those).
+        self._dirty_centroid: set = set()
+        # (gen, all_ids, all_vecs) from a bulk load, for the first view pack.
+        self._flat_cache = None
+        # (gen, device corpus) from the build, for zero-upload view packing.
+        self._corpus_cache = None
+        # Largest known replica multiplicity of any point id.  Full packs
+        # compute it exactly; live updates that raise it (boundary-closure
+        # splits, reassign windows) report through note_multiplicity so the
+        # dedup oversampling bound stays an upper bound between packs.
+        self._mult_hint = 1
+
+    def note_multiplicity(self, m: int) -> None:
+        self._mult_hint = max(self._mult_hint, int(m))
+
+    def _dedup_bound(self) -> int:
+        # +1 margin: a Reassign's copy-before-delete window can raise one
+        # id's multiplicity transiently; pow2 bucketing keeps the kernels'
+        # static max_dup stable across incremental updates.
+        return _next_pow2(self._mult_hint + 1)
+
+    def _mark_dirty(self, cluster_id: int) -> None:
+        self._gen += 1
+        self._corpus_cache = None  # release the build corpus's HBM
+        if self._dirty_padded is not None:
+            self._dirty_padded.add(cluster_id)
 
     # -- construction ------------------------------------------------------
 
-    def create_posting_lists(self, clusters, data: np.ndarray) -> None:
+    def create_posting_lists(self, clusters, data: np.ndarray, corpus_dev=None) -> None:
         """From fitted clusters (create_posting_lists, spann_index.rs:56-84).
         One bulk gather + split instead of a per-cluster copy loop (the loop
-        costs ~10 s at 12k clusters on a 1-core host)."""
+        costs ~10 s at 12k clusters on a 1-core host).
+
+        ``corpus_dev``: the clustering phase's device-resident corpus.  When
+        given, the first device view gathers member vectors from it ON-CHIP
+        instead of re-uploading them from the host (the dominant build cost
+        over a slow host link)."""
         data = np.asarray(data, dtype=np.float32)
         self.dim = data.shape[1]
         all_ids = np.concatenate([np.asarray(c.points, np.int64) for c in clusters])             if clusters else np.empty(0, np.int64)
         all_vecs = data[all_ids]
+        first_cid = self._next_cluster_id
         pos = 0
         for c in clusters:
             m = len(c.points)
@@ -371,32 +497,55 @@ class SpannIndex:
             self.centroids[cid] = data[c.centroid_idx].copy()
             pos += m
         self._gen += 1
+        self._dirty_padded = None  # bulk load: next view is a full pack
+        # The flat concatenation IS the view pack's input — cache it so the
+        # first view build skips a multi-GB re-concat on the 1-core host.
+        if first_cid == 0 and len(self.postings) == len(clusters):
+            self._flat_cache = (self._gen, all_ids, all_vecs)
+            if corpus_dev is not None and corpus_dev.shape[0] > (
+                int(all_ids.max()) if all_ids.size else -1
+            ):
+                self._corpus_cache = (self._gen, corpus_dev)
+
+    def _as_posting_vecs(self, ids, vectors) -> np.ndarray:
+        vectors = np.asarray(vectors, np.float32)
+        if len(ids) == 0:
+            # reshape(0, -1) cannot infer the trailing dim on empty input.
+            return vectors.reshape(0, self.dim or (vectors.shape[-1] if vectors.ndim > 1 else 0))
+        return vectors.reshape(len(ids), -1)
 
     def add_cluster(self, vectors: np.ndarray, ids: np.ndarray, centroid: np.ndarray) -> int:
         cid = self._next_cluster_id
         self._next_cluster_id += 1
-        vectors = np.asarray(vectors, np.float32).reshape(len(ids), -1)
+        vectors = self._as_posting_vecs(ids, vectors)
         if self.dim is None:
             self.dim = vectors.shape[1]
         self.postings[cid] = (np.asarray(ids, np.int64), vectors)
         self.centroids[cid] = np.asarray(centroid, np.float32)
-        self._gen += 1
+        self._dirty_centroid.add(cid)
+        self._mark_dirty(cid)
         return cid
 
     def remove_cluster(self, cluster_id: int) -> None:
         self.postings.pop(cluster_id, None)
         self.centroids.pop(cluster_id, None)
-        self._gen += 1
+        self._dirty_centroid.add(cluster_id)
+        self._mark_dirty(cluster_id)
 
     def replace_posting(self, cluster_id: int, ids: np.ndarray, vectors: np.ndarray,
                         centroid: Optional[np.ndarray] = None) -> None:
         self.postings[cluster_id] = (
             np.asarray(ids, np.int64),
-            np.asarray(vectors, np.float32).reshape(len(ids), -1),
+            self._as_posting_vecs(ids, vectors),
         )
         if centroid is not None:
-            self.centroids[cluster_id] = np.asarray(centroid, np.float32)
-        self._gen += 1
+            centroid = np.asarray(centroid, np.float32)
+            # Only an actual centroid CHANGE disqualifies the append fast
+            # path (mirror syncs re-pass the unchanged centroid every time).
+            if not np.array_equal(self.centroids.get(cluster_id), centroid):
+                self._dirty_centroid.add(cluster_id)
+            self.centroids[cluster_id] = centroid
+        self._mark_dirty(cluster_id)
 
     @property
     def num_clusters(self) -> int:
@@ -427,7 +576,6 @@ class SpannIndex:
         P = sum(len(self.postings[c][0]) for c in cids)
         Ppad = max(8, _round_up(P, 8))
         flat_ids = np.full(Ppad, -1, np.int32)
-        flat_vecs = np.zeros((Ppad, d), np.float32)
         cluster_rows: Dict[int, int] = {}
         # Vectorized packing: per-cluster python loops cost tens of seconds
         # at 10k+ clusters; concatenate + one bulk copy is C-speed.
@@ -438,31 +586,59 @@ class SpannIndex:
         lens[:C] = lens_l
         valid[:C] = True
         cent[:C] = np.stack([self.centroids[c] for c in cids]) if cids else cent[:0]
-        flat_ids[:P] = _ids_i32(
-            np.concatenate([self.postings[c][0] for c in cids])
-        ) if cids else flat_ids[:0]
-        flat_vecs[:P] = np.concatenate([self.postings[c][1] for c in cids]) if cids else flat_vecs[:0]
+        if self._flat_cache is not None and self._flat_cache[0] == self._gen:
+            all_ids_f, all_vecs_f = self._flat_cache[1], self._flat_cache[2]
+        else:
+            all_ids_f = np.concatenate([self.postings[c][0] for c in cids]) if cids else np.empty(0, np.int64)
+            all_vecs_f = np.concatenate([self.postings[c][1] for c in cids]) if cids else np.empty((0, d), np.float32)
+        flat_ids[:P] = _ids_i32(all_ids_f)
+        sd = self.policy.storage_dtype
+        if self._corpus_cache is not None and self._corpus_cache[0] == self._gen and P:
+            # Zero-upload: gather member vectors from the device corpus.
+            vectors_dev = _flat_from_corpus(
+                self._corpus_cache[1], jnp.asarray(flat_ids[:P]), Ppad=Ppad, sd=sd
+            )
+        else:
+            flat_vecs = np.zeros((Ppad, d), np.float32)
+            flat_vecs[:P] = all_vecs_f
+            vectors_dev = jnp.asarray(flat_vecs, sd)
         for row, c in enumerate(cids):
             cluster_rows[c] = row
-        sd = self.policy.storage_dtype
         self._view = DeviceView(
             centroids=jnp.asarray(cent, sd),
             cent_valid=jnp.asarray(valid),
             offsets=jnp.asarray(offsets),
             lens=jnp.asarray(lens),
             ids=jnp.asarray(flat_ids),
-            vectors=jnp.asarray(flat_vecs, sd),
+            vectors=vectors_dev,
             pad=pad,
             cluster_rows=cluster_rows,
-            max_dup=_max_multiplicity(flat_ids[:P]),
+            max_dup=self._refresh_mult(flat_ids[:P]),
         )
         self._view_gen = self._gen
         return self._view
 
+    def _refresh_mult(self, all_ids: np.ndarray) -> int:
+        self._mult_hint = max(self._mult_hint, _max_multiplicity(all_ids))
+        return self._dedup_bound()
+
     def padded_view(self) -> PaddedView:
         """Slab layout for the Pallas rerank kernel: (Cpad, pad, d_pad) with
-        d_pad a lane multiple (128) and pad a sublane multiple (16)."""
+        d_pad a lane multiple (128) and pad a sublane multiple (16).
+
+        After live updates the view refreshes INCREMENTALLY: only mutated
+        postings' slabs are scattered into the donated device arrays (SPFresh
+        in-place semantics) — a full repack happens only on bulk loads, when
+        a posting outgrows its slab, or when the view runs out of spare rows."""
         if self._padded_view is not None and self._padded_gen == self._gen:
+            return self._padded_view
+        if (
+            self._padded_view is not None
+            and self._dirty_padded is not None
+            and self._apply_padded_updates()
+        ):
+            self._padded_gen = self._gen
+            self._dirty_padded = set()
             return self._padded_view
         if not self.postings:
             raise ValueError("index is empty")
@@ -472,15 +648,17 @@ class SpannIndex:
         C = len(cids)
         Cpad = max(8, _round_up(C, 256))
         max_len = max(len(self.postings[c][0]) for c in cids)
-        pad = max(16, _round_up(max(1, max_len), 16))
+        # Growth slots let live inserts land in place without a repack.
+        pad = max(16, _round_up(max(1, max_len) + self.config.search.slab_growth_slots, 16))
+        if Cpad * pad >= np.iinfo(np.int32).max:
+            raise ValueError("padded view exceeds int32 slot space; shard the index")
         lens = np.zeros(Cpad, np.int32)
         cent = np.zeros((Cpad, d_pad), np.float32)
         valid = np.zeros(Cpad, bool)
-        ids2d = np.full((Cpad, pad), -1, np.int32)
-        vecs3d = np.zeros((Cpad, pad, d_pad), np.float32)
         cluster_rows: Dict[int, int] = {}
-        # Vectorized slab packing (see device_view): compute each member's
-        # flat slot row*pad + within-cluster position, one fancy-index store.
+        # Flat member arrays + per-member slab slot (row * pad + position);
+        # the slab layout itself materializes on DEVICE (_pack_slabs) so the
+        # wire carries only the raw vectors in the storage dtype.
         lens_l = np.array([len(self.postings[c][0]) for c in cids], np.int64)
         offs_l = np.zeros(C + 1, np.int64)
         np.cumsum(lens_l, out=offs_l[1:])
@@ -488,33 +666,202 @@ class SpannIndex:
         lens[:C] = lens_l
         valid[:C] = True
         cent[:C, :d] = np.stack([self.centroids[c] for c in cids]) if cids else cent[:0, :d]
-        if P:
-            flat_ids_all = _ids_i32(
-                np.concatenate([self.postings[c][0] for c in cids])
+        sd = self.policy.storage_dtype
+        if self._flat_cache is not None and self._flat_cache[0] == self._gen:
+            all_ids, flat_vecs_all = self._flat_cache[1], self._flat_cache[2]
+        else:
+            all_ids = np.concatenate([self.postings[c][0] for c in cids]) if cids else np.empty(0, np.int64)
+            flat_vecs_all = (
+                np.concatenate([self.postings[c][1] for c in cids]) if cids else None
             )
-            flat_vecs_all = np.concatenate([self.postings[c][1] for c in cids])
+        if P:
+            flat_ids_all = _ids_i32(all_ids)
             row_of = np.repeat(np.arange(C, dtype=np.int64), lens_l)
             within = np.arange(P, dtype=np.int64) - np.repeat(offs_l[:C], lens_l)
-            slots = row_of * pad + within
-            ids2d.reshape(-1)[slots] = flat_ids_all
-            vecs3d.reshape(-1, d_pad)[slots, :d] = flat_vecs_all
+            slots = (row_of * pad + within).astype(np.int32)
+            if self._corpus_cache is not None and self._corpus_cache[0] == self._gen:
+                # Zero-upload pack: member vectors gather from the build's
+                # device-resident corpus (point id == corpus row); the host
+                # sends ~1% of the bytes (int32 rows/slots/ids).
+                vecs_dev, ids_dev = _pack_slabs_from_corpus(
+                    self._corpus_cache[1],
+                    jnp.asarray(flat_ids_all),
+                    jnp.asarray(flat_ids_all),
+                    jnp.asarray(slots),
+                    Cpad=Cpad, pad=pad, d_pad=d_pad, sd=sd,
+                )
+            else:
+                vecs_dev, ids_dev = _pack_slabs(
+                    jnp.asarray(flat_vecs_all.astype(sd)),
+                    jnp.asarray(flat_ids_all),
+                    jnp.asarray(slots),
+                    Cpad=Cpad, pad=pad, d_pad=d_pad,
+                )
+        else:  # pragma: no cover - guarded by the empty-index check
+            vecs_dev = jnp.zeros((Cpad, pad, d_pad), sd)
+            ids_dev = jnp.full((Cpad, pad), -1, jnp.int32)
         for row, c in enumerate(cids):
             cluster_rows[c] = row
-        sd = self.policy.storage_dtype
-        all_ids = np.concatenate([self.postings[c][0] for c in cids]) if cids else np.empty(0, np.int64)
         self._padded_view = PaddedView(
             centroids=jnp.asarray(cent, sd),
             cent_valid=jnp.asarray(valid),
             lens=jnp.asarray(lens),
-            ids2d=jnp.asarray(ids2d),
-            vectors3d=jnp.asarray(vecs3d, sd),
+            ids2d=ids_dev,
+            vectors3d=vecs_dev,
             pad=pad,
             d_pad=d_pad,
             cluster_rows=cluster_rows,
-            max_dup=_max_multiplicity(all_ids),
+            max_dup=self._refresh_mult(all_ids),
+            free_rows=list(range(Cpad - 1, C - 1, -1)),
+            snapshot={c: self.postings[c][0] for c in cids},
         )
         self._padded_gen = self._gen
+        self._dirty_padded = set()
+        self._dirty_centroid = set()
         return self._padded_view
+
+    def _apply_padded_updates(self) -> bool:
+        """Scatter the dirty postings into the live padded view.
+
+        Two tiers:
+        * **append fast path** — a posting whose previous ids are a prefix of
+          its new ids (the streaming-insert shape) uploads only the appended
+          member rows: O(new vectors * d_pad) traffic;
+        * **slab rewrite** — anything else (deletes, reassigns, new/removed
+          postings) re-uploads that posting's (pad, d_pad) slab.
+
+        Returns False when the change cannot land in place (slab overflow, no
+        free rows, dim growth) — caller falls back to a full pack."""
+        view = self._padded_view
+        dirty = self._dirty_padded
+        if not dirty:
+            return True
+        d = self.dim
+        if d > view.d_pad:
+            return False
+        # Plan first (no mutation until the whole batch is known to fit).
+        new_rows_needed = [
+            c for c in dirty if c in self.postings and c not in view.cluster_rows
+        ]
+        if len(new_rows_needed) > len(view.free_rows):
+            return False
+        for c in dirty:
+            if c in self.postings and len(self.postings[c][0]) > view.pad:
+                return False
+
+        appends: List[Tuple[int, int, np.ndarray, np.ndarray]] = []  # (row, old_len, add_ids, add_vecs)
+        append_rows: List[Tuple[int, int]] = []  # (row, new_len)
+        row_of: Dict[int, int] = {}  # slab rewrites
+        free = list(view.free_rows)
+        for c in sorted(dirty):
+            if c in self.postings:
+                ids, vecs = self.postings[c]
+                row = view.cluster_rows.get(c, -1)
+                old = view.snapshot.get(c)
+                if (
+                    row >= 0
+                    and old is not None
+                    and c not in self._dirty_centroid
+                    and len(ids) > len(old)
+                    and np.array_equal(ids[: len(old)], old)
+                ):
+                    appends.append((row, len(old), ids[len(old):], vecs[len(old):]))
+                    append_rows.append((row, len(ids)))
+                    view.snapshot[c] = ids
+                    continue
+                if row < 0:
+                    row = free.pop()
+                row_of[c] = row
+            elif c in view.cluster_rows:
+                row_of[c] = view.cluster_rows[c]  # removed: invalidate row
+            # else: created+removed between refreshes — nothing to do
+
+        if appends:
+            B = sum(len(a[2]) for a in appends)
+            Bpad = _next_pow2(B)
+            slots = np.zeros(Bpad, np.int32)
+            vblk = np.zeros((Bpad, view.d_pad), np.float32)
+            iblk = np.zeros(Bpad, np.int32)
+            pos = 0
+            for row, old_len, add_ids, add_vecs in appends:
+                k = len(add_ids)
+                slots[pos : pos + k] = row * view.pad + old_len + np.arange(k)
+                vblk[pos : pos + k, :d] = add_vecs
+                iblk[pos : pos + k] = _ids_i32(add_ids)
+                pos += k
+            slots[B:] = slots[0]  # batch padding: idempotent rewrites
+            vblk[B:] = vblk[0]
+            iblk[B:] = iblk[0]
+            Bc = len(append_rows)
+            Bcpad = _next_pow2(Bc)
+            arows = np.zeros(Bcpad, np.int32)
+            alens = np.zeros(Bcpad, np.int32)
+            arows[:Bc] = [r for r, _ in append_rows]
+            alens[:Bc] = [l for _, l in append_rows]
+            arows[Bc:] = arows[0]
+            alens[Bc:] = alens[0]
+            sd = self.policy.storage_dtype
+            v3, i2, ln = _scatter_appends(
+                view.vectors3d, view.ids2d, view.lens,
+                jnp.asarray(slots), jnp.asarray(vblk, sd), jnp.asarray(iblk),
+                jnp.asarray(arows), jnp.asarray(alens),
+            )
+            view.vectors3d, view.ids2d, view.lens = v3, i2, ln
+            metrics.inc("view.append_updates")
+            metrics.inc("view.vectors_appended", B)
+
+        if row_of:
+            # Pack the rewrite blocks (host) — one slab per dirty posting.
+            B = len(row_of)
+            Bpad = _next_pow2(B)  # bucket the batch shape: O(log) variants
+            rows = np.zeros(Bpad, np.int32)
+            vblk = np.zeros((Bpad, view.pad, view.d_pad), np.float32)
+            iblk = np.full((Bpad, view.pad), -1, np.int32)
+            lblk = np.zeros(Bpad, np.int32)
+            cblk = np.zeros((Bpad, view.d_pad), np.float32)
+            vldblk = np.zeros(Bpad, bool)
+            for i, (c, row) in enumerate(sorted(row_of.items())):
+                rows[i] = row
+                if c in self.postings:
+                    ids, vecs = self.postings[c]
+                    m = len(ids)
+                    vblk[i, :m, :d] = vecs
+                    iblk[i, :m] = _ids_i32(ids)
+                    lblk[i] = m
+                    cblk[i, :d] = self.centroids[c]
+                    vldblk[i] = True
+            rows[B:] = rows[0]  # batch padding: idempotent rewrites
+            vblk[B:] = vblk[0]
+            iblk[B:] = iblk[0]
+            lblk[B:] = lblk[0]
+            cblk[B:] = cblk[0]
+            vldblk[B:] = vldblk[0]
+            sd = self.policy.storage_dtype
+            v3, i2, ln, ce, vl = _scatter_rows(
+                view.vectors3d, view.ids2d, view.lens, view.centroids,
+                view.cent_valid,
+                jnp.asarray(rows), jnp.asarray(vblk, sd), jnp.asarray(iblk),
+                jnp.asarray(lblk), jnp.asarray(cblk, sd), jnp.asarray(vldblk),
+            )
+            view.vectors3d, view.ids2d, view.lens = v3, i2, ln
+            view.centroids, view.cent_valid = ce, vl
+            # Commit the row-table changes only after the device scatter is
+            # dispatched (the plan used a copy of free_rows).
+            view.free_rows = free
+            for c, row in row_of.items():
+                if c in self.postings:
+                    view.cluster_rows[c] = row
+                    view.snapshot[c] = self.postings[c][0]
+                else:
+                    view.cluster_rows.pop(c, None)
+                    view.snapshot.pop(c, None)
+                    view.free_rows.append(row)
+            metrics.inc("view.rows_scattered", B)
+
+        view.max_dup = max(view.max_dup, self._dedup_bound())
+        metrics.inc("view.incremental_updates")
+        self._dirty_centroid = set()
+        return True
 
     # -- search ------------------------------------------------------------
 
