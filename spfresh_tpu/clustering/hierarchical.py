@@ -99,6 +99,10 @@ class ClusteringParams:
     # popular clusters absorb replicas from every neighbor and one fat
     # posting inflates the pad for the whole index.
     replica_overflow: float = 1.25
+    # Children per subdivision round ('final' replication only; 'nested'
+    # keeps the reference's binary splits).  8-way levels replace three
+    # binary levels: fewer device rounds and fewer padded shape buckets.
+    max_split_ways: int = 8
 
     def __post_init__(self):
         self.metric = canonical_metric(self.metric)
@@ -109,6 +113,8 @@ class ClusteringParams:
             raise ValueError("replication must be 'final' or 'nested'")
         if self.max_replicas < 1:
             raise ValueError("max_replicas must be >= 1")
+        if self.max_split_ways < 2:
+            raise ValueError("max_split_ways must be >= 2")
 
 
 @dataclasses.dataclass
@@ -204,6 +210,69 @@ def _final_replica_pass(X_tile, base_tile, cents, metric: str, boundary_threshol
     return idx, -vals
 
 
+@functools.partial(jax.jit, static_argnames=("metric", "num_segments", "m_ways"))
+def _split_level_multiway(
+    X, point_list, cluster_of, valid, c1_idx, seed_valid, metric: str,
+    num_segments: int, m_ways: int,
+):
+    """Batched M-WAY split of every oversized cluster at a level.
+
+    Generalizes the binary split (create_subclusters,
+    hierarchical.rs:107-135) to ``m_ways`` children per cluster in ONE level:
+    a cluster of size L needs ~ceil(L/cap) children, so a level of 8-way
+    splits replaces three binary levels — fewer device rounds, fewer padded
+    shape buckets to compile, same O(P d) memory.
+
+    Seeds are farthest-point: seed_0 = c1_idx (a random member), seed_j =
+    member farthest from all previous seeds.  Assignment folds into seed
+    selection: the running min-distance/argmin over seeds IS the final
+    nearest-seed assignment (ties to the earliest seed, matching the
+    reference's fold semantics).
+
+    seed_valid (S, m_ways) masks how many children each cluster actually
+    wants (clusters near the cap need only 2).  Returns (assign (P,) int32
+    child index, seeds (S, m_ways) int32 dataset rows, counts (S, m_ways)
+    member counts, d1 (P,) distances to seed 0 for the host-side balanced
+    fallback)."""
+    P = point_list.shape[0]
+    S = num_segments
+    pts = X[point_list]  # (P, d)
+    pos = jnp.arange(P, dtype=jnp.int32)
+
+    seeds = jnp.zeros((S, m_ways), jnp.int32)
+    seeds = seeds.at[:, 0].set(c1_idx.astype(jnp.int32))
+    d_min = rowwise_distance(pts, X[c1_idx][cluster_of], metric)  # (P,)
+    d1 = d_min
+    best_j = jnp.zeros(P, jnp.int32)
+    taken = point_list == c1_idx[cluster_of]
+
+    for j in range(1, m_ways):
+        ok = seed_valid[:, j]  # (S,) does this cluster want a j-th child?
+        # Farthest member from the chosen seeds becomes seed j.
+        d_masked = jnp.where(valid & ~taken & ok[cluster_of], d_min, -jnp.inf)
+        seg_max = jax.ops.segment_max(d_masked, cluster_of, num_segments=S)
+        at_max = (d_masked == seg_max[cluster_of]) & valid & ~taken & ok[cluster_of]
+        sj_pos = jax.ops.segment_min(
+            jnp.where(at_max, pos, P), cluster_of, num_segments=S
+        )
+        found = sj_pos < P
+        sj_pos = jnp.clip(sj_pos, 0, P - 1)
+        seed_j = point_list[sj_pos]
+        seeds = seeds.at[:, j].set(jnp.where(found, seed_j, seeds[:, 0]))
+        use = ok & found
+        d_new = rowwise_distance(pts, X[seed_j][cluster_of], metric)
+        upd = use[cluster_of] & (d_new < d_min)
+        best_j = jnp.where(upd, j, best_j)
+        d_min = jnp.where(upd, d_new, d_min)
+        taken = taken | ((pos == sj_pos[cluster_of]) & use[cluster_of])
+
+    ones = valid.astype(jnp.int32)
+    counts = jax.ops.segment_sum(
+        ones, cluster_of * m_ways + best_j, num_segments=S * m_ways
+    ).reshape(S, m_ways)
+    return best_j, seeds, counts, d1
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "closure", "num_segments"))
 def _split_level_flat(
     X, point_list, cluster_of, valid, c1_idx, metric: str, boundary_threshold,
@@ -272,11 +341,25 @@ def _split_level_flat(
 
 
 class HierarchicalClustering:
-    """Mirror of HierarchicalClustering (hierarchical.rs:43-71)."""
+    """Mirror of HierarchicalClustering (hierarchical.rs:43-71).
 
-    def __init__(self, params: ClusteringParams, data):
+    ``mesh``: optional ``jax.sharding.Mesh`` — the build's hot loops
+    (assign + medoid, subdivision levels) then run data-sharded over the mesh
+    with psum/pmax/pmin collectives, the TPU-native analogue of the
+    reference's rayon pools (hierarchical.rs:144,261,302).  Results are
+    identical to the single-device path."""
+
+    def __init__(self, params: ClusteringParams, data, mesh=None):
         self.params = params
-        self.data = jnp.asarray(data, dtype=ACCUM_DTYPE)
+        self.mesh = mesh
+        if mesh is not None:
+            from spfresh_tpu.parallel.cluster_step import replicate
+
+            self._host_data = np.asarray(data, np.float32)
+            self.data = replicate(mesh, self._host_data.astype(ACCUM_DTYPE))
+        else:
+            self._host_data = None
+            self.data = jnp.asarray(data, dtype=ACCUM_DTYPE)
         if self.data.ndim != 2:
             raise ValueError(f"data must be 2-d, got shape {self.data.shape}")
         self.clusters: List[Cluster] = []
@@ -296,8 +379,11 @@ class HierarchicalClustering:
             cap = max(1, int(round(0.18 * n)))
 
         self._initialize_clusters(k)
-        self._assign_points()
-        self._update_centroids()
+        if self.mesh is not None:
+            self._assign_and_update_sharded()
+        else:
+            self._assign_points()
+            self._update_centroids()
         self._subdivide_clusters(int(cap))
         if self.params.replication == "final":
             self._finalize_replication()
@@ -373,6 +459,36 @@ class HierarchicalClustering:
             for j, c in enumerate(self.clusters):
                 c.points = np.flatnonzero(best == j).astype(np.int64)
 
+    def _assign_and_update_sharded(self) -> None:
+        """Mesh path: one fused assign + medoid round over the data axis
+        (psum segment sums, collective medoid argmin) — replaces
+        _assign_points + _update_centroids with identical results."""
+        from spfresh_tpu.parallel.cluster_step import shard_rows, sharded_cluster_step
+
+        n = self._host_data.shape[0]
+        S = self.mesh.devices.size
+        n_pad = ((n + S - 1) // S) * S
+        Xpad = self._host_data
+        if n_pad != n:
+            # Pad with copies of row 0: ties break to the smaller (real) row
+            # id, so padding can never win a medoid or change a mask column.
+            Xpad = np.concatenate([Xpad, np.repeat(Xpad[:1], n_pad - n, axis=0)])
+        mask, _, rows = sharded_cluster_step(
+            self.mesh,
+            shard_rows(self.mesh, Xpad),
+            self.centroid_vectors(),
+            boundary_threshold=self.params.boundary_threshold,
+            metric=self.params.metric,
+            closure=self.params.replication == "nested",
+            return_rows=True,
+        )
+        mask = np.asarray(mask)[:n]
+        rows = np.asarray(rows)
+        for j, c in enumerate(self.clusters):
+            c.points = np.flatnonzero(mask[:, j]).astype(np.int64)
+            if 0 <= rows[j] < n:
+                c.centroid_idx = int(rows[j])
+
     def _finalize_replication(self) -> None:
         """SPANN multi-replica assignment: one global closure pass adding at
         most max_replicas - 1 replicas per point on top of its base cluster."""
@@ -384,10 +500,10 @@ class HierarchicalClustering:
         for ci, c in enumerate(self.clusters):
             base[c.points] = ci
         cents = self.centroid_vectors()
-        # Tile size balances the two (tile, C) distance matrices (<= ~512 MB
+        # Tile size balances the two (tile, C) distance matrices (<= ~1 GB
         # each) against per-dispatch overhead — hundreds of tiny tiles were
-        # dispatch-bound.
-        tile = max(256, min(n, (1 << 27) // max(1, len(self.clusters))))
+        # dispatch-bound (each tunnel dispatch costs ~60 ms).
+        tile = max(256, min(n, (1 << 28) // max(1, len(self.clusters))))
         extra_pts: List[np.ndarray] = []
         extra_cls: List[np.ndarray] = []
         extra_d: List[np.ndarray] = []
@@ -444,6 +560,113 @@ class HierarchicalClustering:
             c.centroid_idx = int(new[j])
 
     def _subdivide_clusters(self, cap: int) -> None:
+        if self.params.replication == "nested" or self.params.max_split_ways == 2:
+            # Reference-parity binary splits (in-split closure needs the
+            # 2-seed geometry).
+            self._subdivide_binary(cap)
+        else:
+            self._subdivide_multiway(cap)
+
+    def _subdivide_multiway(self, cap: int) -> None:
+        """Level-synchronous M-way subdivision: every oversized cluster at a
+        level splits into ~ceil(len/cap) (<= max_split_ways) children in one
+        batched device call.  Replaces ~log2 binary levels with ~log8 levels
+        — fewer rounds, fewer padded-shape compile buckets."""
+        max_ways = self.params.max_split_ways
+        level = 0
+        while True:
+            oversized = [i for i, c in enumerate(self.clusters) if len(c) > cap]
+            if not oversized:
+                break
+            level += 1
+            members = [self.clusters[i].points for i in oversized]
+            nm = len(members)
+            lens = np.array([len(m) for m in members])
+            m_c = np.ceil(lens / cap).astype(np.int64)
+            m_c = np.clip(m_c, 2, min(max_ways, int(lens.max())))
+            m_c = np.minimum(m_c, lens)
+            M = next_pow2(int(m_c.max()))  # bucket: 2 / 4 / 8 kernel variants
+            bounds = np.zeros(nm + 1, np.int64)
+            np.cumsum(lens, out=bounds[1:])
+            P = int(bounds[-1])
+            Ppad = next_pow2(P)
+            S = next_pow2(nm)
+            point_list = np.zeros(Ppad, np.int32)
+            cluster_of = np.zeros(Ppad, np.int32)
+            valid = np.zeros(Ppad, bool)
+            flat_members = np.concatenate(members)
+            point_list[:P] = flat_members
+            valid[:P] = True
+            cluster_of_np = np.repeat(np.arange(nm, dtype=np.int32), lens)
+            cluster_of[:P] = cluster_of_np
+            seed_valid = np.zeros((S, M), bool)
+            seed_valid[:nm] = np.arange(M)[None, :] < m_c[:, None]
+            offs = np.asarray(
+                jax.random.randint(
+                    jax.random.fold_in(self._key, 1000 + level),
+                    (nm,),
+                    0,
+                    jnp.asarray(np.maximum(lens, 1)),
+                )
+            )
+            c1_idx = np.zeros(S, np.int32)
+            c1_idx[:nm] = flat_members[bounds[:-1] + offs]
+            if self.mesh is not None:
+                from spfresh_tpu.parallel.build import sharded_split_level
+
+                assign, seeds, counts, d1 = sharded_split_level(
+                    self.mesh, self.data, point_list, cluster_of, valid,
+                    c1_idx, seed_valid, self.params.metric,
+                    num_segments=S, m_ways=M,
+                )
+            else:
+                assign, seeds, counts, d1 = _split_level_multiway(
+                    self.data,
+                    jnp.asarray(point_list),
+                    jnp.asarray(cluster_of),
+                    jnp.asarray(valid),
+                    jnp.asarray(c1_idx),
+                    jnp.asarray(seed_valid),
+                    self.params.metric,
+                    num_segments=S,
+                    m_ways=M,
+                )
+            assign = np.asarray(assign)[:P]
+            seeds = np.asarray(seeds)
+            counts = np.asarray(counts)[:nm]
+            # No progress = everything landed in one child (duplicate-heavy
+            # cluster): exact balanced quantile split on d1 instead.
+            degenerate = counts.max(axis=1) == lens
+            d1 = np.asarray(d1)[:P] if degenerate.any() else None
+            # Vectorized child building: one global stable sort by
+            # (cluster, child), then bincount + split — no per-cluster loops
+            # over P.
+            key = cluster_of_np * M + assign
+            order = np.argsort(key, kind="stable")
+            sorted_members = flat_members[order]
+            cnt = np.bincount(key, minlength=nm * M)
+            parts = np.split(sorted_members, np.cumsum(cnt)[:-1])
+            new_tail: List[Cluster] = []
+            for r, ci in enumerate(oversized):
+                depth = self.clusters[ci].depth + 1
+                if degenerate[r]:
+                    lo, hi = int(bounds[r]), int(bounds[r + 1])
+                    mem = members[r]
+                    order_r = np.argsort(d1[lo:hi], kind="stable")
+                    qparts = np.array_split(mem[order_r], int(m_c[r]))
+                    childs = [(int(p[0]), p) for p in qparts if len(p)]
+                else:
+                    childs = [
+                        (int(seeds[r, j]), parts[r * M + j])
+                        for j in range(M)
+                        if len(parts[r * M + j])
+                    ]
+                self.clusters[ci] = Cluster(childs[0][0], childs[0][1], depth)
+                for cidx, pts_ in childs[1:]:
+                    new_tail.append(Cluster(cidx, pts_, depth))
+            self.clusters.extend(new_tail)
+
+    def _subdivide_binary(self, cap: int) -> None:
         level = 0
         closure = self.params.replication == "nested"
         while True:

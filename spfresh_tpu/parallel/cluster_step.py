@@ -29,14 +29,19 @@ def sharded_cluster_step(
     boundary_threshold: float = 1.1,
     metric: str = "Euclidean",
     axis: Optional[str] = None,
+    closure: bool = True,
+    return_rows: bool = False,
 ):
     """One assign + medoid-update round, data-sharded.
 
     X (n, d) sharded on rows over ``axis``; cent_vecs (k, d) replicated.
     Returns (member_mask (n, k) sharded like X, new_cent_vecs (k, d)
-    replicated).  The medoid uses a global-argmin trick: each shard proposes
-    its best (distance, global_row) pair per cluster; ``pmin`` over the
-    packed pair picks the worldwide winner.
+    replicated[, medoid_rows (k,) int32 replicated when ``return_rows``]).
+    ``closure=False`` gives hard nearest-centroid assignment (the 'final'
+    replication mode of the build; closure replicas are added once at the
+    end).  The medoid uses a global-argmin trick: each shard proposes its
+    best (distance, global_row) pair per cluster and the collective picks
+    the worldwide winner with an exact integer tie-break.
     """
     axis = axis or mesh.axis_names[0]
     nshards = mesh.devices.size
@@ -54,13 +59,16 @@ def sharded_cluster_step(
         local_n = x_local.shape[0]
         row0 = shard_id * local_n
 
-        # Assignment with boundary closure (local compute, no comms).
+        # Assignment (local compute, no comms); closure replicas optional.
         D = pairwise_distance(x_local, cents, metric)  # (n_local, k)
         best = jnp.argmin(D, axis=1)
         min_d = jnp.min(D, axis=1)
-        cc = pairwise_distance(cents, cents, metric)
         onehot = jax.nn.one_hot(best, D.shape[1], dtype=bool)
-        mask = onehot | ((D < (bt * min_d)[:, None]) & (cc[best] >= D))
+        if closure:
+            cc = pairwise_distance(cents, cents, metric)
+            mask = onehot | ((D < (bt * min_d)[:, None]) & (cc[best] >= D))
+        else:
+            mask = onehot
 
         # Means: local segment sums -> psum over the mesh.
         m = mask.astype(ACCUM_DTYPE)
@@ -102,17 +110,22 @@ def sharded_cluster_step(
         contrib = jnp.where(in_shard[:, None], x_local[local_idx], 0.0)
         new_cents = jax.lax.psum(contrib, axis)  # (k, d)
         # Empty clusters keep their previous centroid.
-        new_cents = jnp.where((counts > 0)[:, None], new_cents, cents)
-        return mask, new_cents
+        empty = counts <= 0
+        new_cents = jnp.where(empty[:, None], cents, new_cents)
+        rows_out = jnp.where(empty, -1, best_rows)
+        return mask, new_cents, rows_out
 
     fn = jax.shard_map(
         step,
         mesh=mesh,
         in_specs=(P(axis), P()),
-        out_specs=(P(axis), P()),
+        out_specs=(P(axis), P(), P()),
         check_vma=False,
     )
-    return fn(X, cent_vecs)
+    mask, new_cents, rows = fn(X, cent_vecs)
+    if return_rows:
+        return mask, new_cents, rows
+    return mask, new_cents
 
 
 def _host_array(x):

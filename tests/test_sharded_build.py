@@ -1,0 +1,104 @@
+"""Sharded index build on the virtual 8-device CPU mesh: the mesh path
+(assign + medoid via collectives, sharded multi-way subdivision) must produce
+the same clustering as the single-device path, and a full sharded build must
+search correctly."""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from spfresh_tpu.clustering.hierarchical import (
+    ClusteringParams,
+    HierarchicalClustering,
+    _split_level_multiway,
+)
+from spfresh_tpu.index import Config, SpannIndex, brute_force_search
+from spfresh_tpu.parallel.build import sharded_split_level
+
+
+def _mesh(n=8):
+    return Mesh(np.array(jax.devices("cpu")[:n]), ("shard",))
+
+
+def _params(**kw):
+    kw.setdefault("metric", "Euclidean")
+    kw.setdefault("initialization_method", "KMeans++")
+    kw.setdefault("initial_k", 4)
+    kw.setdefault("rng_seed", 42)
+    kw.setdefault("desired_cluster_size", 32)
+    return ClusteringParams(**kw)
+
+
+def test_sharded_split_level_matches_single_device(rng):
+    import jax.numpy as jnp
+
+    n, d, S, M = 512, 16, 8, 8
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    # Two segments of unequal size spanning shard boundaries.
+    point_list = np.zeros(n, np.int32)
+    point_list[:n] = rng.permutation(n)
+    cluster_of = (np.arange(n) >= 200).astype(np.int32)
+    valid = np.ones(n, bool)
+    c1_idx = np.zeros(S, np.int32)
+    c1_idx[0] = point_list[0]
+    c1_idx[1] = point_list[200]
+    seed_valid = np.zeros((S, M), bool)
+    seed_valid[0, :5] = True
+    seed_valid[1, :3] = True
+
+    Xj = jnp.asarray(X)
+    a1, s1, c1, d1 = _split_level_multiway(
+        Xj, jnp.asarray(point_list), jnp.asarray(cluster_of),
+        jnp.asarray(valid), jnp.asarray(c1_idx), jnp.asarray(seed_valid),
+        "Euclidean", num_segments=S, m_ways=M,
+    )
+    mesh = _mesh()
+    from spfresh_tpu.parallel.cluster_step import replicate
+
+    a2, s2, c2, d2 = sharded_split_level(
+        mesh, replicate(mesh, X), point_list, cluster_of, valid,
+        c1_idx, seed_valid, "Euclidean", num_segments=S, m_ways=M,
+    )
+    np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+    np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+    np.testing.assert_array_equal(np.asarray(c1), np.asarray(c2))
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d2), rtol=1e-6)
+
+
+def test_sharded_fit_matches_single_device(rng):
+    X = rng.standard_normal((400, 16)).astype(np.float32)
+    hc1 = HierarchicalClustering(_params(), X).fit()
+    hc2 = HierarchicalClustering(_params(), X, mesh=_mesh()).fit()
+    assert len(hc1.clusters) == len(hc2.clusters)
+    key1 = sorted((c.centroid_idx, tuple(c.points.tolist())) for c in hc1.clusters)
+    key2 = sorted((c.centroid_idx, tuple(c.points.tolist())) for c in hc2.clusters)
+    assert key1 == key2
+
+
+def test_sharded_fit_uneven_n(rng):
+    """n not divisible by the mesh size: padding rows must not leak into any
+    cluster or win a medoid."""
+    X = rng.standard_normal((403, 8)).astype(np.float32)
+    hc = HierarchicalClustering(_params(initial_k=3), X, mesh=_mesh()).fit()
+    all_pts = np.concatenate([c.points for c in hc.clusters])
+    assert all_pts.min() >= 0 and all_pts.max() < 403
+    assert set(all_pts.tolist()) == set(range(403))  # every point placed
+    for c in hc.clusters:
+        assert 0 <= c.centroid_idx < 403
+
+
+def test_sharded_build_end_to_end_search(rng, tmp_path):
+    """Full build over the mesh -> single-chip index -> full-probe search is
+    exact (the standing recall-1.0 invariant)."""
+    X = rng.standard_normal((320, 24)).astype(np.float32)
+    params = _params(desired_cluster_size=40)
+    hc = HierarchicalClustering(params, X, mesh=_mesh()).fit()
+    cfg = Config.from_dict({"output_path": str(tmp_path / "idx")})
+    index = SpannIndex(cfg)
+    index.create_posting_lists(hc.clusters, X)
+    q = rng.standard_normal((8, 24)).astype(np.float32)
+    ids, _ = index.search(q, k=10, nprobe=index.num_clusters, engine="xla")
+    _, gt = brute_force_search(X, q, k=10)
+    for r in range(8):
+        assert set(ids[r].tolist()) == set(gt[r].tolist())
