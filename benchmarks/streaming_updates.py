@@ -76,15 +76,28 @@ def main():
         insert_s = time.perf_counter() - t0
         print(f"inserts: {args.updates / insert_s:,.0f}/s ({insert_s:.1f}s)", flush=True)
 
+        # Insert + search-visible throughput: every batch must be REACHABLE
+        # by search before the next one (forces a device-view refresh per
+        # batch — the SPFresh freshness contract, and the r1 bottleneck).
+        more_vecs = draw(args.updates)
+        more_ids = np.arange(args.n + args.updates, args.n + 2 * args.updates)
+        probe = queries[:8]
+        t0 = time.perf_counter()
+        for s in range(0, args.updates, args.batch):
+            fresh.insert_batch(more_vecs[s : s + args.batch], more_ids[s : s + args.batch])
+            fresh.search(probe, 10, nprobe=8)
+        visible_s = time.perf_counter() - t0
+        print(
+            f"insert+visible: {args.updates / visible_s:,.0f}/s ({visible_s:.1f}s, "
+            f"search refresh per {args.batch}-batch)",
+            flush=True,
+        )
+
         del_ids = rng.choice(args.n, size=args.updates // 2, replace=False)
         t0 = time.perf_counter()
         deleted = 0
-        for vid in del_ids:
-            try:
-                fresh.delete(int(vid))
-                deleted += 1
-            except KeyError:
-                pass
+        for s in range(0, len(del_ids), args.batch):
+            deleted += fresh.delete_batch(del_ids[s : s + args.batch])
         delete_s = time.perf_counter() - t0
         print(f"deletes: {deleted / delete_s:,.0f}/s ({delete_s:.1f}s)", flush=True)
 
@@ -94,9 +107,9 @@ def main():
 
         # Recall after updates against the mutated ground truth.
         live_mask = np.ones(args.n, bool)
-        live_mask[del_ids[:deleted]] = False
-        all_data = np.concatenate([data[live_mask], new_vecs])
-        all_ids = np.concatenate([np.arange(args.n)[live_mask], new_ids])
+        live_mask[del_ids] = False
+        all_data = np.concatenate([data[live_mask], new_vecs, more_vecs])
+        all_ids = np.concatenate([np.arange(args.n)[live_mask], new_ids, more_ids])
         _, gt_rows = brute_force_search(all_data, queries, 10)
         gt = all_ids[gt_rows]
         ids1, _ = fresh.search(queries, 10, nprobe=16)

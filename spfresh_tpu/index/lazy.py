@@ -7,9 +7,13 @@ larger than HBM/RAM:
 
   HBM:   centroid matrix only (the "memory" tier)
   disk:  packed CSR postings, mmap'd (native C++ reader when built)
-  query: device centroid scan -> host stages the probed slabs (native
-         batched gather + background prefetcher warming the page cache) ->
-         device rerank + top-k on the staged batch
+  query: device centroid scan -> host stages the probed slabs -> device
+         rerank + top-k on the staged batch
+
+Batches are PIPELINED: while the device uploads + reranks batch i, the next
+batch's slabs stage on a background native thread (spf_csr_gather_async;
+Python thread fallback) — the disk -> host copy hides behind device compute
+instead of serializing with it.
 
 The staging buffer is shaped (Q * nprobe, pad, d) per batch — independent of
 corpus size — so a DEEP-100M-scale index searches in O(centroids) device
@@ -37,8 +41,8 @@ from spfresh_tpu.index.spann import (
     _ids_i32,
     _round_up,
 )
-from spfresh_tpu.ops.distances import canonical_metric, pairwise_distance, rowwise_distance
-from spfresh_tpu.ops.topk import smallest_k, smallest_k_unique
+from spfresh_tpu.ops.distances import canonical_metric, rowwise_distance
+from spfresh_tpu.ops.topk import centroid_topk, smallest_k_unique
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "max_dup"))
@@ -96,17 +100,49 @@ class LazySpannIndex:
         from spfresh_tpu.index.spann import _max_multiplicity
 
         self.max_dup = _max_multiplicity(np.asarray(self._ids))
-        self._prefetcher = None
-        if prefetch_threads > 0:
-            try:
-                from spfresh_tpu import native
+        # Pipelined staging: background-stage the next batch while the device
+        # works on the current one.  prefetch_threads=0 disables the overlap.
+        self._pipeline = prefetch_threads > 0
+        self._executor = None  # lazy Python-thread fallback when no native lib
 
-                if native.available():
-                    self._prefetcher = native.NativePrefetcher(prefetch_threads)
-            except Exception:
-                self._prefetcher = None
+    @staticmethod
+    @functools.partial(jax.jit, static_argnames=("nprobe", "metric"))
+    def _centroid_topk(qb, centroids, nprobe: int, metric: str):
+        # Chunked past ~32k centroids (DEEP-scale cluster counts) — the
+        # (Q, C) matrix + giant top_k is the wrong shape there.
+        return centroid_topk(qb, centroids, None, nprobe, metric)
 
     # -- staging -----------------------------------------------------------
+
+    def _stage_async(self, rows: np.ndarray):
+        """Start staging on a background thread; returns an object with
+        .join() -> (vecs, ids, lens).  Native C++ thread when the library is
+        built; Python thread (the ctypes gather releases the GIL) otherwise;
+        synchronous fallback when pipelining is disabled."""
+        flat = rows.reshape(-1).astype(np.int32)
+        if self._pipeline and self._native is not None:
+            return self._native.gather_padded_async(flat, self.pad)
+        if self._pipeline:
+            from concurrent.futures import ThreadPoolExecutor
+
+            if self._executor is None:
+                self._executor = ThreadPoolExecutor(max_workers=1)
+            fut = self._executor.submit(self._stage, rows)
+
+            class _Join:
+                def join(self, _fut=fut):
+                    return _fut.result()
+
+            return _Join()
+
+        class _Sync:
+            def __init__(self, outer, r):
+                self._outer, self._r = outer, r
+
+            def join(self):
+                return self._outer._stage(self._r)
+
+        return _Sync(self, rows)
 
     def _stage(self, rows: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Host-gather probed postings into a (m, pad, d) slab batch."""
@@ -135,12 +171,9 @@ class LazySpannIndex:
             raise ValueError(f"query dim {queries.shape[1]} != index dim {self.dim}")
         nprobe = max(1, min(int(nprobe or self.config.search.nprobe or k), self.num_clusters))
         out_i, out_d = [], []
-        for s in range(0, queries.shape[0], batch_size):
-            qb = queries[s : s + batch_size]
-            Dc = pairwise_distance(jnp.asarray(qb), self._centroids, self.metric)
-            cent_d, rows = smallest_k(Dc, nprobe)
-            rows_np = np.asarray(rows)
-            vecs, ids, lens = self._stage(rows_np)
+
+        def finish(qb, cent_d, job):
+            vecs, ids, lens = job.join()
             Q = qb.shape[0]
             qi, qd = _rerank_staged(
                 jnp.asarray(qb),
@@ -154,15 +187,30 @@ class LazySpannIndex:
             )
             out_i.append(np.asarray(qi))
             out_d.append(np.asarray(qd))
+
+        # Software pipeline: batch i+1 stages (disk -> host, background
+        # thread) while batch i uploads + reranks on the device.
+        pending = None
+        for s in range(0, queries.shape[0], batch_size):
+            qb = queries[s : s + batch_size]
+            cent_d, rows = self._centroid_topk(
+                jnp.asarray(qb), self._centroids, nprobe, self.metric
+            )
+            job = self._stage_async(np.asarray(rows))
+            if pending is not None:
+                finish(*pending)
+            pending = (qb, cent_d, job)
+        if pending is not None:
+            finish(*pending)
         return np.concatenate(out_i).astype(np.int64), np.concatenate(out_d)
 
     def close(self):
         if self._native is not None:
             self._native.close()
             self._native = None
-        if self._prefetcher is not None:
-            self._prefetcher.close()
-            self._prefetcher = None
+        if self._executor is not None:
+            self._executor.shutdown(wait=True)
+            self._executor = None
 
     def __enter__(self):
         return self

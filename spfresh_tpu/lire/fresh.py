@@ -29,6 +29,7 @@ from spfresh_tpu.lire.operations import LireContext, Reassign, Split
 from spfresh_tpu.lire.pipeline import TaskOutcome, TwoStagePipeline
 from spfresh_tpu.lire.protocol import LireConfig, LireProtocol
 from spfresh_tpu.lire.storage import LireStorage
+from spfresh_tpu.utils import metrics
 
 log = logging.getLogger(__name__)
 
@@ -72,7 +73,9 @@ class SpFreshIndex:
         for pid in self.storage.posting_ids():
             ids, _, _ = self.storage.get_posting(pid)
             for i in ids:
-                self._id_map.setdefault(int(i), set()).add(pid)
+                self._map_add(int(i), pid)
+        if self._id_map:
+            self.index.note_multiplicity(max(len(s) for s in self._id_map.values()))
 
         ctx = LireContext(
             storage=self.storage,
@@ -90,6 +93,15 @@ class SpFreshIndex:
 
     # -- id allocation / mirror callbacks ----------------------------------
 
+    def _map_add(self, vid: int, pid: int) -> None:
+        """Record vid living in pid; replica growth (boundary-closure splits,
+        reassign windows) feeds the index's dedup-bound hint so search's
+        duplicate suppression stays exact between full view packs."""
+        s = self._id_map.setdefault(int(vid), set())
+        s.add(pid)
+        if len(s) > 1:
+            self.index.note_multiplicity(len(s))
+
     def _alloc_posting_id(self) -> int:
         with self._lock:
             cid = self.index._next_cluster_id
@@ -97,11 +109,14 @@ class SpFreshIndex:
             return cid
 
     def _on_posting_created(self, pid: int, centroid: np.ndarray) -> None:
-        ids, vecs, _ = self.storage.get_posting(pid)
         with self._lock:
+            # Snapshot INSIDE the mirror lock: reading storage before taking
+            # it lets a concurrent foreground delete's mirror update be
+            # overwritten by this (then-stale) snapshot.
+            ids, vecs, _ = self.storage.get_posting(pid)
             self.index.replace_posting(pid, ids, vecs, centroid)
             for i in ids:
-                self._id_map.setdefault(int(i), set()).add(pid)
+                self._map_add(int(i), pid)
 
     def _on_posting_retired(self, pid: int) -> None:
         with self._lock:
@@ -129,14 +144,16 @@ class SpFreshIndex:
         pid = res.partitions_affected[0]
         with self._lock:
             entry = self.index.postings.get(pid)
-            if entry is not None:
+            # Skip when a background op's mirror sync already included the
+            # new vector (it reads storage, where the append landed first).
+            if entry is not None and not (entry[0] == int(vector_id)).any():
                 ids, vecs = entry
                 self.index.replace_posting(
                     pid,
                     np.append(ids, np.int64(vector_id)),
                     np.concatenate([vecs, vector[None, :]]),
                 )
-                self._id_map.setdefault(int(vector_id), set()).add(pid)
+                self._map_add(int(vector_id), pid)
             # else: a background split retired ``pid`` after the storage
             # append; the split's version guard re-read the posting including
             # this vector, and the successor callbacks mirrored it already.
@@ -173,13 +190,13 @@ class SpFreshIndex:
                     touched.update(res.partitions_affected)
                     with self._lock:
                         for p in res.partitions_affected:
-                            self._id_map.setdefault(int(vector_ids[j]), set()).add(p)
+                            self._map_add(int(vector_ids[j]), p)
                 continue
             versions[grp] = vs
             touched.add(pid)
             with self._lock:
                 for vid in vector_ids[grp]:
-                    self._id_map.setdefault(int(vid), set()).add(pid)
+                    self._map_add(int(vid), pid)
             if self.protocol.needs_split(pid):
                 self.protocol.schedule_maintenance(Split(pid))
         self._sync_mirror(touched)
@@ -229,6 +246,54 @@ class SpFreshIndex:
             raise KeyError(f"vector {vector_id} not found in any live posting")
         return versions
 
+    def delete_batch(self, vector_ids) -> int:
+        """Tombstone many vectors (replicas included): one storage batch and
+        one mirror refresh per touched posting instead of per-vector file
+        writes.  Returns how many of the requested ids had a live copy."""
+        from spfresh_tpu.lire.storage import LireStorageError
+
+        by_pid: Dict[int, List[int]] = {}
+        with self._lock:
+            for vid in vector_ids:
+                vid = int(vid)
+                pids = self._id_map.get(vid) or self.storage.postings_of(vid)
+                for pid in pids:
+                    by_pid.setdefault(pid, []).append(vid)
+        deleted: Set[int] = set()
+        for pid, vids in sorted(by_pid.items()):
+            try:
+                hit_ids, _ = self.storage.mark_deleted_batch(pid, vids)
+            except LireStorageError:
+                # Posting retired since the map snapshot: its successors were
+                # re-routed through the reverse index below.
+                for vid in vids:
+                    for other in self.storage.postings_of(vid):
+                        try:
+                            h, _ = self.storage.mark_deleted_batch(other, [vid])
+                        except LireStorageError:
+                            continue
+                        if h:
+                            deleted.add(vid)
+                continue
+            deleted.update(hit_ids)
+            metrics.inc("lire.delete", len(hit_ids))
+            with self._lock:
+                if pid in self.index.postings:
+                    ids, vecs = self.index.postings[pid]
+                    keep = ~np.isin(ids, hit_ids)
+                    self.index.replace_posting(pid, ids[keep], vecs[keep])
+                for vid in hit_ids:
+                    self._id_map.get(vid, set()).discard(pid)
+            if self.protocol.needs_merge(pid):
+                merge = self.protocol._plan_merge(pid)
+                if merge is not None:
+                    self.protocol.schedule_maintenance(merge)
+            if self.storage.needs_garbage_collection(
+                pid, self.lire_config.gc_threshold
+            ):
+                self.storage.collect_garbage(pid)
+        return len(deleted)
+
     # -- search ------------------------------------------------------------
 
     def search(self, queries, k: int, **kw) -> Tuple[np.ndarray, np.ndarray]:
@@ -277,7 +342,7 @@ class SpFreshIndex:
                         continue
                     ids, _, _ = self.storage.get_posting(pid)
                     for i in ids:
-                        self._id_map.setdefault(int(i), set()).add(pid)
+                        self._map_add(int(i), pid)
             return
         # After a successful split, boundary vectors near the two new
         # postings may belong elsewhere now — schedule Reassign (SPFresh

@@ -150,7 +150,12 @@ class LireStorage:
         """Batched append: one lock acquisition, one log-file open, one
         metadata write for the whole batch (store_vector pays a file
         open+write per vector — measured 53 inserts/s vs thousands here)."""
-        vectors = np.asarray(vectors, np.float32).reshape(len(vector_ids), -1)
+        vectors = np.asarray(vectors, np.float32)
+        vectors = (
+            vectors.reshape(len(vector_ids), -1)
+            if len(vector_ids)
+            else vectors.reshape(0, self.dim)
+        )
         if vectors.shape[1] != self.dim:
             raise LireStorageError(
                 f"vector dim {vectors.shape[1]} != storage dim {self.dim}"
@@ -230,12 +235,14 @@ class LireStorage:
             self._save_metadata(posting_id)
         return version
 
-    def mark_deleted_batch(self, posting_id: int, vector_ids) -> List[int]:
+    def mark_deleted_batch(
+        self, posting_id: int, vector_ids
+    ) -> Tuple[List[int], List[int]]:
         """Batched tombstones: one lock acquisition, one log-file open, one
         metadata write for the whole batch (Reassign moves thousands of
         vectors after a big split — per-vector file ops were the bottleneck
         on a 1-core host).  Unknown/already-deleted ids are skipped; returns
-        the version stamps of the tombstones actually written."""
+        (hit_ids, versions) for the tombstones actually written."""
         versions: List[int] = []
         with self._lock:
             p = self._postings.get(posting_id)
@@ -250,7 +257,7 @@ class LireStorage:
                 hit_ids.append(int(vid))
                 versions.append(self._next_version())
             if not hit_ids:
-                return []
+                return [], []
             path = self._log_path(posting_id)
             new = not os.path.exists(path)
             zeros = np.zeros(self.dim, "<f4").tobytes()
@@ -264,7 +271,7 @@ class LireStorage:
             meta.version = versions[-1]
             meta.vector_count -= len(hit_ids)
             self._save_metadata(posting_id)
-        return versions
+        return hit_ids, versions
 
     def get_posting(
         self, posting_id: int, include_deleted: bool = False
@@ -348,7 +355,10 @@ class LireStorage:
         """Bulk-load an existing posting (index adoption path): one lock
         acquisition and one log write for the whole list."""
         ids = np.asarray(ids, np.int64)
-        vectors = np.asarray(vectors, np.float32).reshape(len(ids), -1)
+        vectors = np.asarray(vectors, np.float32)
+        vectors = (
+            vectors.reshape(len(ids), -1) if len(ids) else vectors.reshape(0, self.dim)
+        )
         with self._lock:
             if posting_id in self._postings:
                 raise LireStorageError(f"posting {posting_id} already exists")

@@ -77,17 +77,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.spf_vecs_shape.restype = c.c_int64
         lib.spf_vecs_read.argtypes = [c.c_char_p, c.c_int32, c.c_void_p]
         lib.spf_vecs_read.restype = c.c_int32
-        lib.spf_log_append.argtypes = [
-            c.c_char_p, c.c_int32, c.c_int64, c.c_int64,
-            c.POINTER(c.c_float), c.c_int32,
+        lib.spf_csr_gather_async.argtypes = [
+            c.c_void_p, c.POINTER(c.c_int32), c.c_int32, c.c_int32,
+            c.POINTER(c.c_float), c.POINTER(c.c_int64), c.POINTER(c.c_int32),
         ]
-        lib.spf_log_append.restype = c.c_int32
-        lib.spf_prefetcher_create.argtypes = [c.c_int32, c.c_int64]
-        lib.spf_prefetcher_create.restype = c.c_void_p
-        lib.spf_prefetcher_destroy.argtypes = [c.c_void_p]
-        lib.spf_prefetcher_request.argtypes = [c.c_void_p, c.c_char_p]
-        lib.spf_prefetcher_get.argtypes = [c.c_void_p, c.c_char_p, c.c_void_p, c.c_int64]
-        lib.spf_prefetcher_get.restype = c.c_int64
+        lib.spf_csr_gather_async.restype = c.c_void_p
+        lib.spf_csr_gather_join.argtypes = [c.c_void_p]
+        lib.spf_csr_gather_join.restype = c.c_int32
         _lib = lib
         return _lib
 
@@ -150,6 +146,24 @@ class NativeCsr:
             raise IndexError("bad posting index in gather")
         return vecs, ids, lens
 
+    def gather_padded_async(self, indices: np.ndarray, pad: int) -> "AsyncGather":
+        """Start staging on a background native thread; overlap the copy
+        with device compute and call .join() when the slabs are needed."""
+        indices = np.ascontiguousarray(indices, np.int32)
+        m = len(indices)
+        vecs = np.zeros((m, pad, self.dim), np.float32)
+        ids = np.empty((m, pad), np.int64)
+        lens = np.empty((m,), np.int32)
+        job = self._lib.spf_csr_gather_async(
+            self._h,
+            indices.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            m, pad,
+            vecs.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+        return AsyncGather(self._lib, job, vecs, ids, lens)
+
     def close(self):
         if self._h:
             self._lib.spf_csr_close(self._h)
@@ -158,6 +172,29 @@ class NativeCsr:
     def __del__(self):  # pragma: no cover
         try:
             self.close()
+        except Exception:
+            pass
+
+
+class AsyncGather:
+    """Handle for an in-flight native staging job; owns the output buffers."""
+
+    def __init__(self, lib, job, vecs, ids, lens):
+        self._lib = lib
+        self._job = job
+        self._out = (vecs, ids, lens)
+
+    def join(self):
+        if self._job:
+            rc = self._lib.spf_csr_gather_join(self._job)
+            self._job = None
+            if rc != 0:
+                raise IndexError("bad posting index in async gather")
+        return self._out
+
+    def __del__(self):  # pragma: no cover - safety net
+        try:
+            self.join()
         except Exception:
             pass
 
@@ -182,34 +219,3 @@ def read_vecs_native(path: str, kind: str = "f") -> Optional[np.ndarray]:
     return out
 
 
-class NativePrefetcher:
-    """Background file-staging pool (disk -> RAM ahead of device upload)."""
-
-    def __init__(self, n_threads: int = 2, capacity_bytes: int = 1 << 30):
-        lib = get_lib()
-        if lib is None:
-            raise RuntimeError("native library unavailable")
-        self._lib = lib
-        self._h = lib.spf_prefetcher_create(n_threads, capacity_bytes)
-
-    def request(self, path: str) -> None:
-        self._lib.spf_prefetcher_request(self._h, path.encode())
-
-    def get(self, path: str) -> Optional[bytes]:
-        sz = self._lib.spf_prefetcher_get(self._h, path.encode(), None, 0)
-        if sz < 0:
-            return None
-        buf = ctypes.create_string_buffer(int(sz))
-        self._lib.spf_prefetcher_get(self._h, path.encode(), buf, sz)
-        return buf.raw
-
-    def close(self):
-        if self._h:
-            self._lib.spf_prefetcher_destroy(self._h)
-            self._h = None
-
-    def __del__(self):  # pragma: no cover
-        try:
-            self.close()
-        except Exception:
-            pass

@@ -2,18 +2,14 @@
 //
 // The reference implementation is native end-to-end (Rust); the TPU build
 // keeps the *compute* path in XLA/Pallas and implements the host runtime
-// around it natively here: mmap'd posting storage, vecs-format IO, the
-// LIRE append-log, and a background prefetcher that stages posting files
-// into RAM ahead of device upload (the host half of the disk -> host ->
-// HBM streaming pipeline).
+// around it natively here: mmap'd posting storage, vecs-format IO, and an
+// async batched gather that stages posting slabs in RAM ahead of device
+// upload (the host half of the disk -> host -> HBM streaming pipeline).
 //
 // Exposed as a C ABI consumed via ctypes (no pybind11 in the image).
 // Parity anchors:
 //   posting files + manifest  /root/reference/src/spann/posting_lists.rs:26-129
 //   fvecs/ivecs readers       /root/reference/src/main.rs:10-70
-//   LIRE append log           /root/reference/src/spann/lire/storage.rs:85-173
-//     (completed semantics — the reference's file format was unfinished,
-//      SURVEY.md quirk 4)
 
 #include <atomic>
 #include <condition_variable>
@@ -209,113 +205,36 @@ API int32_t spf_vecs_read(const char* path, int32_t elem_size, void* out) {
 }
 
 // ---------------------------------------------------------------------------
-// LIRE append log (format: spfresh_tpu/lire/storage.py)
-//   magic "SPFLOG1\0" | dim:i32 | records: op:u8 id:i64 version:i64 vec[dim]:f32
+// Async padded gather: stage the NEXT query batch's posting slabs on a
+// background thread while the device reranks the current one (the host half
+// of the disk -> host -> HBM double-buffer pipeline).  The caller owns the
+// output buffers and must keep them alive until spf_csr_gather_join.
 // ---------------------------------------------------------------------------
 
-API int32_t spf_log_append(const char* path, int32_t op, int64_t id,
-                           int64_t version, const float* vec, int32_t dim) {
-  FILE* f = fopen(path, "ab");
-  if (!f) return -1;
-  fseek(f, 0, SEEK_END);
-  if (ftell(f) == 0) {
-    fwrite("SPFLOG1\0", 1, 8, f);
-    fwrite(&dim, 4, 1, f);
-  }
-  uint8_t op8 = static_cast<uint8_t>(op);
-  fwrite(&op8, 1, 1, f);
-  fwrite(&id, 8, 1, f);
-  fwrite(&version, 8, 1, f);
-  fwrite(vec, sizeof(float), dim, f);
-  fclose(f);
-  return 0;
-}
-
-// ---------------------------------------------------------------------------
-// Posting prefetcher: background threads stage posting files into RAM so
-// query-time fetches hit memory, not disk (the host half of the
-// disk -> host -> HBM double-buffer pipeline).
-// ---------------------------------------------------------------------------
-
-struct Prefetcher {
-  std::mutex mu;
-  std::condition_variable cv;
-  std::deque<std::string> queue;
-  std::unordered_map<std::string, std::vector<char>> cache;
-  size_t capacity_bytes;
-  size_t used_bytes = 0;
-  std::vector<std::thread> workers;
-  std::atomic<bool> stop{false};
-
-  explicit Prefetcher(int n_threads, size_t cap) : capacity_bytes(cap) {
-    for (int i = 0; i < n_threads; ++i)
-      workers.emplace_back([this] { run(); });
-  }
-
-  ~Prefetcher() {
-    stop.store(true);
-    cv.notify_all();
-    for (auto& t : workers) t.join();
-  }
-
-  void run() {
-    for (;;) {
-      std::string path;
-      {
-        std::unique_lock<std::mutex> lk(mu);
-        cv.wait(lk, [this] { return stop.load() || !queue.empty(); });
-        if (stop.load()) return;
-        path = queue.front();
-        queue.pop_front();
-        if (cache.count(path)) continue;
-      }
-      FILE* f = fopen(path.c_str(), "rb");
-      if (!f) continue;
-      fseek(f, 0, SEEK_END);
-      long sz = ftell(f);
-      fseek(f, 0, SEEK_SET);
-      std::vector<char> buf(sz);
-      size_t rd = fread(buf.data(), 1, sz, f);
-      fclose(f);
-      if (rd != (size_t)sz) continue;
-      std::lock_guard<std::mutex> lk(mu);
-      // Naive FIFO eviction at capacity.
-      while (used_bytes + buf.size() > capacity_bytes && !cache.empty()) {
-        auto it = cache.begin();
-        used_bytes -= it->second.size();
-        cache.erase(it);
-      }
-      used_bytes += buf.size();
-      cache.emplace(std::move(path), std::move(buf));
-    }
-  }
+struct GatherJob {
+  std::thread worker;
+  int32_t rc = 0;
 };
 
-API void* spf_prefetcher_create(int32_t n_threads, int64_t capacity_bytes) {
-  return new Prefetcher(n_threads, (size_t)capacity_bytes);
+API void* spf_csr_gather_async(void* handle, const int32_t* indices,
+                               int32_t count, int32_t pad, float* out_vecs,
+                               int64_t* out_ids, int32_t* out_lens) {
+  auto* job = new GatherJob();
+  // Copy the index list: the caller's array may be freed before the join.
+  std::vector<int32_t> idx(indices, indices + count);
+  job->worker = std::thread([=, idx = std::move(idx)]() mutable {
+    job->rc = spf_csr_gather_padded(handle, idx.data(), count, pad, out_vecs,
+                                    out_ids, out_lens);
+  });
+  return job;
 }
 
-API void spf_prefetcher_destroy(void* p) { delete static_cast<Prefetcher*>(p); }
-
-API void spf_prefetcher_request(void* p, const char* path) {
-  auto* pf = static_cast<Prefetcher*>(p);
-  {
-    std::lock_guard<std::mutex> lk(pf->mu);
-    pf->queue.emplace_back(path);
-  }
-  pf->cv.notify_one();
-}
-
-// Returns size if cached (copied into out when out != nullptr), else -1.
-API int64_t spf_prefetcher_get(void* p, const char* path, void* out,
-                               int64_t out_cap) {
-  auto* pf = static_cast<Prefetcher*>(p);
-  std::lock_guard<std::mutex> lk(pf->mu);
-  auto it = pf->cache.find(path);
-  if (it == pf->cache.end()) return -1;
-  int64_t sz = (int64_t)it->second.size();
-  if (out && out_cap >= sz) memcpy(out, it->second.data(), sz);
-  return sz;
+API int32_t spf_csr_gather_join(void* j) {
+  auto* job = static_cast<GatherJob*>(j);
+  job->worker.join();
+  int32_t rc = job->rc;
+  delete job;
+  return rc;
 }
 
 API const char* spf_version() { return "spfresh-native 0.1.0"; }

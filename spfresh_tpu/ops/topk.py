@@ -15,6 +15,67 @@ import functools
 import jax
 import jax.numpy as jnp
 
+# Centroid counts past this use the chunked scan in the search kernels: one
+# (Q, C) distance matrix + top_k over C columns stops being the right shape
+# for XLA's selection at ~100k+ columns (VMEM blowout + O(C log C) select).
+LARGE_C_THRESHOLD = 32_768
+
+
+@functools.partial(jax.jit, static_argnames=("nprobe", "metric", "chunk"))
+def chunked_centroid_topk(qf, centroids, cent_valid, nprobe: int,
+                          metric: str = "Euclidean", chunk: int = 8192):
+    """Fused centroid scan + running top-nprobe for LARGE centroid counts.
+
+    Streams the (C, d) centroid matrix in ``chunk``-row tiles: each step
+    computes the (Q, chunk) distance block on the MXU and folds it into the
+    running per-query best-nprobe via a (nprobe + chunk)-column top_k — the
+    full (Q, C) matrix never materializes and selection cost is
+    O(C/chunk * (chunk + nprobe) log nprobe) instead of one giant sort.
+    Exact: every centroid is scanned.  Returns (dists, indices) (Q, nprobe).
+    """
+    from spfresh_tpu.ops.distances import pairwise_distance
+
+    C, d = centroids.shape
+    Q = qf.shape[0]
+    chunk = min(chunk, C)
+    n_chunks = (C + chunk - 1) // chunk
+    pad_c = n_chunks * chunk
+    cent_p = jnp.pad(centroids, ((0, pad_c - C), (0, 0)))
+    valid_p = jnp.pad(cent_valid, (0, pad_c - C))
+
+    def body(i, state):
+        best_d, best_i = state
+        start = i * chunk
+        block = jax.lax.dynamic_slice(cent_p, (start, 0), (chunk, d))
+        bval = jax.lax.dynamic_slice(valid_p, (start,), (chunk,))
+        D = pairwise_distance(qf, block, metric)
+        col = start + jax.lax.broadcasted_iota(jnp.int32, (Q, chunk), 1)
+        D = jnp.where(bval[None, :] & (col < C), D, jnp.inf)
+        cat_d = jnp.concatenate([best_d, D], axis=1)
+        cat_i = jnp.concatenate([best_i, col], axis=1)
+        vals, idx = smallest_k(cat_d, nprobe)
+        return vals, jnp.take_along_axis(cat_i, idx, axis=1)
+
+    init = (jnp.full((Q, nprobe), jnp.inf), jnp.zeros((Q, nprobe), jnp.int32))
+    return jax.lax.fori_loop(0, n_chunks, body, init)
+
+
+def centroid_topk(qf, centroids, cent_valid, nprobe: int, metric: str):
+    """Stage-1 probe used by every search kernel: dense (Q, C) scan + top_k
+    for ordinary centroid counts, the chunked streaming scan past
+    LARGE_C_THRESHOLD.  ``cent_valid`` may be None (all rows valid).  Traced
+    under jit, so the branch is resolved statically per shape."""
+    from spfresh_tpu.ops.distances import pairwise_distance
+
+    C = centroids.shape[0]
+    if cent_valid is None:
+        cent_valid = jnp.ones((C,), bool)
+    if C > LARGE_C_THRESHOLD and nprobe <= 1024:
+        return chunked_centroid_topk(qf, centroids, cent_valid, nprobe, metric)
+    Dc = pairwise_distance(qf, centroids, metric)
+    Dc = jnp.where(cent_valid[None, :], Dc, jnp.inf)
+    return smallest_k(Dc, nprobe)
+
 
 @functools.partial(jax.jit, static_argnames=("k",))
 def smallest_k(dists: jnp.ndarray, k: int):

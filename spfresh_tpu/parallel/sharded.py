@@ -132,21 +132,36 @@ class ShardedSpannIndex:
 
     # -- search ------------------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnames=("self", "k", "nprobe"))
-    def _sharded_search(self, queries, view_arrays, k: int, nprobe: int):
+    @functools.partial(jax.jit, static_argnames=("self", "k", "nprobe", "prune"))
+    def _sharded_search(self, queries, view_arrays, prune_factor, k: int,
+                        nprobe: int, prune: bool = False):
         view = self.view()
         axis = self.axis
         metric, pad = self.metric, view.pad
         centroids, cent_valid, offsets, lens, ids, vectors = view_arrays
 
-        def shard_fn(q, cent, cvalid, offs, lns, pids, pvecs):
+        def shard_fn(q, pf, cent, cvalid, offs, lns, pids, pvecs):
             # Drop the unit shard axis of each local block.
             cent, cvalid, offs, lns, pids, pvecs = (
                 a[0] for a in (cent, cvalid, offs, lns, pids, pvecs)
             )
-            _, local_d, local_i = _local_search(
+            raw_d, cand_ids, local_cd = _local_candidates(
                 q, cent, cvalid, offs, lns, pids, pvecs,
                 k=k, nprobe=nprobe, pad=pad, metric=metric,
+            )
+            if prune:
+                # Reference-style dynamic pruning against the GLOBAL nearest
+                # centroid distance: pmin over shards keeps the threshold
+                # identical to the single-chip semantics.
+                global_cd = jax.lax.pmin(local_cd, axis)  # (Q,)
+                thr = pf.astype(raw_d.dtype) * (global_cd + _F32_EPS)
+                raw_d = jnp.where(raw_d <= thr[:, None], raw_d, jnp.inf)
+            # Local DISTINCT top-k: duplicates of one point (replicas in two
+            # postings on the same shard) must not evict a true neighbor from
+            # the shard's k slots — with dedup, any global top-k point living
+            # on this shard provably survives into the local top-k.
+            local_d, local_i = smallest_k_unique(
+                raw_d, cand_ids, min(k, raw_d.shape[1]), max_dup=view.max_dup
             )
             # ICI collective: everyone sees every shard's local top-k.
             all_d = jax.lax.all_gather(local_d, axis)  # (S, Q, k)
@@ -165,40 +180,50 @@ class ShardedSpannIndex:
         return jax.shard_map(
             shard_fn,
             mesh=self.mesh,
-            in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+            in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
             out_specs=(P(), P()),
             check_vma=False,
-        )(queries, centroids, cent_valid, offsets, lens, ids, vectors)
+        )(queries, prune_factor, centroids, cent_valid, offsets, lens, ids, vectors)
 
     def search(
-        self, queries, k: int, nprobe: Optional[int] = None, batch_size: int = 1024
+        self, queries, k: int, nprobe: Optional[int] = None,
+        prune_factor: Optional[float] = None, batch_size: int = 1024,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Batched multi-chip search.  ``nprobe`` is per shard (a safe
         superset of the single-chip semantics: S shards probe S*nprobe lists
-        in total)."""
+        in total).  ``prune_factor`` enables reference-style dynamic pruning
+        against the global nearest-centroid distance."""
         view = self.view()
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         if nprobe is None:
             nprobe = self.index.config.search.nprobe or k
         nprobe = max(1, min(int(nprobe), int(view.centroids.shape[1])))
+        if prune_factor is None:
+            prune_factor = self.index.config.search.prune_factor
+        prune = prune_factor is not None
         arrays = (
             view.centroids, view.cent_valid, view.offsets,
             view.lens, view.ids, view.vectors,
         )
         qspec = NamedSharding(self.mesh, P())
+        pf = jax.device_put(
+            np.float32(prune_factor if prune else 0.0), qspec
+        )
         out_i, out_d = [], []
         for s in range(0, queries.shape[0], batch_size):
             qi, qd = self._sharded_search(
                 jax.device_put(queries[s : s + batch_size], qspec),
-                arrays, int(k), nprobe,
+                arrays, pf, int(k), nprobe, prune,
             )
             out_i.append(np.asarray(qi))
             out_d.append(np.asarray(qd))
         return np.concatenate(out_i).astype(np.int64), np.concatenate(out_d)
 
 
-def _local_search(q, cent, cvalid, offs, lns, pids, pvecs, *, k, nprobe, pad, metric):
-    """Local (per-shard) probe/gather/rerank returning (raw_d, top_d, top_i)."""
+def _local_candidates(q, cent, cvalid, offs, lns, pids, pvecs, *, k, nprobe, pad, metric):
+    """Local (per-shard) probe/gather/rerank: returns the full candidate set
+    (d (Q, n_cand), cand_ids (Q, n_cand)) plus the shard's nearest-centroid
+    distance (Q,) for global pruning."""
     Q = q.shape[0]
     qf = q.astype(cent.dtype)
     Dc = pairwise_distance(qf, cent, metric)
@@ -222,5 +247,4 @@ def _local_search(q, cent, cvalid, offs, lns, pids, pvecs, *, k, nprobe, pad, me
         cand_ids = jnp.concatenate(
             [cand_ids, jnp.full((Q, padc), -1, cand_ids.dtype)], axis=1
         )
-    vals, idx = jax.lax.top_k(-d, k)
-    return d, -vals, jnp.take_along_axis(cand_ids, idx, axis=-1)
+    return d, cand_ids, cent_d[:, 0]

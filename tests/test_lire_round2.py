@@ -75,8 +75,8 @@ def test_mark_deleted_batch(tmp_path):
     s = _mk(tmp_path)
     for i in range(6):
         s.store_vector(0, i, np.full(2, i, np.float32))
-    versions = s.mark_deleted_batch(0, [1, 3, 99, 3])  # 99 unknown, 3 repeated
-    assert len(versions) == 2
+    hit_ids, versions = s.mark_deleted_batch(0, [1, 3, 99, 3])  # 99 unknown, 3 repeated
+    assert hit_ids == [1, 3] and len(versions) == 2
     assert s.get_vector_count(0) == 4
     ids, _, _ = s.get_posting(0)
     assert sorted(ids.tolist()) == [0, 2, 4, 5]
@@ -215,3 +215,20 @@ def test_reassign_batched_moves_and_survives_dst_retirement(tmp_path):
     assert s.postings_of(1) == [1]
     assert s.postings_of(2) == [2]
     assert s.get_vector_count(0) == 0
+
+
+def test_delete_batch_can_empty_a_posting(tmp_path, rng):
+    """Deleting every member of a posting must not crash the mirror refresh
+    (the (0, -1) reshape bug the round-2 drive caught)."""
+    from spfresh_tpu.index import Config, SpannIndex
+    from spfresh_tpu.lire import SpFreshIndex
+
+    data = rng.standard_normal((40, 8)).astype(np.float32)
+    index = SpannIndex(Config())
+    for c in range(4):
+        ids = np.arange(c * 10, (c + 1) * 10, dtype=np.int64)
+        index.add_cluster(data[ids], ids, centroid=data[ids[0]])
+    with SpFreshIndex(index, str(tmp_path / "st"), LireConfig(min_partition_size=0)) as fresh:
+        assert fresh.delete_batch(np.arange(0, 10)) == 10  # all of posting 0
+        ids_, _ = fresh.search(data[:4], k=5, nprobe=4)
+        assert not (set(ids_.ravel().tolist()) & set(range(10)))

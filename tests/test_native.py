@@ -1,9 +1,6 @@
 """Native C++ runtime tests: build the shared library, exercise CSR mmap
-reads, vecs IO, padded gather, and the prefetcher against the pure-Python
+reads, vecs IO, and the sync/async padded gathers against the pure-Python
 implementations."""
-
-import os
-import time
 
 import numpy as np
 import pytest
@@ -66,20 +63,17 @@ def test_native_vecs_reader_matches_python(tmp_path, rng):
     np.testing.assert_array_equal(native.read_vecs_native(pi, "i"), ivec)
 
 
-def test_native_prefetcher(tmp_path):
-    payload = os.urandom(4096)
-    p = str(tmp_path / "blob.bin")
-    with open(p, "wb") as f:
-        f.write(payload)
-    pf = native.NativePrefetcher(n_threads=1, capacity_bytes=1 << 20)
-    assert pf.get(p) is None  # not yet requested
-    pf.request(p)
-    deadline = time.time() + 5
-    got = None
-    while time.time() < deadline:
-        got = pf.get(p)
-        if got is not None:
-            break
-        time.sleep(0.01)
-    assert got == payload
-    pf.close()
+def test_native_async_gather_matches_sync(tmp_path, rng):
+    path, offsets, ids, vecs = _write_csr(tmp_path, rng)
+    csr = native.NativeCsr(path)
+    want = csr.gather_padded(np.array([2, 0, 1]), pad=8)
+    job = csr.gather_padded_async(np.array([2, 0, 1]), pad=8)
+    got = job.join()
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(w, g)
+    job.join()  # idempotent
+    # A bad index surfaces at join time.
+    bad = csr.gather_padded_async(np.array([99]), pad=8)
+    with pytest.raises(IndexError):
+        bad.join()
+    csr.close()

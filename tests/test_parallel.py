@@ -97,3 +97,52 @@ def test_sharded_cluster_step_rejects_ragged(rng):
         # step itself must reject it loudly.
         X = shard_rows(mesh, rng.standard_normal((250, 4)).astype(np.float32))
         sharded_cluster_step(mesh, X, C)
+
+
+def test_sharded_pruned_search_matches_single_device(tmp_path, rng):
+    """Dynamic pruning on the sharded path uses the GLOBAL nearest-centroid
+    threshold — results must equal the single-chip pruned search."""
+    index, data = _build(tmp_path, rng)
+    sharded = ShardedSpannIndex(index, default_mesh())
+    queries = rng.standard_normal((12, 8)).astype(np.float32)
+    ids_s, d_s = sharded.search(
+        queries, k=8, nprobe=index.num_clusters, prune_factor=1.2
+    )
+    ids_1, d_1 = index.search(
+        queries, k=8, nprobe=index.num_clusters, prune_factor=1.2, engine="xla"
+    )
+    np.testing.assert_array_equal(ids_s, ids_1)
+    finite = np.isfinite(d_1)
+    np.testing.assert_allclose(d_s[finite], d_1[finite], rtol=1e-5)
+
+
+def test_spfresh_updates_visible_to_sharded_search(tmp_path, rng):
+    """SpFresh live updates on a sharded index: inserts/deletes land, the
+    sharded view refreshes (generation check), and results keep matching the
+    single-device path."""
+    from spfresh_tpu.lire import LireConfig, SpFreshIndex
+
+    index, data = _build(tmp_path, rng, n=300, cap=50)
+    sharded = ShardedSpannIndex(index, default_mesh())
+    q = rng.standard_normal((6, 8)).astype(np.float32)
+    sharded.search(q, k=5, nprobe=index.num_clusters)  # build the view once
+
+    with SpFreshIndex(
+        index, str(tmp_path / "store"), LireConfig(max_partition_size=80, min_partition_size=2)
+    ) as fresh:
+        new_vecs = rng.standard_normal((40, 8)).astype(np.float32)
+        new_ids = np.arange(10_000, 10_040)
+        fresh.insert_batch(new_vecs, new_ids)
+        fresh.delete_batch(np.arange(0, 10))
+        fresh.flush()
+
+        ids_s, d_s = sharded.search(q, k=10, nprobe=index.num_clusters)
+        ids_1, d_1 = index.search(q, k=10, nprobe=index.num_clusters, engine="xla")
+        for r in range(6):
+            assert set(ids_s[r].tolist()) == set(ids_1[r].tolist())
+        # Inserted vectors are reachable through the sharded path...
+        hit, _ = sharded.search(new_vecs[:4], k=1, nprobe=index.num_clusters)
+        assert set(hit[:, 0].tolist()) <= set(new_ids.tolist())
+        # ...and deleted ones are gone.
+        all_ids, _ = sharded.search(q, k=10, nprobe=index.num_clusters)
+        assert not (set(all_ids.ravel().tolist()) & set(range(10)))
