@@ -68,6 +68,15 @@ def main():
         ids0, _ = fresh.search(queries, 10, nprobe=16)
         print(f"recall before updates: {recall_at_k(ids0, gt0, 10):.4f}", flush=True)
 
+        # Warm the update path once (routing kernel + the fixed-shape view
+        # scatters) so the timers below measure steady state, not compiles.
+        warm_vecs = draw(32)
+        warm_ids = np.arange(9_000_000, 9_000_032)
+        fresh.insert_batch(warm_vecs, warm_ids)
+        fresh.search(queries[:8], 10, nprobe=8)
+        fresh.delete_batch(warm_ids)
+        fresh.search(queries[:8], 10, nprobe=8)
+
         new_vecs = draw(args.updates)
         new_ids = np.arange(args.n, args.n + args.updates)
         t0 = time.perf_counter()

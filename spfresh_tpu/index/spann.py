@@ -273,17 +273,21 @@ def _pack_slabs(flat_vecs, flat_ids, slots, Cpad: int, pad: int, d_pad: int):
     return v, i
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2))
-def _scatter_appends(vectors3d, ids2d, lens, slots, vblk, iblk, rows, new_lens):
+@functools.partial(jax.jit, donate_argnums=(0, 1))
+def _scatter_appends(vectors3d, ids2d, slots, vblk, iblk):
     """Row-level append scatter: write B new member rows at their flat slab
-    slots (row * pad + position) and bump the touched rows' lengths.  The
-    upload is O(B * d_pad) — the appended vectors only — not whole slabs.
-    Duplicate slots (batch padding) carry identical rows."""
+    slots (row * pad + position).  The upload is O(B * d_pad) — the appended
+    vectors only — not whole slabs.  Duplicate slots (chunk padding) carry
+    identical rows."""
     C, pad, dp = vectors3d.shape
     v = vectors3d.reshape(C * pad, dp).at[slots].set(vblk).reshape(C, pad, dp)
     i = ids2d.reshape(C * pad).at[slots].set(iblk).reshape(C, pad)
-    l = lens.at[rows].set(new_lens)
-    return v, i, l
+    return v, i
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _scatter_lens(lens, rows, new_lens):
+    return lens.at[rows].set(new_lens)
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
@@ -360,14 +364,23 @@ def brute_force_search(
     out_d, out_i = [], []
     queries = np.asarray(queries)
     # The fully-elementwise exact form broadcasts (tile, n, d) — past ~10k
-    # rows that intermediate thrashes HBM; the 2-stage prefilter+rerank is
-    # exact and keeps memory bounded.
-    big = corpus.shape[0] > 10_000 and metric == "Euclidean"
-    kc = min(max(32 * k, 256), corpus.shape[0])
+    # rows that intermediate thrashes HBM; the chunked scan keeps memory
+    # bounded for every metric.  Euclidean oversamples kc through the fast
+    # MXU prefilter then reranks exactly; Manhattan/Chebyshev blocks are
+    # already exact, so kc == k and the rerank is a no-op check.
+    big = corpus.shape[0] > 10_000
+    if metric == "Euclidean":
+        kc = min(max(32 * k, 256), corpus.shape[0])
+        chunk = 65536
+    else:
+        kc = k
+        # Elementwise blocks re-read the block per query tile: keep blocks
+        # small so the (q_tile, chunk, d) fusion stays within budget.
+        chunk = 8192
     for s in range(0, queries.shape[0], batch_size):
         qb = jnp.asarray(queries[s : s + batch_size])
         if big:
-            d, i = _brute_force_2stage_kernel(corpus, qb, k, kc, metric)
+            d, i = _brute_force_2stage_kernel(corpus, qb, k, kc, metric, chunk)
         else:
             d, i = _brute_force_kernel(corpus, qb, k, metric)
         out_d.append(np.asarray(d))
@@ -777,11 +790,15 @@ class SpannIndex:
             # else: created+removed between refreshes — nothing to do
 
         if appends:
+            # FIXED chunk shape (one compiled variant, ever): shape-bucketed
+            # batches compiled a fresh kernel per pow2 size, and each compile
+            # costs seconds over a slow control link — far more than the
+            # padding waste of a fixed chunk.
+            CH = 2048
             B = sum(len(a[2]) for a in appends)
-            Bpad = _next_pow2(B)
-            slots = np.zeros(Bpad, np.int32)
-            vblk = np.zeros((Bpad, view.d_pad), np.float32)
-            iblk = np.zeros(Bpad, np.int32)
+            slots = np.zeros(max(CH, _round_up(B, CH)), np.int32)
+            vblk = np.zeros((len(slots), view.d_pad), np.float32)
+            iblk = np.zeros(len(slots), np.int32)
             pos = 0
             for row, old_len, add_ids, add_vecs in appends:
                 k = len(add_ids)
@@ -789,31 +806,43 @@ class SpannIndex:
                 vblk[pos : pos + k, :d] = add_vecs
                 iblk[pos : pos + k] = _ids_i32(add_ids)
                 pos += k
-            slots[B:] = slots[0]  # batch padding: idempotent rewrites
+            slots[B:] = slots[0]  # chunk padding: idempotent rewrites
             vblk[B:] = vblk[0]
             iblk[B:] = iblk[0]
             Bc = len(append_rows)
-            Bcpad = _next_pow2(Bc)
-            arows = np.zeros(Bcpad, np.int32)
-            alens = np.zeros(Bcpad, np.int32)
+            RC = 512
+            arows = np.zeros(max(RC, _round_up(Bc, RC)), np.int32)
+            alens = np.zeros(len(arows), np.int32)
             arows[:Bc] = [r for r, _ in append_rows]
             alens[:Bc] = [l for _, l in append_rows]
             arows[Bc:] = arows[0]
             alens[Bc:] = alens[0]
             sd = self.policy.storage_dtype
-            v3, i2, ln = _scatter_appends(
-                view.vectors3d, view.ids2d, view.lens,
-                jnp.asarray(slots), jnp.asarray(vblk, sd), jnp.asarray(iblk),
-                jnp.asarray(arows), jnp.asarray(alens),
-            )
+            v3, i2 = view.vectors3d, view.ids2d
+            for s0 in range(0, len(slots), CH):
+                v3, i2 = _scatter_appends(
+                    v3, i2,
+                    jnp.asarray(slots[s0 : s0 + CH]),
+                    jnp.asarray(vblk[s0 : s0 + CH], sd),
+                    jnp.asarray(iblk[s0 : s0 + CH]),
+                )
+            ln = view.lens
+            for r0 in range(0, len(arows), RC):
+                ln = _scatter_lens(
+                    ln, jnp.asarray(arows[r0 : r0 + RC]),
+                    jnp.asarray(alens[r0 : r0 + RC]),
+                )
             view.vectors3d, view.ids2d, view.lens = v3, i2, ln
             metrics.inc("view.append_updates")
             metrics.inc("view.vectors_appended", B)
 
         if row_of:
             # Pack the rewrite blocks (host) — one slab per dirty posting.
+            # Fixed chunk shape (one compiled variant): slab chunks of 16
+            # bound both the padding waste (~16 slabs) and compile count.
+            RB = 16
             B = len(row_of)
-            Bpad = _next_pow2(B)  # bucket the batch shape: O(log) variants
+            Bpad = max(RB, _round_up(B, RB))
             rows = np.zeros(Bpad, np.int32)
             vblk = np.zeros((Bpad, view.pad, view.d_pad), np.float32)
             iblk = np.full((Bpad, view.pad), -1, np.int32)
@@ -830,19 +859,23 @@ class SpannIndex:
                     lblk[i] = m
                     cblk[i, :d] = self.centroids[c]
                     vldblk[i] = True
-            rows[B:] = rows[0]  # batch padding: idempotent rewrites
+            rows[B:] = rows[0]  # chunk padding: idempotent rewrites
             vblk[B:] = vblk[0]
             iblk[B:] = iblk[0]
             lblk[B:] = lblk[0]
             cblk[B:] = cblk[0]
             vldblk[B:] = vldblk[0]
             sd = self.policy.storage_dtype
-            v3, i2, ln, ce, vl = _scatter_rows(
-                view.vectors3d, view.ids2d, view.lens, view.centroids,
-                view.cent_valid,
-                jnp.asarray(rows), jnp.asarray(vblk, sd), jnp.asarray(iblk),
-                jnp.asarray(lblk), jnp.asarray(cblk, sd), jnp.asarray(vldblk),
-            )
+            v3, i2, ln = view.vectors3d, view.ids2d, view.lens
+            ce, vl = view.centroids, view.cent_valid
+            for s0 in range(0, Bpad, RB):
+                sl = slice(s0, s0 + RB)
+                v3, i2, ln, ce, vl = _scatter_rows(
+                    v3, i2, ln, ce, vl,
+                    jnp.asarray(rows[sl]), jnp.asarray(vblk[sl], sd),
+                    jnp.asarray(iblk[sl]), jnp.asarray(lblk[sl]),
+                    jnp.asarray(cblk[sl], sd), jnp.asarray(vldblk[sl]),
+                )
             view.vectors3d, view.ids2d, view.lens = v3, i2, ln
             view.centroids, view.cent_valid = ce, vl
             # Commit the row-table changes only after the device scatter is

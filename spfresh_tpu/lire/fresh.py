@@ -160,47 +160,52 @@ class SpFreshIndex:
         return res.version
 
     def insert_batch(self, vectors: np.ndarray, vector_ids) -> List[int]:
-        """Batched insert: one device centroid scan for the whole batch, one
-        storage append per destination posting (not per vector)."""
+        """Batched insert: one device centroid scan + ONE storage append for
+        the whole batch (regardless of how many postings it lands in), then
+        grouped mirror appends — the shape the padded view's append fast path
+        turns into a single row-level scatter."""
         from spfresh_tpu.lire.operations import Split
+        from spfresh_tpu.lire.storage import LireStorageError
 
         vectors = np.asarray(vectors, np.float32)
         vector_ids = np.asarray(vector_ids, np.int64)
         nearest, _ = self._nearest_postings(vectors)
-        versions = np.zeros(len(vector_ids), np.int64)
+        try:
+            versions = self.storage.store_vectors_multi(nearest, vector_ids, vectors)
+        except LireStorageError:
+            # A destination was retired by a concurrent background op between
+            # routing and the append: fall back to per-vector protocol
+            # inserts, which re-route to the CURRENT nearest partition.
+            versions = []
+            with self._lock:
+                for v, vid in zip(vectors, vector_ids):
+                    res = self.protocol.insert(v, int(vid))
+                    versions.append(res.version)
+                    for p in res.partitions_affected:
+                        self._map_add(int(vid), p)
+            self._sync_mirror(set(nearest.tolist()) & set(self.storage.posting_ids()))
+            return versions
+        # Mirror the appends group-by-group (no storage re-read).
         order = np.argsort(nearest, kind="stable")
         bounds = np.searchsorted(nearest[order], np.unique(nearest))
-        touched: Set[int] = set()
         groups = np.split(order, bounds[1:]) if len(bounds) else []
-        from spfresh_tpu.lire.storage import LireStorageError
-
         for grp in groups:
             if len(grp) == 0:
                 continue
             pid = int(nearest[grp[0]])
-            try:
-                vs = self.storage.store_vectors(pid, vector_ids[grp], vectors[grp])
-            except LireStorageError:
-                # Routed-to posting retired by a concurrent background op:
-                # fall back to per-vector protocol inserts, which re-route
-                # each vector to its CURRENT nearest partition.
-                for j in grp:
-                    res = self.protocol.insert(vectors[j], int(vector_ids[j]))
-                    versions[j] = res.version
-                    touched.update(res.partitions_affected)
-                    with self._lock:
-                        for p in res.partitions_affected:
-                            self._map_add(int(vector_ids[j]), p)
-                continue
-            versions[grp] = vs
-            touched.add(pid)
             with self._lock:
+                entry = self.index.postings.get(pid)
+                if entry is not None:
+                    self.index.replace_posting(
+                        pid,
+                        np.concatenate([entry[0], vector_ids[grp]]),
+                        np.concatenate([entry[1], vectors[grp]]),
+                    )
                 for vid in vector_ids[grp]:
                     self._map_add(int(vid), pid)
             if self.protocol.needs_split(pid):
                 self.protocol.schedule_maintenance(Split(pid))
-        self._sync_mirror(touched)
-        return versions.tolist()
+        return list(versions)
 
     def delete(self, vector_id: int, posting_id: Optional[int] = None) -> List[int]:
         """Tombstone a vector everywhere it lives (boundary replicas
@@ -412,6 +417,7 @@ class SpFreshIndex:
         if self.pipeline.is_running:
             self.pipeline.drain()
             self.pipeline.stop()
+        self.storage.flush()  # fold the update WAL into the posting logs
 
     def __enter__(self):
         return self

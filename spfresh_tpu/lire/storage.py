@@ -32,8 +32,12 @@ from typing import Dict, List, Tuple
 import numpy as np
 
 _LOG_MAGIC = b"SPFLOG1\x00"
+_WAL_MAGIC = b"SPFWAL1\x00"
 _OP_ADD = 1
 _OP_DEL = 2
+
+# Fold the WAL back into the per-posting logs past this many records.
+_WAL_COMPACT_RECORDS = 200_000
 
 
 class LireStorageError(Exception):
@@ -92,6 +96,14 @@ class LireStorage:
         # exact under the lock so lookups never degrade to a full-store scan.
         self._id_index: Dict[int, set] = {}
         self._record_size = 1 + 8 + 8 + 4 * self.dim
+        # Update WAL: inserts/tombstones append ONE record batch to a shared
+        # log instead of touching one file per posting (a 512-vector batch
+        # scattered over 300 postings was 600 small writes on a 1-core
+        # host).  Folded back into the per-posting logs at compaction points
+        # (size threshold, atomic_replace, GC, flush/close, reopen).
+        self._wal_path = os.path.join(self.base_path, "wal.log")
+        self._wal_records = 0
+        self._wal_pids: set = set()
         self._recover_journal()
         self._load_all()
 
@@ -109,6 +121,115 @@ class LireStorage:
         # fetch_add parity (storage.rs:91); caller must hold self._lock.
         self._current_version += 1
         return self._current_version
+
+    # -- update WAL ----------------------------------------------------------
+
+    def _del_payload(self, entry_version: int) -> bytes:
+        """DEL records stash the tombstoned ENTRY's version in the first 8
+        payload bytes so replay tombstones the exact copy (an id deleted and
+        re-inserted must not have its newest copy killed instead)."""
+        zeros = np.zeros(self.dim, "<f4").tobytes()
+        if len(zeros) < 8:
+            return zeros  # degrade to newest-live matching at tiny dims
+        return struct.pack("<q", entry_version) + zeros[8:]
+
+    @staticmethod
+    def _parse_del_payload(payload: bytes) -> int:
+        if len(payload) < 8:
+            return 0
+        return struct.unpack("<q", payload[:8])[0]
+
+    def _wal_append_locked(self, entries) -> None:
+        """One file append for a whole update batch.  entries: iterable of
+        (op, pid, vid, version, vec_f32 | entry_version_for_DEL)."""
+        new = not os.path.exists(self._wal_path)
+        buf = bytearray()
+        if new:
+            buf += _WAL_MAGIC + struct.pack("<i", self.dim)
+        for op, pid, vid, version, extra in entries:
+            buf += struct.pack("<Bqqq", op, pid, vid, version)
+            if op == _OP_DEL:
+                buf += self._del_payload(int(extra or 0))
+            else:
+                buf += np.ascontiguousarray(extra, "<f4").tobytes()
+            self._wal_records += 1
+            self._wal_pids.add(pid)
+        with open(self._wal_path, "ab") as f:
+            f.write(bytes(buf))
+
+    def _compact_wal_locked(self) -> None:
+        """Fold the WAL into the per-posting logs: rewrite each touched
+        posting's log (tmp+rename, so a crash leaves it whole), persist its
+        metadata, then remove the WAL last.  A crash before the removal just
+        replays the WAL idempotently on top of the new logs."""
+        if not self._wal_pids and not os.path.exists(self._wal_path):
+            return
+        for pid in sorted(self._wal_pids):
+            if pid in self._postings:
+                self._rewrite_log(pid)
+                self._save_metadata(pid)
+        if os.path.exists(self._wal_path):
+            os.remove(self._wal_path)
+        self._wal_records = 0
+        self._wal_pids = set()
+
+    def _maybe_compact_locked(self) -> None:
+        if self._wal_records >= _WAL_COMPACT_RECORDS:
+            self._compact_wal_locked()
+
+    def flush(self) -> None:
+        """Fold pending WAL records into the per-posting logs."""
+        with self._lock:
+            self._compact_wal_locked()
+
+    def _replay_wal(self) -> None:
+        """Replay the WAL over the loaded posting logs.  Idempotent: an ADD
+        whose (posting, version) is already present is skipped (the crash-
+        during-compaction case), and a DEL with no live target is a no-op."""
+        if not os.path.exists(self._wal_path):
+            return
+        seen: Dict[int, set] = {
+            pid: set(p.versions) for pid, p in self._postings.items()
+        }
+        with open(self._wal_path, "rb") as f:
+            magic = f.read(8)
+            if magic != _WAL_MAGIC:
+                raise LireStorageError(f"{self._wal_path}: bad WAL magic {magic!r}")
+            (dim,) = struct.unpack("<i", f.read(4))
+            if dim != self.dim:
+                raise LireStorageError(f"{self._wal_path}: dim {dim} != {self.dim}")
+            head = struct.Struct("<Bqqq")
+            while True:
+                raw = f.read(head.size)
+                if len(raw) < head.size:
+                    break  # torn tail write
+                op, pid, vid, version = head.unpack(raw)
+                payload = f.read(4 * self.dim)
+                if len(payload) < 4 * self.dim:
+                    break
+                self._wal_records += 1
+                self._wal_pids.add(pid)
+                self._current_version = max(self._current_version, version)
+                p = self._postings.get(pid)
+                if op == _OP_ADD:
+                    if p is None:
+                        p = self._postings[pid] = _Posting(self.dim)
+                        seen[pid] = set()
+                    if version in seen[pid]:
+                        continue  # already folded into the log
+                    seen[pid].add(version)
+                    p.ids.append(vid)
+                    p.vectors.append(np.frombuffer(payload, "<f4").copy())
+                    p.versions.append(version)
+                    p.deleted.append(False)
+                    self._id_index.setdefault(int(vid), set()).add(pid)
+                elif op == _OP_DEL and p is not None:
+                    try:
+                        self._tombstone_locked(
+                            p, pid, vid, self._parse_del_payload(payload)
+                        )
+                    except LireStorageError:
+                        pass  # already folded / double-applied: no-op
 
     def store_vector(self, posting_id: int, vector_id: int, vector: np.ndarray) -> int:
         """Append a vector; returns its version stamp (storage.rs:85-123)."""
@@ -142,8 +263,10 @@ class LireStorage:
             else:
                 meta.version = version
                 meta.vector_count += 1
-            self._append_record(posting_id, _OP_ADD, vector_id, version, vector)
-            self._save_metadata(posting_id)
+            self._wal_append_locked(
+                [(_OP_ADD, posting_id, int(vector_id), version, vector)]
+            )
+            self._maybe_compact_locked()
         return version
 
     def store_vectors(self, posting_id: int, vector_ids, vectors: np.ndarray) -> List[int]:
@@ -171,21 +294,17 @@ class LireStorage:
                     )
                 p = self._postings[posting_id] = _Posting(self.dim)
             meta = self._metadata.get(posting_id)
-            path = self._log_path(posting_id)
-            new = not os.path.exists(path)
-            with open(path, "ab") as f:
-                if new:
-                    f.write(_LOG_MAGIC + struct.pack("<i", self.dim))
-                for vid, vec in zip(vector_ids, vectors):
-                    version = self._next_version()
-                    versions.append(version)
-                    p.ids.append(int(vid))
-                    p.vectors.append(vec)
-                    p.versions.append(version)
-                    p.deleted.append(False)
-                    self._id_index.setdefault(int(vid), set()).add(posting_id)
-                    f.write(struct.pack("<Bqq", _OP_ADD, int(vid), version))
-                    f.write(np.ascontiguousarray(vec, "<f4").tobytes())
+            entries = []
+            for vid, vec in zip(vector_ids, vectors):
+                version = self._next_version()
+                versions.append(version)
+                p.ids.append(int(vid))
+                p.vectors.append(vec)
+                p.versions.append(version)
+                p.deleted.append(False)
+                self._id_index.setdefault(int(vid), set()).add(posting_id)
+                entries.append((_OP_ADD, posting_id, int(vid), version, vec))
+            self._wal_append_locked(entries)
             if meta is None:
                 self._metadata[posting_id] = PostingMetadata(
                     versions[-1] if versions else self._next_version(),
@@ -195,28 +314,89 @@ class LireStorage:
             else:
                 meta.version = versions[-1] if versions else meta.version
                 meta.vector_count += len(versions)
-            self._save_metadata(posting_id)
+            self._maybe_compact_locked()
         return versions
 
-    def _tombstone_locked(self, p: "_Posting", posting_id: int, vector_id: int) -> None:
-        """Flip the newest live copy's tombstone + fix the reverse index.
-        Caller holds the lock; raises if no live copy exists."""
+    def _tombstone_locked(
+        self, p: "_Posting", posting_id: int, vector_id: int,
+        entry_version: int = 0,
+    ) -> int:
+        """Tombstone a copy of ``vector_id`` and fix the reverse index:
+        the entry with ``entry_version`` when given (exact replay), else the
+        newest live copy.  Caller holds the lock; raises if no target exists.
+        Returns the tombstoned entry's stored version."""
         for i in range(len(p.ids) - 1, -1, -1):
-            if p.ids[i] == vector_id and not p.deleted[i]:
-                p.deleted[i] = True
-                if not any(
-                    p.ids[j] == vector_id and not p.deleted[j]
-                    for j in range(len(p.ids))
-                ):
-                    s = self._id_index.get(int(vector_id))
-                    if s is not None:
-                        s.discard(posting_id)
-                        if not s:
-                            del self._id_index[int(vector_id)]
-                return
+            if p.ids[i] != vector_id or p.deleted[i]:
+                continue
+            if entry_version and p.versions[i] != entry_version:
+                continue
+            p.deleted[i] = True
+            if not any(
+                p.ids[j] == vector_id and not p.deleted[j]
+                for j in range(len(p.ids))
+            ):
+                s = self._id_index.get(int(vector_id))
+                if s is not None:
+                    s.discard(posting_id)
+                    if not s:
+                        del self._id_index[int(vector_id)]
+            return p.versions[i]
         raise LireStorageError(
             f"vector {vector_id} not found (or already deleted) in posting {posting_id}"
         )
+
+    def store_vectors_multi(self, posting_ids, vector_ids, vectors: np.ndarray) -> List[int]:
+        """Append a batch of vectors routed to ARBITRARY postings: one lock
+        acquisition and ONE WAL append for the entire batch (the per-posting
+        form still paid one file write per destination — ~300 writes for a
+        512-insert batch spread over an index).  All destinations must exist
+        when auto-create is off; unknown ones raise before anything lands."""
+        vectors = np.asarray(vectors, np.float32)
+        vectors = (
+            vectors.reshape(len(vector_ids), -1)
+            if len(vector_ids)
+            else vectors.reshape(0, self.dim)
+        )
+        if vectors.shape[1] != self.dim:
+            raise LireStorageError(
+                f"vector dim {vectors.shape[1]} != storage dim {self.dim}"
+            )
+        versions: List[int] = []
+        with self._lock:
+            missing = {
+                int(pid) for pid in posting_ids if pid not in self._postings
+            }
+            if missing and not self.auto_create_postings:
+                raise LireStorageError(
+                    f"postings {sorted(missing)} do not exist (auto-create "
+                    "disabled; they may have been retired by a concurrent "
+                    "split/merge)"
+                )
+            entries = []
+            touched = set()
+            for pid, vid, vec in zip(posting_ids, vector_ids, vectors):
+                pid, vid = int(pid), int(vid)
+                p = self._postings.get(pid)
+                if p is None:
+                    p = self._postings[pid] = _Posting(self.dim)
+                version = self._next_version()
+                versions.append(version)
+                p.ids.append(vid)
+                p.vectors.append(vec)
+                p.versions.append(version)
+                p.deleted.append(False)
+                self._id_index.setdefault(vid, set()).add(pid)
+                entries.append((_OP_ADD, pid, vid, version, vec))
+                touched.add(pid)
+                meta = self._metadata.get(pid)
+                if meta is None:
+                    self._metadata[pid] = PostingMetadata(version, 1, vec.copy())
+                else:
+                    meta.version = version
+                    meta.vector_count += 1
+            self._wal_append_locked(entries)
+            self._maybe_compact_locked()
+        return versions
 
     def mark_deleted(self, posting_id: int, vector_id: int) -> int:
         """Tombstone a vector (storage.rs:126-173); returns the version."""
@@ -224,15 +404,15 @@ class LireStorage:
             p = self._postings.get(posting_id)
             if p is None:
                 raise LireStorageError(f"posting {posting_id} does not exist")
-            self._tombstone_locked(p, posting_id, vector_id)
+            entry_v = self._tombstone_locked(p, posting_id, vector_id)
             version = self._next_version()
             meta = self._metadata[posting_id]
             meta.version = version
             meta.vector_count -= 1
-            self._append_record(
-                posting_id, _OP_DEL, vector_id, version, np.zeros(self.dim, np.float32)
+            self._wal_append_locked(
+                [(_OP_DEL, posting_id, int(vector_id), version, entry_v)]
             )
-            self._save_metadata(posting_id)
+            self._maybe_compact_locked()
         return version
 
     def mark_deleted_batch(
@@ -249,28 +429,24 @@ class LireStorage:
             if p is None:
                 raise LireStorageError(f"posting {posting_id} does not exist")
             hit_ids: List[int] = []
+            entry_vs: List[int] = []
             for vid in vector_ids:
                 try:
-                    self._tombstone_locked(p, posting_id, int(vid))
+                    entry_vs.append(self._tombstone_locked(p, posting_id, int(vid)))
                 except LireStorageError:
                     continue
                 hit_ids.append(int(vid))
                 versions.append(self._next_version())
             if not hit_ids:
                 return [], []
-            path = self._log_path(posting_id)
-            new = not os.path.exists(path)
-            zeros = np.zeros(self.dim, "<f4").tobytes()
-            with open(path, "ab") as f:
-                if new:
-                    f.write(_LOG_MAGIC + struct.pack("<i", self.dim))
-                for vid, version in zip(hit_ids, versions):
-                    f.write(struct.pack("<Bqq", _OP_DEL, vid, version))
-                    f.write(zeros)
+            self._wal_append_locked(
+                [(_OP_DEL, posting_id, vid, version, ev)
+                 for vid, version, ev in zip(hit_ids, versions, entry_vs)]
+            )
             meta = self._metadata[posting_id]
             meta.version = versions[-1]
             meta.vector_count -= len(hit_ids)
-            self._save_metadata(posting_id)
+            self._maybe_compact_locked()
         return hit_ids, versions
 
     def get_posting(
@@ -324,6 +500,9 @@ class LireStorage:
     def delete_posting(self, posting_id: int) -> None:
         """Retire a posting entirely (used by completed Split/Merge)."""
         with self._lock:
+            # Fold the WAL first: stale WAL records must not resurrect the
+            # retired posting on the next reopen.
+            self._compact_wal_locked()
             self._unindex_posting_locked(posting_id)
             self._postings.pop(posting_id, None)
             self._metadata.pop(posting_id, None)
@@ -362,6 +541,7 @@ class LireStorage:
         with self._lock:
             if posting_id in self._postings:
                 raise LireStorageError(f"posting {posting_id} already exists")
+            self._compact_wal_locked()
             p = _Posting(self.dim)
             version = 0
             for vid, vec in zip(ids, vectors):
@@ -406,6 +586,9 @@ class LireStorage:
                 meta = self._metadata.get(pid)
                 if meta is None or meta.version != expect:
                     return False
+            # 0. Fold the WAL: the swap's crash story assumes the per-posting
+            #    logs are the whole truth for the old generation.
+            self._compact_wal_locked()
             # 1. Journal the intent (tmp + rename, so it is atomic itself).
             self._write_journal(
                 {"old": [int(p) for p in old_ids],
@@ -502,6 +685,9 @@ class LireStorage:
             reclaimed = len(p.ids) - len(keep)
             if reclaimed == 0:
                 return 0
+            # Fold the WAL first: compaction drops tombstoned ADD versions,
+            # and a stale WAL replay would otherwise resurrect them.
+            self._compact_wal_locked()
             p.ids = [p.ids[i] for i in keep]
             p.vectors = [p.vectors[i] for i in keep]
             p.versions = [p.versions[i] for i in keep]
@@ -531,15 +717,6 @@ class LireStorage:
 
     # -- persistence -------------------------------------------------------
 
-    def _append_record(self, posting_id: int, op: int, vector_id: int, version: int, vec: np.ndarray) -> None:
-        path = self._log_path(posting_id)
-        new = not os.path.exists(path)
-        with open(path, "ab") as f:
-            if new:
-                f.write(_LOG_MAGIC + struct.pack("<i", self.dim))
-            f.write(struct.pack("<Bqq", op, vector_id, version))
-            f.write(np.ascontiguousarray(vec, "<f4").tobytes())
-
     def _rewrite_log(self, posting_id: int) -> None:
         p = self._postings[posting_id]
         path = self._log_path(posting_id)
@@ -549,6 +726,13 @@ class LireStorage:
             for i in range(len(p.ids)):
                 f.write(struct.pack("<Bqq", _OP_ADD, p.ids[i], p.versions[i]))
                 f.write(np.ascontiguousarray(p.vectors[i], "<f4").tobytes())
+            # Tombstones last, so a reload reconstructs the deleted flags
+            # (WAL compaction rewrites postings that still carry tombstones);
+            # each names its exact entry version.
+            for i in range(len(p.ids)):
+                if p.deleted[i]:
+                    f.write(struct.pack("<Bqq", _OP_DEL, p.ids[i], p.versions[i]))
+                    f.write(self._del_payload(p.versions[i]))
         os.replace(tmp, path)
 
     def _save_metadata(self, posting_id: int) -> None:
@@ -560,7 +744,10 @@ class LireStorage:
         os.replace(tmp, self._meta_path(posting_id))
 
     def _load_all(self) -> None:
-        """Reload every posting log + metadata on open (storage.rs:46-65)."""
+        """Reload every posting log, replay the update WAL on top, and
+        reconstruct metadata (storage.rs:46-65).  Counts and versions are
+        recomputed from the replayed state — the meta files can be stale
+        relative to the WAL; only the centroid is authoritative there."""
         if not os.path.isdir(self._postings_dir):
             return
         for name in sorted(os.listdir(self._postings_dir)):
@@ -568,20 +755,23 @@ class LireStorage:
                 continue
             pid = int(name[len("posting_") : -len(".log")])
             self._load_log(pid)
+        self._replay_wal()
         for pid in self._postings:
+            p = self._postings[pid]
+            live = [i for i, dd in enumerate(p.deleted) if not dd]
+            cent = None
             mp = self._meta_path(pid)
             if os.path.exists(mp):
                 with open(mp, "rb") as f:
-                    version, count, dim = struct.unpack("<qqi", f.read(20))
-                    centroid = np.frombuffer(f.read(4 * dim), "<f4").copy()
-                self._metadata[pid] = PostingMetadata(version, count, centroid)
-            else:
-                p = self._postings[pid]
-                live = [i for i, dd in enumerate(p.deleted) if not dd]
+                    _, _, dim = struct.unpack("<qqi", f.read(20))
+                    cent = np.frombuffer(f.read(4 * dim), "<f4").copy()
+            if cent is None:
                 cent = p.vectors[live[0]].copy() if live else np.zeros(self.dim, np.float32)
-                self._metadata[pid] = PostingMetadata(
-                    max(p.versions, default=0), len(live), cent
-                )
+            self._metadata[pid] = PostingMetadata(
+                max(p.versions, default=0), len(live), cent
+            )
+        # Leave a clean state behind: fold whatever the WAL held.
+        self._compact_wal_locked()
 
     def _load_log(self, posting_id: int) -> None:
         path = self._log_path(posting_id)
@@ -610,10 +800,14 @@ class LireStorage:
                     p.versions.append(version)
                     p.deleted.append(False)
                 elif op == _OP_DEL:
+                    entry_v = self._parse_del_payload(payload)
                     for i in range(len(p.ids) - 1, -1, -1):
-                        if p.ids[i] == vid and not p.deleted[i]:
-                            p.deleted[i] = True
-                            break
+                        if p.ids[i] != vid or p.deleted[i]:
+                            continue
+                        if entry_v and p.versions[i] != entry_v:
+                            continue
+                        p.deleted[i] = True
+                        break
                 self._current_version = max(self._current_version, version)
             self._postings[posting_id] = p
             for vid, dead in zip(p.ids, p.deleted):

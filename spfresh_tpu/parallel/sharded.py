@@ -26,7 +26,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from spfresh_tpu.index.spann import SpannIndex, _ids_i32, _max_multiplicity, _round_up
 from spfresh_tpu.ops.distances import pairwise_distance, rowwise_distance
-from spfresh_tpu.ops.topk import smallest_k, smallest_k_unique
+from spfresh_tpu.ops.topk import centroid_topk, smallest_k, smallest_k_unique
 
 _F32_EPS = float(np.finfo(np.float32).eps)
 
@@ -51,39 +51,72 @@ class ShardedView:
     max_dup: int = 8
 
 
+@dataclasses.dataclass
+class ShardedPaddedView:
+    """Per-shard SLAB blocks for the Pallas fast path: each shard's posting
+    lists are contiguous (pad, d_pad) slabs of its local (Cs, pad, d_pad)
+    array, so the fused rerank kernel streams whole-slab DMAs on every chip."""
+
+    centroids: jax.Array  # (S, Cs, d_pad)
+    cent_valid: jax.Array  # (S, Cs)
+    lens: jax.Array  # (S, Cs)
+    ids2d: jax.Array  # (S, Cs, pad) int32
+    vectors3d: jax.Array  # (S, Cs, pad, d_pad)
+    pad: int
+    d_pad: int
+    num_shards: int
+    max_dup: int = 8
+
+
 class ShardedSpannIndex:
     """Data-sharded SPANN search: local scan + rerank per chip, collective
     top-k merge over the mesh axis."""
 
-    def __init__(self, index: SpannIndex, mesh: Optional[Mesh] = None, axis: str = "shard"):
+    def __init__(self, index: SpannIndex, mesh: Optional[Mesh] = None, axis: str = "shard",
+                 engine: str = "auto"):
+        """``engine``: "pallas" (fused slab-DMA rerank per chip, default on
+        TPU), "xla" (gather-based), or "auto"."""
         self.index = index
         self.metric = index.metric
         self.mesh = mesh if mesh is not None else default_mesh(axis)
         self.axis = self.mesh.axis_names[0]
         self.num_shards = self.mesh.devices.size
+        if engine == "auto":
+            engine = "pallas" if self.mesh.devices.flat[0].platform == "tpu" else "xla"
+        if engine not in ("pallas", "xla"):
+            raise ValueError(f"unknown engine {engine!r}")
+        self.engine = engine
         self._view: Optional[ShardedView] = None
+        self._padded: Optional[ShardedPaddedView] = None
         self._view_gen = -1  # index._gen at view build; stale views rebuild
+        self._padded_gen = -1
 
     # -- sharded layout ----------------------------------------------------
 
-    def _build_view(self) -> ShardedView:
+    def _deal(self):
+        """Size-balanced deal: biggest cluster to the currently-lightest
+        shard.  Returns (per_shard cid lists, loads, max posting length)."""
         idx = self.index
         if not idx.postings:
             raise ValueError("index is empty")
         S = self.num_shards
-        d = idx.dim
-        # Size-balanced deal: biggest cluster to the currently-lightest shard.
         cids = sorted(idx.postings, key=lambda c: -len(idx.postings[c][0]))
-        shard_of: Dict[int, int] = {}
         load = [0] * S
         per_shard: List[List[int]] = [[] for _ in range(S)]
         for c in cids:
             s = int(np.argmin(load))
             per_shard[s].append(c)
             load[s] += len(idx.postings[c][0])
-            shard_of[c] = s
-        Cs = max(8, _round_up(max(len(g) for g in per_shard), 8))
         max_len = max(len(idx.postings[c][0]) for c in cids)
+        all_ids = np.concatenate([idx.postings[c][0] for c in cids])
+        return per_shard, load, max_len, all_ids
+
+    def _build_view(self) -> ShardedView:
+        idx = self.index
+        S = self.num_shards
+        d = idx.dim
+        per_shard, load, max_len, all_ids = self._deal()
+        Cs = max(8, _round_up(max(len(g) for g in per_shard), 8))
         pad = max(8, _round_up(max(1, max_len), 8))
         Ps = max(8, _round_up(max(load), 8))
         cent = np.zeros((S, Cs, d), np.float32)
@@ -118,9 +151,7 @@ class ShardedSpannIndex:
             vectors=jax.device_put(flat_vecs.astype(sd), spec),
             pad=pad,
             num_shards=S,
-            max_dup=_max_multiplicity(
-                np.concatenate([idx.postings[c][0] for c in cids])
-            ),
+            max_dup=_max_multiplicity(all_ids),
         )
         self._view_gen = idx._gen
         return self._view
@@ -129,6 +160,46 @@ class ShardedSpannIndex:
         if self._view is None or self._view_gen != self.index._gen:
             self._build_view()
         return self._view
+
+    def padded_view(self) -> ShardedPaddedView:
+        if self._padded is not None and self._padded_gen == self.index._gen:
+            return self._padded
+        idx = self.index
+        S = self.num_shards
+        d = idx.dim
+        d_pad = max(128, _round_up(d, 128))
+        per_shard, _, max_len, all_ids = self._deal()
+        Cs = max(8, _round_up(max(len(g) for g in per_shard), 8))
+        pad = max(16, _round_up(max(1, max_len), 16))
+        cent = np.zeros((S, Cs, d_pad), np.float32)
+        valid = np.zeros((S, Cs), bool)
+        lens = np.zeros((S, Cs), np.int32)
+        ids2d = np.full((S, Cs, pad), -1, np.int32)
+        vecs3d = np.zeros((S, Cs, pad, d_pad), np.float32)
+        for s, group in enumerate(per_shard):
+            for row, c in enumerate(group):
+                pids, pvecs = idx.postings[c]
+                m = len(pids)
+                cent[s, row, :d] = idx.centroids[c]
+                valid[s, row] = True
+                lens[s, row] = m
+                ids2d[s, row, :m] = _ids_i32(pids)
+                vecs3d[s, row, :m, :d] = pvecs
+        spec = NamedSharding(self.mesh, P(self.axis))
+        sd = idx.policy.storage_dtype
+        self._padded = ShardedPaddedView(
+            centroids=jax.device_put(cent.astype(sd), spec),
+            cent_valid=jax.device_put(valid, spec),
+            lens=jax.device_put(lens, spec),
+            ids2d=jax.device_put(ids2d, spec),
+            vectors3d=jax.device_put(vecs3d.astype(sd), spec),
+            pad=pad,
+            d_pad=d_pad,
+            num_shards=S,
+            max_dup=_max_multiplicity(all_ids),
+        )
+        self._padded_gen = idx._gen
+        return self._padded
 
     # -- search ------------------------------------------------------------
 
@@ -163,19 +234,7 @@ class ShardedSpannIndex:
             local_d, local_i = smallest_k_unique(
                 raw_d, cand_ids, min(k, raw_d.shape[1]), max_dup=view.max_dup
             )
-            # ICI collective: everyone sees every shard's local top-k.
-            all_d = jax.lax.all_gather(local_d, axis)  # (S, Q, k)
-            all_i = jax.lax.all_gather(local_i, axis)
-            S = all_d.shape[0]
-            Q = all_d.shape[1]
-            merged_d = jnp.moveaxis(all_d, 0, 1).reshape(Q, S * k)
-            merged_i = jnp.moveaxis(all_i, 0, 1).reshape(Q, S * k)
-            # Replicas of one point can surface from several shards: dedup.
-            vals, out_ids = smallest_k_unique(
-                merged_d, merged_i, k, max_dup=view.max_dup
-            )
-            out_ids = jnp.where(jnp.isfinite(vals), out_ids, -1)
-            return out_ids, vals
+            return _merge_topk(local_d, local_i, axis, k, view.max_dup)
 
         return jax.shard_map(
             shard_fn,
@@ -185,6 +244,65 @@ class ShardedSpannIndex:
             check_vma=False,
         )(queries, prune_factor, centroids, cent_valid, offsets, lens, ids, vectors)
 
+    @functools.partial(
+        jax.jit, static_argnames=("self", "k", "nprobe", "prune", "interpret")
+    )
+    def _sharded_search_padded(self, queries, view_arrays, prune_factor,
+                               k: int, nprobe: int, prune: bool,
+                               interpret: bool):
+        """Pallas fast path per chip: local centroid scan, fused slab-DMA
+        rerank (padded_rerank_distances) on each shard's slab block, distinct
+        local top-k, collective merge."""
+        from spfresh_tpu.ops.pallas.rerank import padded_rerank_distances
+
+        view = self.padded_view()
+        axis = self.axis
+        metric, pad = self.metric, view.pad
+        centroids, cvalid, lens, ids2d, vecs3d = view_arrays
+
+        def shard_fn(q, pf, cent, cvalid_, lns, pids2d, pvecs3d):
+            cent, cvalid_, lns, pids2d, pvecs3d = (
+                a[0] for a in (cent, cvalid_, lns, pids2d, pvecs3d)
+            )
+            Q = q.shape[0]
+            qf = q.astype(cent.dtype)
+            cent_d, rows = centroid_topk(qf, cent, cvalid_, nprobe, metric)
+            d = padded_rerank_distances(
+                q.astype(jnp.float32), rows.astype(jnp.int32), pvecs3d,
+                metric, interpret=interpret,
+            )  # (Q, nprobe, pad)
+            ar = jnp.arange(pad, dtype=jnp.int32)
+            valid = (ar < lns[rows][..., None]) & jnp.isfinite(cent_d)[..., None]
+            cand_ids = jnp.where(valid, pids2d[rows], -1)
+            d = jnp.where(valid, d, jnp.inf)
+            n_cand = nprobe * pad
+            raw_d = d.reshape(Q, n_cand)
+            cand_ids = cand_ids.reshape(Q, n_cand)
+            if n_cand < k:
+                padc = k - n_cand
+                raw_d = jnp.concatenate(
+                    [raw_d, jnp.full((Q, padc), jnp.inf, raw_d.dtype)], axis=1
+                )
+                cand_ids = jnp.concatenate(
+                    [cand_ids, jnp.full((Q, padc), -1, cand_ids.dtype)], axis=1
+                )
+            if prune:
+                global_cd = jax.lax.pmin(cent_d[:, 0], axis)
+                thr = pf.astype(raw_d.dtype) * (global_cd + _F32_EPS)
+                raw_d = jnp.where(raw_d <= thr[:, None], raw_d, jnp.inf)
+            local_d, local_i = smallest_k_unique(
+                raw_d, cand_ids, min(k, raw_d.shape[1]), max_dup=view.max_dup
+            )
+            return _merge_topk(local_d, local_i, axis, k, view.max_dup)
+
+        return jax.shard_map(
+            shard_fn,
+            mesh=self.mesh,
+            in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+            out_specs=(P(), P()),
+            check_vma=False,
+        )(queries, prune_factor, centroids, cvalid, lens, ids2d, vecs3d)
+
     def search(
         self, queries, k: int, nprobe: Optional[int] = None,
         prune_factor: Optional[float] = None, batch_size: int = 1024,
@@ -193,31 +311,62 @@ class ShardedSpannIndex:
         superset of the single-chip semantics: S shards probe S*nprobe lists
         in total).  ``prune_factor`` enables reference-style dynamic pruning
         against the global nearest-centroid distance."""
-        view = self.view()
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         if nprobe is None:
             nprobe = self.index.config.search.nprobe or k
-        nprobe = max(1, min(int(nprobe), int(view.centroids.shape[1])))
         if prune_factor is None:
             prune_factor = self.index.config.search.prune_factor
         prune = prune_factor is not None
-        arrays = (
-            view.centroids, view.cent_valid, view.offsets,
-            view.lens, view.ids, view.vectors,
-        )
         qspec = NamedSharding(self.mesh, P())
         pf = jax.device_put(
             np.float32(prune_factor if prune else 0.0), qspec
         )
         out_i, out_d = [], []
-        for s in range(0, queries.shape[0], batch_size):
-            qi, qd = self._sharded_search(
-                jax.device_put(queries[s : s + batch_size], qspec),
-                arrays, pf, int(k), nprobe, prune,
+        if self.engine == "pallas":
+            view = self.padded_view()
+            nprobe = max(1, min(int(nprobe), int(view.centroids.shape[1])))
+            interpret = self.mesh.devices.flat[0].platform != "tpu"
+            qpad = np.zeros((queries.shape[0], view.d_pad), np.float32)
+            qpad[:, : self.index.dim] = queries
+            arrays = (
+                view.centroids, view.cent_valid, view.lens,
+                view.ids2d, view.vectors3d,
             )
-            out_i.append(np.asarray(qi))
-            out_d.append(np.asarray(qd))
+            for s in range(0, queries.shape[0], batch_size):
+                qi, qd = self._sharded_search_padded(
+                    jax.device_put(qpad[s : s + batch_size], qspec),
+                    arrays, pf, int(k), nprobe, prune, interpret,
+                )
+                out_i.append(np.asarray(qi))
+                out_d.append(np.asarray(qd))
+        else:
+            view = self.view()
+            nprobe = max(1, min(int(nprobe), int(view.centroids.shape[1])))
+            arrays = (
+                view.centroids, view.cent_valid, view.offsets,
+                view.lens, view.ids, view.vectors,
+            )
+            for s in range(0, queries.shape[0], batch_size):
+                qi, qd = self._sharded_search(
+                    jax.device_put(queries[s : s + batch_size], qspec),
+                    arrays, pf, int(k), nprobe, prune,
+                )
+                out_i.append(np.asarray(qi))
+                out_d.append(np.asarray(qd))
         return np.concatenate(out_i).astype(np.int64), np.concatenate(out_d)
+
+
+def _merge_topk(local_d, local_i, axis: str, k: int, max_dup: int):
+    """Collective tail shared by both engines: all_gather every shard's
+    distinct local top-k over ICI, merge, dedup replicas across shards."""
+    all_d = jax.lax.all_gather(local_d, axis)  # (S, Q, k)
+    all_i = jax.lax.all_gather(local_i, axis)
+    S, Q = all_d.shape[0], all_d.shape[1]
+    merged_d = jnp.moveaxis(all_d, 0, 1).reshape(Q, S * local_d.shape[1])
+    merged_i = jnp.moveaxis(all_i, 0, 1).reshape(Q, S * local_i.shape[1])
+    vals, out_ids = smallest_k_unique(merged_d, merged_i, k, max_dup=max_dup)
+    out_ids = jnp.where(jnp.isfinite(vals), out_ids, -1)
+    return out_ids, vals
 
 
 def _local_candidates(q, cent, cvalid, offs, lns, pids, pvecs, *, k, nprobe, pad, metric):

@@ -96,6 +96,7 @@ def test_atomic_replace_crash_rolls_forward(tmp_path):
     s = _mk(tmp_path)
     s.store_vector(0, 1, np.array([0.0, 0.0]))
     s.store_vector(0, 2, np.array([9.0, 9.0]))
+    s.flush()  # fold the WAL so the snapshot holds per-posting logs
     v = s.get_posting_version(0)
     pre = str(tmp_path / "pre")
     _snapshot(s.base_path, pre)
@@ -126,6 +127,7 @@ def test_atomic_replace_crash_rolls_back(tmp_path):
     s = _mk(tmp_path)
     s.store_vector(0, 1, np.array([0.0, 0.0]))
     s.store_vector(0, 2, np.array([9.0, 9.0]))
+    s.flush()
     base = s.base_path
     # Journal says 10 and 11 replace 0, but only 10's log got written.
     shutil.copy(
@@ -232,3 +234,55 @@ def test_delete_batch_can_empty_a_posting(tmp_path, rng):
         assert fresh.delete_batch(np.arange(0, 10)) == 10  # all of posting 0
         ids_, _ = fresh.search(data[:4], k=5, nprobe=4)
         assert not (set(ids_.ravel().tolist()) & set(range(10)))
+
+
+def test_wal_updates_survive_reopen_without_flush(tmp_path):
+    """Inserts/tombstones live only in the WAL until compaction; a reopen
+    must replay them exactly (the 'storage survives reopen' invariant)."""
+    s = _mk(tmp_path)
+    s.import_posting(0, np.array([1, 2]), np.ones((2, 2)), np.ones(2))
+    s.store_vectors(0, [3, 4], 2 * np.ones((2, 2)))
+    s.mark_deleted(0, 2)
+    # No flush: the per-posting log predates the WAL records.
+    s2 = LireStorage(s.base_path, 2)
+    ids, vecs, _ = s2.get_posting(0)
+    assert sorted(ids.tolist()) == [1, 3, 4]
+    assert s2.postings_of(2) == []
+    assert s2.get_vector_count(0) == 3
+    # And versions stay monotonic across the reopen.
+    v_before = s.current_version()
+    assert s2.store_vector(0, 9, np.ones(2)) > v_before
+
+
+def test_wal_crash_during_compaction_is_idempotent(tmp_path):
+    """Crash AFTER the posting logs were rewritten but BEFORE the WAL was
+    removed: replaying the WAL over the new logs must not duplicate adds or
+    kill the wrong copies."""
+    import shutil as _sh
+
+    s = _mk(tmp_path)
+    s.import_posting(0, np.array([1]), np.ones((1, 2)), np.ones(2))
+    s.store_vectors(0, [2, 3], np.zeros((2, 2)))
+    s.mark_deleted(0, 3)
+    wal_copy = str(tmp_path / "wal.copy")
+    _sh.copy(s._wal_path, wal_copy)
+    s.flush()  # logs now contain everything; WAL gone
+    _sh.copy(wal_copy, s._wal_path)  # "crash" restored the stale WAL
+    s2 = LireStorage(s.base_path, 2)
+    ids, _, _ = s2.get_posting(0)
+    assert sorted(ids.tolist()) == [1, 2]
+    assert s2.get_vector_count(0) == 2
+
+
+def test_delete_then_reinsert_same_id_replays_exactly(tmp_path):
+    """A DEL record names its exact entry version: replay must not tombstone
+    the newer re-inserted copy of the same id."""
+    s = _mk(tmp_path)
+    s.import_posting(0, np.array([7]), np.ones((1, 2)), np.ones(2))
+    s.flush()
+    s.mark_deleted(0, 7)
+    s.store_vector(0, 7, 5 * np.ones(2))  # re-insert the same id
+    s2 = LireStorage(s.base_path, 2)
+    ids, vecs, _ = s2.get_posting(0)
+    assert ids.tolist() == [7]
+    np.testing.assert_allclose(vecs[0], 5 * np.ones(2))

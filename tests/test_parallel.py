@@ -146,3 +146,20 @@ def test_spfresh_updates_visible_to_sharded_search(tmp_path, rng):
         # ...and deleted ones are gone.
         all_ids, _ = sharded.search(q, k=10, nprobe=index.num_clusters)
         assert not (set(all_ids.ravel().tolist()) & set(range(10)))
+
+
+def test_sharded_pallas_engine_matches_xla(tmp_path, rng):
+    """The per-chip Pallas slab rerank (interpret mode on the CPU mesh) must
+    return the same results as the sharded XLA gather path, with and without
+    pruning."""
+    index, data = _build(tmp_path, rng)
+    mesh = default_mesh()
+    sx = ShardedSpannIndex(index, mesh, engine="xla")
+    sp = ShardedSpannIndex(index, mesh, engine="pallas")
+    queries = rng.standard_normal((10, 8)).astype(np.float32)
+    for kw in ({}, {"prune_factor": 1.2}):
+        ids_x, d_x = sx.search(queries, k=8, nprobe=index.num_clusters, **kw)
+        ids_p, d_p = sp.search(queries, k=8, nprobe=index.num_clusters, **kw)
+        np.testing.assert_array_equal(ids_x, ids_p)
+        finite = np.isfinite(d_x)
+        np.testing.assert_allclose(d_x[finite], d_p[finite], rtol=1e-5)

@@ -53,3 +53,24 @@ def test_search_kernel_uses_chunked_past_threshold(rng, monkeypatch):
     for r in range(5):
         assert set(ids_x[r].tolist()) == set(gt[r].tolist())
         assert set(ids_p[r].tolist()) == set(gt[r].tolist())
+
+
+@pytest.mark.parametrize("metric", ["Manhattan", "Chebyshev", "Euclidean"])
+def test_brute_force_chunked_exact_all_metrics(rng, metric):
+    """Past the 10k-row threshold ground truth goes through the chunked scan
+    for every metric — it must equal a direct numpy computation."""
+    from spfresh_tpu.index import brute_force_search
+
+    n, d, Q, k = 12_000, 24, 7, 5
+    corpus = rng.standard_normal((n, d)).astype(np.float32)
+    q = rng.standard_normal((Q, d)).astype(np.float32)
+    dists, idx = brute_force_search(corpus, q, k, metric=metric)
+    diff = np.abs(corpus[None, :, :] - q[:, None, :])
+    if metric == "Euclidean":
+        D = (diff ** 2).sum(-1)
+    elif metric == "Manhattan":
+        D = diff.sum(-1)
+    else:
+        D = diff.max(-1)
+    want = np.sort(D, axis=1)[:, :k]
+    np.testing.assert_allclose(np.sort(dists, axis=1), want, rtol=1e-4, atol=1e-4)
