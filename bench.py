@@ -54,11 +54,14 @@ def main():
                          "and view-upload bytes; recall cost ~0.004) | float32")
     ap.add_argument("--metric", default="Euclidean",
                     help="Euclidean | Manhattan | Chebyshev (GIST-style stress: --metric Manhattan --dim 960)")
-    ap.add_argument("--spread", type=float, default=1.0,
-                    help="cluster radius / unit center scale; 1.0 makes clusters "
-                         "overlap like real embedding corpora (probe fraction at "
-                         "0.9 recall comparable to published SIFT1M IVF curves); "
-                         "0.35 gives well-separated (easier-routing) clusters")
+    ap.add_argument("--spread", type=float, default=0.7,
+                    help="cluster radius / unit center scale — the corpus "
+                         "difficulty knob (hardness is logged per run). "
+                         "0.35 = well-separated clusters (easy routing, "
+                         "0.03%% of lists at 0.9 recall); 0.7 (default) = "
+                         "moderate overlap; 1.0 = heavy overlap (1.9%% of "
+                         "lists at 0.9 recall, beyond published SIFT1M IVF "
+                         "probe fractions)")
     args = ap.parse_args()
 
     n = args.n or (20_000 if args.small else 1_000_000)

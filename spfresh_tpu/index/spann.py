@@ -941,6 +941,9 @@ class SpannIndex:
             nprobe = max(1, min(int(nprobe), int(view.centroids.shape[0])))
             interpret = jax.devices()[0].platform != "tpu"
             bs = min(bs, max(8, smem_entries // max(1, nprobe)))
+            # The query block lives in VMEM (~16 MB/core): at GIST dims a
+            # 4096-query f32 block alone would blow it.
+            bs = min(bs, max(8, (8 << 20) // (view.d_pad * 4)))
             qpad = np.zeros((queries.shape[0], view.d_pad), np.float32)
             qpad[:, : self.dim] = queries
             for s in range(0, queries.shape[0], bs):

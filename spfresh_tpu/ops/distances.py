@@ -120,6 +120,17 @@ def pairwise_distance(
         raise ValueError(f"dimension mismatch: {x.shape[-1]} vs {y.shape[-1]}")
     if metric == EUCLIDEAN and not exact:
         return _sq_l2_pairwise(x, y)
+    if (
+        metric in (MANHATTAN, CHEBYSHEV)
+        and x.shape[0] * y.shape[0] * x.shape[1] >= (1 << 22)
+        and jax.devices()[0].platform == "tpu"
+    ):
+        # XLA's broadcast-reduce lowering of the L1 sum is pathologically
+        # slow at high d (measured 72 s vs the kernel's ~0.1 s at GIST
+        # shapes); the tiled Pallas kernel serves both L1 and Linf.
+        from spfresh_tpu.ops.pallas.pairwise import pallas_l1_linf_pairwise
+
+        return pallas_l1_linf_pairwise(x, y, metric)
     return _elementwise_pairwise(x, y, metric, tile_n)
 
 
