@@ -62,6 +62,14 @@ def main():
                          "moderate overlap; 1.0 = heavy overlap (1.9%% of "
                          "lists at 0.9 recall, beyond published SIFT1M IVF "
                          "probe fractions)")
+    ap.add_argument("--latent-dim", type=int, default=None,
+                    help="draw the corpus on an L-dimensional linear manifold "
+                         "embedded in --dim (plus 1%% ambient noise).  Real "
+                         "descriptor corpora are low-LID (SIFT ~10-13, GIST "
+                         "~20-30); a full-rank 960-d Gaussian has LID ~275, a "
+                         "routing pathology no real dataset exhibits.  Use "
+                         "e.g. --dim 960 --latent-dim 32 for a GIST-like "
+                         "bandwidth stress with realistic routing")
     args = ap.parse_args()
 
     n = args.n or (20_000 if args.small else 1_000_000)
@@ -76,14 +84,29 @@ def main():
     # degenerates every IVF index to a full scan).  Queries are drawn from the
     # same mixture, like SIFT queries come from the same distribution.
     n_centers = max(64, n // 1000)
-    centers = rng.standard_normal((n_centers, args.dim)).astype(np.float32)
     spread = args.spread
+    L = args.latent_dim
+    if L is not None:
+        # Low-LID manifold corpus: latent mixture -> fixed linear embedding
+        # into the ambient dim + small ambient noise.  Distances still cost
+        # the full --dim bandwidth; routing difficulty matches real data.
+        proj = rng.standard_normal((L, args.dim)).astype(np.float32) / np.sqrt(L)
+        centers = rng.standard_normal((n_centers, L)).astype(np.float32)
 
-    def draw(m):
-        a = rng.integers(0, n_centers, size=m)
-        return (
-            centers[a] + spread * rng.standard_normal((m, args.dim))
-        ).astype(np.float32)
+        def draw(m):
+            a = rng.integers(0, n_centers, size=m)
+            lat = centers[a] + spread * rng.standard_normal((m, L))
+            amb = 0.01 * rng.standard_normal((m, args.dim))
+            return (lat.astype(np.float32) @ proj + amb).astype(np.float32)
+
+    else:
+        centers = rng.standard_normal((n_centers, args.dim)).astype(np.float32)
+
+        def draw(m):
+            a = rng.integers(0, n_centers, size=m)
+            return (
+                centers[a] + spread * rng.standard_normal((m, args.dim))
+            ).astype(np.float32)
 
     data = draw(n)
     queries = draw(nq)
@@ -169,7 +192,9 @@ def main():
             {
                 "metric": (
                     f"qps_per_chip_at_recall@{args.k}>={args.target_recall}"
-                    f"_gauss{n // 1000}k_{args.dim}d_{args.metric.lower()}"
+                    f"_gauss{n // 1000}k_{args.dim}d"
+                    + (f"_lat{L}" if L is not None else "")
+                    + f"_{args.metric.lower()}"
                 ),
                 "value": round(qps, 1),
                 "unit": "qps",

@@ -35,7 +35,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
-from typing import List, Optional, Sequence
+from typing import List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -500,25 +500,62 @@ class HierarchicalClustering:
         for ci, c in enumerate(self.clusters):
             base[c.points] = ci
         cents = self.centroid_vectors()
-        # Tile size balances the two (tile, C) distance matrices (<= ~1 GB
-        # each) against per-dispatch overhead — hundreds of tiny tiles were
-        # dispatch-bound (each tunnel dispatch costs ~60 ms).
-        tile = max(256, min(n, (1 << 28) // max(1, len(self.clusters))))
         extra_pts: List[np.ndarray] = []
         extra_cls: List[np.ndarray] = []
         extra_d: List[np.ndarray] = []
-        bt = jnp.float32(self.params.boundary_threshold)
-        for s in range(0, n, tile):
-            idx, dists = _final_replica_pass(
-                self.data[s : s + tile],
-                jnp.asarray(base[s : s + tile], jnp.int32),
+        if self.mesh is not None:
+            # Mesh path: the pass is pure data parallelism — shard the rows,
+            # replicate the centroids, no collectives (cluster_step.py).
+            from spfresh_tpu.parallel.cluster_step import (
+                shard_rows, sharded_replica_pass,
+            )
+
+            S = self.mesh.devices.size
+            n_pad = ((n + S - 1) // S) * S
+            Xp, bp = self._host_data, base
+            if n_pad != n:  # padding rows' replicas are sliced off below
+                Xp = np.concatenate([Xp, np.repeat(Xp[:1], n_pad - n, axis=0)])
+                bp = np.concatenate([bp, np.repeat(bp[:1], n_pad - n)])
+            idx, dists = sharded_replica_pass(
+                self.mesh,
+                shard_rows(self.mesh, Xp.astype(ACCUM_DTYPE)),
+                shard_rows(self.mesh, bp.astype(np.int32)),
                 cents,
                 self.params.metric,
-                bt,
+                self.params.boundary_threshold,
                 n_extra,
             )
-            idx = np.asarray(idx)
-            dists = np.asarray(dists)
+            tiles = [(0, np.asarray(idx)[:n], np.asarray(dists)[:n])]
+        else:
+            # Tile size balances the two (tile, C) distance matrices (<= ~1 GB
+            # each) against per-dispatch overhead — hundreds of tiny tiles were
+            # dispatch-bound (each tunnel dispatch costs ~60 ms).  Dispatches
+            # run ahead of downloads (window of 4): the device computes tile
+            # s+1 while the host drains tile s over the slow link.
+            tile = max(256, min(n, (1 << 28) // max(1, len(self.clusters))))
+            bt = jnp.float32(self.params.boundary_threshold)
+            pending: List[Tuple[int, jnp.ndarray, jnp.ndarray]] = []
+            tiles = []
+            for s in range(0, n, tile):
+                pending.append(
+                    (
+                        s,
+                        *_final_replica_pass(
+                            self.data[s : s + tile],
+                            jnp.asarray(base[s : s + tile], jnp.int32),
+                            cents,
+                            self.params.metric,
+                            bt,
+                            n_extra,
+                        ),
+                    )
+                )
+                if len(pending) >= 4:
+                    s0, i0, d0 = pending.pop(0)
+                    tiles.append((s0, np.asarray(i0), np.asarray(d0)))
+            for s0, i0, d0 in pending:
+                tiles.append((s0, np.asarray(i0), np.asarray(d0)))
+        for s, idx, dists in tiles:
             valid = np.isfinite(dists)
             pts = np.broadcast_to(
                 np.arange(s, s + idx.shape[0])[:, None], idx.shape

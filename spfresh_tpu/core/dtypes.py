@@ -52,6 +52,10 @@ class DtypePolicy:
     def accum_dtype(self):
         return ACCUM_DTYPE
 
+    @property
+    def storage_itemsize(self) -> int:
+        return jnp.dtype(self.storage_dtype).itemsize
+
     def to_storage(self, x):
         return jnp.asarray(x, dtype=self.storage_dtype)
 

@@ -220,7 +220,39 @@ def _search_kernel_padded(
     return out_ids, vals
 
 
-@functools.partial(jax.jit, static_argnames=("Cpad", "pad", "d_pad", "sd"))
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("d",))
+def _gather_scatter_chunk(v, corpus, rows, slots, d: int):
+    """One bounded pack step: gather CH corpus rows, cast to the slab dtype,
+    scatter at their flat slots.  ``v`` is donated — XLA updates in place."""
+    return v.at[slots, :d].set(corpus[rows].astype(v.dtype))
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("d",))
+def _scatter_flat_chunk(v, vec_chunk, slots, d: int):
+    return v.at[slots, :d].set(vec_chunk.astype(v.dtype))
+
+
+_PACK_CHUNK = 1 << 18  # member rows per pack step (bounds the gather at
+# ~256 MB f32 @ 960-d; the full-P gather peaked ~6 GB at 1M x 960 and OOMed
+# next to the slab array + corpus)
+
+
+def _chunk_slices(n: int, chunk: int):
+    """(start, end, tail_pad) triples covering [0, n) in ``chunk`` pieces;
+    only the LAST piece may need padding (callers pad that slice alone with
+    repeats of its first element — idempotent rewrites — instead of copying
+    the whole multi-GB host array to a chunk multiple)."""
+    for s0 in range(0, max(n, 1), chunk):
+        e = min(s0 + chunk, n)
+        yield s0, e, chunk - (e - s0)
+
+
+def _pad_tail(arr_slice: np.ndarray, tail: int) -> np.ndarray:
+    if tail == 0:
+        return arr_slice
+    return np.concatenate([arr_slice, np.repeat(arr_slice[:1], tail, axis=0)])
+
+
 def _pack_slabs_from_corpus(
     corpus, rows, flat_ids, slots, Cpad: int, pad: int, d_pad: int, sd: str
 ):
@@ -229,20 +261,28 @@ def _pack_slabs_from_corpus(
     corpus rows, so the host sends only the int32 row/slot/id arrays (~1% of
     the member bytes) and the gather + dtype cast + scatter all run on-chip.
     Turns the view materialization from an H2D-bandwidth problem into a
-    sub-second HBM shuffle."""
+    sub-second HBM shuffle.
+
+    Chunked: the member gather runs in fixed-size pieces against the donated
+    slab buffer, so peak HBM is slabs + corpus + one chunk — not slabs +
+    corpus + a full (P, d) gather (which OOMed a 16 GB chip at 1M x 960)."""
     d = corpus.shape[1]
-    vecs = corpus[rows].astype(sd)
-    v = (
-        jnp.zeros((Cpad * pad, d_pad), sd)
-        .at[slots, :d].set(vecs)
-        .reshape(Cpad, pad, d_pad)
-    )
+    rows = np.asarray(rows, np.int32)
+    slots_np = np.asarray(slots, np.int32)
+    v = jnp.zeros((Cpad * pad, d_pad), sd)
+    for s0, e, tail in _chunk_slices(rows.shape[0], _PACK_CHUNK):
+        v = _gather_scatter_chunk(
+            v, corpus,
+            jnp.asarray(_pad_tail(rows[s0:e], tail)),
+            jnp.asarray(_pad_tail(slots_np[s0:e], tail)),
+            d,
+        )
     i = (
         jnp.full((Cpad * pad,), -1, jnp.int32)
-        .at[slots].set(flat_ids)
+        .at[jnp.asarray(slots_np)].set(flat_ids)
         .reshape(Cpad, pad)
     )
-    return v, i
+    return v.reshape(Cpad, pad, d_pad), i
 
 
 @functools.partial(jax.jit, static_argnames=("Ppad", "sd"))
@@ -251,26 +291,29 @@ def _flat_from_corpus(corpus, rows, Ppad: int, sd: str):
     return jnp.pad(v, ((0, Ppad - v.shape[0]), (0, 0)))
 
 
-@functools.partial(jax.jit, static_argnames=("Cpad", "pad", "d_pad"))
-def _pack_slabs(flat_vecs, flat_ids, slots, Cpad: int, pad: int, d_pad: int):
-    """Device-side slab pack: scatter the flat member rows into the
-    (Cpad, pad, d_pad) layout ON the device.  The host uploads only the raw
-    (P, d) vectors in the storage dtype — no padding bytes cross the wire
-    (~15-30% of the padded buffer) and no multi-GB zero-padded host staging
-    buffer is materialized; the 1-core host's pack loop becomes one H2D
-    stream + one XLA scatter."""
-    P, d = flat_vecs.shape
-    v = (
-        jnp.zeros((Cpad * pad, d_pad), flat_vecs.dtype)
-        .at[slots, :d].set(flat_vecs)
-        .reshape(Cpad, pad, d_pad)
-    )
+def _pack_slabs(flat_vecs, flat_ids, slots, Cpad: int, pad: int, d_pad: int, sd):
+    """Device-side slab pack from HOST member rows: upload + scatter in
+    fixed-size chunks against the donated slab buffer.  The host sends only
+    the raw (P, d) vectors in the storage dtype — no padding bytes cross the
+    wire — and peak HBM is slabs + one chunk, never slabs + a second full
+    flat copy."""
+    flat_vecs = np.asarray(flat_vecs)
+    d = flat_vecs.shape[1]
+    slots_np = np.asarray(slots, np.int32)
+    v = jnp.zeros((Cpad * pad, d_pad), sd)
+    for s0, e, tail in _chunk_slices(slots_np.shape[0], _PACK_CHUNK):
+        v = _scatter_flat_chunk(
+            v,
+            jnp.asarray(_pad_tail(flat_vecs[s0:e], tail).astype(sd)),
+            jnp.asarray(_pad_tail(slots_np[s0:e], tail)),
+            d,
+        )
     i = (
         jnp.full((Cpad * pad,), -1, jnp.int32)
-        .at[slots].set(flat_ids)
+        .at[jnp.asarray(slots_np)].set(flat_ids)
         .reshape(Cpad, pad)
     )
-    return v, i
+    return v.reshape(Cpad, pad, d_pad), i
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -457,6 +500,13 @@ class SpannIndex:
         # Cluster ids mutated since the padded view was built; None means the
         # change was structural (bulk load) and the next view is a full pack.
         self._dirty_padded: Optional[set] = set()
+        # Mutation journal for EXTERNAL views (e.g. the sharded padded view):
+        # cid -> gen of its last mutation, plus the gen of the last bulk /
+        # structural change.  A view that cached gen g refreshes exactly the
+        # cids with _mutated_gen > g, or fully rebuilds when _bulk_gen > g.
+        self._mutated_gen: Dict[int, int] = {}
+        self._centroid_gen: Dict[int, int] = {}  # cid -> gen of last centroid change
+        self._bulk_gen = 0
         # Subset of dirty cids whose CENTROID changed (append fast path must
         # not skip the centroid row for those).
         self._dirty_centroid: set = set()
@@ -482,6 +532,11 @@ class SpannIndex:
     def _mark_dirty(self, cluster_id: int) -> None:
         self._gen += 1
         self._corpus_cache = None  # release the build corpus's HBM
+        self._mutated_gen[cluster_id] = self._gen
+        if cluster_id in self._dirty_centroid:
+            # May over-mark when an old centroid-dirty flag is still pending —
+            # that only disqualifies an append fast path, never correctness.
+            self._centroid_gen[cluster_id] = self._gen
         if self._dirty_padded is not None:
             self._dirty_padded.add(cluster_id)
 
@@ -511,6 +566,7 @@ class SpannIndex:
             pos += m
         self._gen += 1
         self._dirty_padded = None  # bulk load: next view is a full pack
+        self._bulk_gen = self._gen
         # The flat concatenation IS the view pack's input — cache it so the
         # first view build skips a multi-GB re-concat on the 1-core host.
         if first_cid == 0 and len(self.postings) == len(clusters):
@@ -698,17 +754,17 @@ class SpannIndex:
                 # sends ~1% of the bytes (int32 rows/slots/ids).
                 vecs_dev, ids_dev = _pack_slabs_from_corpus(
                     self._corpus_cache[1],
+                    flat_ids_all,
                     jnp.asarray(flat_ids_all),
-                    jnp.asarray(flat_ids_all),
-                    jnp.asarray(slots),
+                    slots,
                     Cpad=Cpad, pad=pad, d_pad=d_pad, sd=sd,
                 )
             else:
                 vecs_dev, ids_dev = _pack_slabs(
-                    jnp.asarray(flat_vecs_all.astype(sd)),
+                    flat_vecs_all,
                     jnp.asarray(flat_ids_all),
-                    jnp.asarray(slots),
-                    Cpad=Cpad, pad=pad, d_pad=d_pad,
+                    slots,
+                    Cpad=Cpad, pad=pad, d_pad=d_pad, sd=sd,
                 )
         else:  # pragma: no cover - guarded by the empty-index check
             vecs_dev = jnp.zeros((Cpad, pad, d_pad), sd)
@@ -935,6 +991,21 @@ class SpannIndex:
         smem_entries = 1 << 17  # 512 KB of int32 entries
         if engine == "pallas" and min(int(nprobe), self.num_clusters) > smem_entries // 8:
             engine = "xla"
+        if engine == "pallas":
+            # The rerank kernel writes one query's FULL (nprobe, pad) f32
+            # distance block per grid step — that output block shares the
+            # ~10 MB scoped-VMEM budget with the double-buffered slabs and
+            # the query block.  Near-full-probe nprobe at large pad blows it
+            # (measured: nprobe=5933, pad=336 -> 8 MB block, compile OOM);
+            # the XLA engine has no such per-step block.
+            pv = self.padded_view()
+            eff_np = min(int(nprobe), int(pv.centroids.shape[0]))
+            vmem_need = (
+                eff_np * pv.pad * 4
+                + 2 * pv.pad * pv.d_pad * self.policy.storage_itemsize
+            )
+            if vmem_need > (6 << 20):
+                engine = "xla"
         out_i, out_d = [], []
         if engine == "pallas":
             view = self.padded_view()
@@ -1099,4 +1170,5 @@ class SpannIndex:
             [idx._next_cluster_id] + [c + 1 for c in idx.postings]
         )
         idx._gen += 1
+        idx._bulk_gen = idx._gen
         return idx

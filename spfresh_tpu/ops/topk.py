@@ -70,6 +70,17 @@ def centroid_topk(qf, centroids, cent_valid, nprobe: int, metric: str):
     C = centroids.shape[0]
     if cent_valid is None:
         cent_valid = jnp.ones((C,), bool)
+    if (
+        C > LARGE_C_THRESHOLD
+        and nprobe <= 128
+        and metric == "Euclidean"
+        and jax.devices()[0].platform == "tpu"
+    ):
+        # Fused Pallas scan + windowed exact selection: one matmul pass, no
+        # per-chunk top_k over (nprobe + chunk) columns (see centroid_scan.py).
+        from spfresh_tpu.ops.pallas.centroid_scan import windowed_centroid_topk
+
+        return windowed_centroid_topk(qf, centroids, cent_valid, nprobe)
     if C > LARGE_C_THRESHOLD and nprobe <= 1024:
         return chunked_centroid_topk(qf, centroids, cent_valid, nprobe, metric)
     Dc = pairwise_distance(qf, centroids, metric)

@@ -2,6 +2,7 @@ from spfresh_tpu.parallel.cluster_step import (
     replicate,
     shard_rows,
     sharded_cluster_step,
+    sharded_replica_pass,
 )
 from spfresh_tpu.parallel.sharded import ShardedSpannIndex, default_mesh
 
@@ -11,4 +12,5 @@ __all__ = [
     "replicate",
     "shard_rows",
     "sharded_cluster_step",
+    "sharded_replica_pass",
 ]

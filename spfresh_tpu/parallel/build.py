@@ -117,11 +117,24 @@ def sharded_split_level(
     axis = axis or mesh.axis_names[0]
     shard = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
-    return _sharded_split_call(
+    point_list = np.asarray(point_list, np.int32)
+    cluster_of = np.asarray(cluster_of, np.int32)
+    valid = np.asarray(valid, bool)
+    n = point_list.shape[0]
+    # Pad the member axis to a mesh multiple (callers pad to pow2, which a
+    # non-pow2 mesh does not divide).  Padding rows carry valid=False, so
+    # they join no segment sum and win no seed; outputs slice back to n.
+    S = mesh.devices.size
+    n_pad = ((n + S - 1) // S) * S
+    if n_pad != n:
+        point_list = np.concatenate([point_list, np.repeat(point_list[:1], n_pad - n)])
+        cluster_of = np.concatenate([cluster_of, np.repeat(cluster_of[:1], n_pad - n)])
+        valid = np.concatenate([valid, np.zeros(n_pad - n, bool)])
+    assign, seeds, counts, d1 = _sharded_split_call(
         X_rep,
-        jax.device_put(np.asarray(point_list, np.int32), shard),
-        jax.device_put(np.asarray(cluster_of, np.int32), shard),
-        jax.device_put(np.asarray(valid, bool), shard),
+        jax.device_put(point_list, shard),
+        jax.device_put(cluster_of, shard),
+        jax.device_put(valid, shard),
         jax.device_put(np.asarray(c1_idx, np.int32), rep),
         jax.device_put(np.asarray(seed_valid, bool), rep),
         mesh=mesh,
@@ -130,3 +143,6 @@ def sharded_split_level(
         num_segments=num_segments,
         m_ways=m_ways,
     )
+    if n_pad != n:
+        assign, d1 = assign[:n], d1[:n]
+    return assign, seeds, counts, d1

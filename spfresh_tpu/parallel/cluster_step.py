@@ -128,6 +128,50 @@ def sharded_cluster_step(
     return mask, new_cents
 
 
+def sharded_replica_pass(
+    mesh: Mesh,
+    X: jax.Array,
+    base: jax.Array,
+    cent_vecs: jax.Array,
+    metric: str = "Euclidean",
+    boundary_threshold: float = 1.1,
+    n_extra: int = 7,
+    axis: Optional[str] = None,
+):
+    """Final closure-replication pass, data-sharded over the mesh.
+
+    Pure data parallelism — each chip scores its row slice of the corpus
+    against the replicated centroid set with the same closure rule as the
+    single-device ``_final_replica_pass``; no collectives are needed.  This
+    is the build's third hot loop (the reference parallelizes it with rayon,
+    hierarchical.rs:302) and the last single-device phase of the mesh build.
+
+    X (n, d) sharded on rows over ``axis``; base (n,) int32 sharded alike;
+    cent_vecs (C, d) replicated.  Returns (idx (n, n_extra) int32,
+    dists (n, n_extra) f32), both sharded like X.
+    """
+    from spfresh_tpu.clustering.hierarchical import _final_replica_pass
+
+    axis = axis or mesh.axis_names[0]
+    nshards = mesh.devices.size
+    if X.shape[0] % nshards != 0:
+        raise ValueError(
+            f"n={X.shape[0]} must divide evenly over {nshards} shards (pad first)"
+        )
+    bt = np.float32(boundary_threshold)
+
+    def step(x_local, base_local, cents):
+        return _final_replica_pass(x_local, base_local, cents, metric, bt, n_extra)
+
+    return jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P()),
+        out_specs=(P(axis), P(axis)),
+        check_vma=False,
+    )(X, base, cent_vecs)
+
+
 def _host_array(x):
     """Host staging that never touches the default jax backend.
 

@@ -55,7 +55,15 @@ class ShardedView:
 class ShardedPaddedView:
     """Per-shard SLAB blocks for the Pallas fast path: each shard's posting
     lists are contiguous (pad, d_pad) slabs of its local (Cs, pad, d_pad)
-    array, so the fused rerank kernel streams whole-slab DMAs on every chip."""
+    array, so the fused rerank kernel streams whole-slab DMAs on every chip.
+
+    Update-in-place, like the single-device PaddedView: ``cluster_rows`` maps
+    cid -> (shard, row); ``free_rows`` holds each shard's unassigned slab
+    rows; ``snapshot`` remembers each posting's ids at the last refresh so
+    streaming inserts take the append fast path (scatter only the new member
+    rows).  Row ``scratch_row`` of EVERY shard is reserved as a write sink
+    for batch-padding dummies (cent_valid False, len 0 forever), which keeps
+    every scatter a fixed shape per shard without read-modify-write masking."""
 
     centroids: jax.Array  # (S, Cs, d_pad)
     cent_valid: jax.Array  # (S, Cs)
@@ -66,6 +74,10 @@ class ShardedPaddedView:
     d_pad: int
     num_shards: int
     max_dup: int = 8
+    scratch_row: int = 0
+    cluster_rows: Dict[int, Tuple[int, int]] = dataclasses.field(default_factory=dict)
+    free_rows: List[List[int]] = dataclasses.field(default_factory=list)
+    snapshot: Dict[int, np.ndarray] = dataclasses.field(default_factory=dict)
 
 
 class ShardedSpannIndex:
@@ -162,20 +174,35 @@ class ShardedSpannIndex:
         return self._view
 
     def padded_view(self) -> ShardedPaddedView:
-        if self._padded is not None and self._padded_gen == self.index._gen:
-            return self._padded
         idx = self.index
+        if self._padded is not None:
+            if self._padded_gen == idx._gen:
+                return self._padded
+            if idx._bulk_gen <= self._padded_gen:
+                dirty = {
+                    c for c, g in idx._mutated_gen.items() if g > self._padded_gen
+                }
+                if self._apply_padded_updates(dirty):
+                    self._padded_gen = idx._gen
+                    return self._padded
         S = self.num_shards
         d = idx.dim
         d_pad = max(128, _round_up(d, 128))
         per_shard, _, max_len, all_ids = self._deal()
-        Cs = max(8, _round_up(max(len(g) for g in per_shard), 8))
+        # Row headroom for live updates (splits/new postings) + 1 reserved
+        # scratch row per shard (the write sink for batch-padding dummies).
+        occ = max(len(g) for g in per_shard)
+        Cs = max(8, _round_up(occ + max(8, occ // 4) + 1, 8))
         pad = max(16, _round_up(max(1, max_len), 16))
         cent = np.zeros((S, Cs, d_pad), np.float32)
         valid = np.zeros((S, Cs), bool)
         lens = np.zeros((S, Cs), np.int32)
         ids2d = np.full((S, Cs, pad), -1, np.int32)
         vecs3d = np.zeros((S, Cs, pad, d_pad), np.float32)
+        cluster_rows: Dict[int, Tuple[int, int]] = {}
+        snapshot: Dict[int, np.ndarray] = {}
+        scratch = Cs - 1
+        free_rows = [list(range(len(g), scratch)) for g in per_shard]
         for s, group in enumerate(per_shard):
             for row, c in enumerate(group):
                 pids, pvecs = idx.postings[c]
@@ -185,6 +212,8 @@ class ShardedSpannIndex:
                 lens[s, row] = m
                 ids2d[s, row, :m] = _ids_i32(pids)
                 vecs3d[s, row, :m, :d] = pvecs
+                cluster_rows[c] = (s, row)
+                snapshot[c] = pids
         spec = NamedSharding(self.mesh, P(self.axis))
         sd = idx.policy.storage_dtype
         self._padded = ShardedPaddedView(
@@ -197,15 +226,214 @@ class ShardedSpannIndex:
             d_pad=d_pad,
             num_shards=S,
             max_dup=_max_multiplicity(all_ids),
+            scratch_row=scratch,
+            cluster_rows=cluster_rows,
+            free_rows=free_rows,
+            snapshot=snapshot,
         )
         self._padded_gen = idx._gen
         return self._padded
 
+    # -- incremental updates (scatter into the sharded view in place) -------
+
+    @functools.partial(jax.jit, static_argnames=("self",), donate_argnums=(1, 2, 3))
+    def _scatter_appends_sharded(self, v3, i2, ln, slots, vblk, iblk, rows, lens):
+        """Append-path scatter: per shard, write B new member rows into the
+        flattened (Cs*pad, d_pad) slab space and refresh the touched lens."""
+
+        def fn(v3, i2, ln, slots, vblk, iblk, rows, lens):
+            v3l = v3[0]
+            Cs, pad, dp = v3l.shape
+            flat_v = v3l.reshape(Cs * pad, dp).at[slots[0]].set(vblk[0])
+            flat_i = i2[0].reshape(Cs * pad).at[slots[0]].set(iblk[0])
+            lnl = ln[0].at[rows[0]].set(lens[0])
+            return (
+                flat_v.reshape(1, Cs, pad, dp),
+                flat_i.reshape(1, Cs, pad),
+                lnl[None],
+            )
+
+        spec = P(self.axis)
+        return jax.shard_map(
+            fn, mesh=self.mesh,
+            in_specs=(spec,) * 8, out_specs=(spec, spec, spec),
+            check_vma=False,
+        )(v3, i2, ln, slots, vblk, iblk, rows, lens)
+
+    @functools.partial(
+        jax.jit, static_argnames=("self",), donate_argnums=(1, 2, 3, 4, 5)
+    )
+    def _scatter_rows_sharded(self, v3, i2, ln, ce, vl,
+                              rows, vblk, iblk, lblk, cblk, vldblk):
+        """Slab-rewrite scatter: per shard, replace whole (pad, d_pad) slabs
+        plus their centroid/valid/len rows."""
+
+        def fn(v3, i2, ln, ce, vl, rows, vblk, iblk, lblk, cblk, vldblk):
+            r = rows[0]
+            return (
+                v3[0].at[r].set(vblk[0])[None],
+                i2[0].at[r].set(iblk[0])[None],
+                ln[0].at[r].set(lblk[0])[None],
+                ce[0].at[r].set(cblk[0])[None],
+                vl[0].at[r].set(vldblk[0])[None],
+            )
+
+        spec = P(self.axis)
+        return jax.shard_map(
+            fn, mesh=self.mesh,
+            in_specs=(spec,) * 11, out_specs=(spec,) * 5,
+            check_vma=False,
+        )(v3, i2, ln, ce, vl, rows, vblk, iblk, lblk, cblk, vldblk)
+
+    def _apply_padded_updates(self, dirty) -> bool:
+        """Land ``dirty`` postings in the live sharded view without a repack.
+        Mirrors SpannIndex._apply_padded_updates (spann.py): append fast path
+        for pure streaming growth, slab rewrite otherwise; new postings take
+        a free row on the emptiest shard.  Returns False (caller rebuilds)
+        when a posting outgrew the slab width or free rows ran out."""
+        view = self._padded
+        idx = self.index
+        if not dirty:
+            return True
+        d = idx.dim
+        if d is None or d > view.d_pad:
+            return False
+        for c in dirty:
+            if c in idx.postings and len(idx.postings[c][0]) > view.pad:
+                return False
+        S = view.num_shards
+        gen0 = self._padded_gen
+        free = [list(f) for f in view.free_rows]
+        appends: List[List[Tuple[int, int, np.ndarray, np.ndarray, int]]] = [
+            [] for _ in range(S)
+        ]  # per shard: (row, old_len, add_ids, add_vecs, new_len)
+        rewrites: List[List[int]] = [[] for _ in range(S)]  # cids (or -row-1 frees)
+        row_of: Dict[int, Tuple[int, int]] = {}
+        for c in sorted(dirty):
+            if c in idx.postings:
+                ids, vecs = idx.postings[c]
+                loc = view.cluster_rows.get(c)
+                old = view.snapshot.get(c)
+                if (
+                    loc is not None
+                    and old is not None
+                    and idx._centroid_gen.get(c, 0) <= gen0
+                    and len(ids) > len(old)
+                    and np.array_equal(ids[: len(old)], old)
+                ):
+                    s, row = loc
+                    appends[s].append(
+                        (row, len(old), ids[len(old):], vecs[len(old):], len(ids))
+                    )
+                    view.snapshot[c] = ids
+                    continue
+                if loc is None:
+                    s = int(np.argmax([len(f) for f in free]))
+                    if not free[s]:
+                        return False
+                    loc = (s, free[s].pop())
+                row_of[c] = loc
+                rewrites[loc[0]].append(c)
+            elif c in view.cluster_rows:
+                s, row = view.cluster_rows[c]
+                row_of[c] = (s, row)
+                rewrites[s].append(c)
+
+        sd = idx.policy.storage_dtype
+        dummy_slot = view.scratch_row * view.pad
+        if any(appends):
+            CH = 1024
+            n_chunks = max(
+                (sum(len(a[2]) for a in apl) + CH - 1) // CH for apl in appends
+            )
+            n_chunks = max(1, n_chunks)
+            slots = np.full((S, n_chunks * CH), dummy_slot, np.int32)
+            vblk = np.zeros((S, n_chunks * CH, view.d_pad), np.float32)
+            iblk = np.full((S, n_chunks * CH), -1, np.int32)
+            arows = np.full((S, n_chunks * CH), view.scratch_row, np.int32)
+            alens = np.zeros((S, n_chunks * CH), np.int32)
+            for s, apl in enumerate(appends):
+                pos = 0
+                for row, old_len, add_ids, add_vecs, _new_len in apl:
+                    k = len(add_ids)
+                    slots[s, pos : pos + k] = row * view.pad + old_len + np.arange(k)
+                    vblk[s, pos : pos + k, :d] = add_vecs
+                    iblk[s, pos : pos + k] = _ids_i32(add_ids)
+                    pos += k
+                for j, (row, _, _, _, new_len) in enumerate(apl):
+                    arows[s, j] = row
+                    alens[s, j] = new_len
+            spec = NamedSharding(self.mesh, P(self.axis))
+            v3, i2, ln = view.vectors3d, view.ids2d, view.lens
+            for k0 in range(0, n_chunks * CH, CH):
+                sl = slice(k0, k0 + CH)
+                v3, i2, ln = self._scatter_appends_sharded(
+                    v3, i2, ln,
+                    jax.device_put(slots[:, sl], spec),
+                    jax.device_put(vblk[:, sl].astype(sd), spec),
+                    jax.device_put(iblk[:, sl], spec),
+                    jax.device_put(arows[:, sl], spec),
+                    jax.device_put(alens[:, sl], spec),
+                )
+            view.vectors3d, view.ids2d, view.lens = v3, i2, ln
+
+        if row_of:
+            RB = 8
+            n_chunks = max(1, max((len(r) + RB - 1) // RB for r in rewrites))
+            rows = np.full((S, n_chunks * RB), view.scratch_row, np.int32)
+            vblk = np.zeros((S, n_chunks * RB, view.pad, view.d_pad), np.float32)
+            iblk = np.full((S, n_chunks * RB, view.pad), -1, np.int32)
+            lblk = np.zeros((S, n_chunks * RB), np.int32)
+            cblk = np.zeros((S, n_chunks * RB, view.d_pad), np.float32)
+            vldblk = np.zeros((S, n_chunks * RB), bool)
+            for s, cids in enumerate(rewrites):
+                for j, c in enumerate(cids):
+                    _, row = row_of[c]
+                    rows[s, j] = row
+                    if c in idx.postings:
+                        ids, vecs = idx.postings[c]
+                        m = len(ids)
+                        vblk[s, j, :m, :d] = vecs
+                        iblk[s, j, :m] = _ids_i32(ids)
+                        lblk[s, j] = m
+                        cblk[s, j, :d] = idx.centroids[c]
+                        vldblk[s, j] = True
+            spec = NamedSharding(self.mesh, P(self.axis))
+            v3, i2, ln = view.vectors3d, view.ids2d, view.lens
+            ce, vl = view.centroids, view.cent_valid
+            for k0 in range(0, n_chunks * RB, RB):
+                sl = slice(k0, k0 + RB)
+                v3, i2, ln, ce, vl = self._scatter_rows_sharded(
+                    v3, i2, ln, ce, vl,
+                    jax.device_put(rows[:, sl], spec),
+                    jax.device_put(vblk[:, sl].astype(sd), spec),
+                    jax.device_put(iblk[:, sl], spec),
+                    jax.device_put(lblk[:, sl], spec),
+                    jax.device_put(cblk[:, sl].astype(sd), spec),
+                    jax.device_put(vldblk[:, sl], spec),
+                )
+            view.vectors3d, view.ids2d, view.lens = v3, i2, ln
+            view.centroids, view.cent_valid = ce, vl
+            view.free_rows = free
+            for c, (s, row) in row_of.items():
+                if c in idx.postings:
+                    view.cluster_rows[c] = (s, row)
+                    view.snapshot[c] = idx.postings[c][0]
+                else:
+                    view.cluster_rows.pop(c, None)
+                    view.snapshot.pop(c, None)
+                    view.free_rows[s].append(row)
+
+        view.max_dup = max(view.max_dup, idx._dedup_bound())
+        return True
+
     # -- search ------------------------------------------------------------
 
-    @functools.partial(jax.jit, static_argnames=("self", "k", "nprobe", "prune"))
+    @functools.partial(
+        jax.jit, static_argnames=("self", "k", "nprobe", "prune", "max_dup")
+    )
     def _sharded_search(self, queries, view_arrays, prune_factor, k: int,
-                        nprobe: int, prune: bool = False):
+                        nprobe: int, prune: bool = False, max_dup: int = 8):
         view = self.view()
         axis = self.axis
         metric, pad = self.metric, view.pad
@@ -232,9 +460,9 @@ class ShardedSpannIndex:
             # the shard's k slots — with dedup, any global top-k point living
             # on this shard provably survives into the local top-k.
             local_d, local_i = smallest_k_unique(
-                raw_d, cand_ids, min(k, raw_d.shape[1]), max_dup=view.max_dup
+                raw_d, cand_ids, min(k, raw_d.shape[1]), max_dup=max_dup
             )
-            return _merge_topk(local_d, local_i, axis, k, view.max_dup)
+            return _merge_topk(local_d, local_i, axis, k, max_dup)
 
         return jax.shard_map(
             shard_fn,
@@ -245,11 +473,12 @@ class ShardedSpannIndex:
         )(queries, prune_factor, centroids, cent_valid, offsets, lens, ids, vectors)
 
     @functools.partial(
-        jax.jit, static_argnames=("self", "k", "nprobe", "prune", "interpret")
+        jax.jit,
+        static_argnames=("self", "k", "nprobe", "prune", "interpret", "max_dup"),
     )
     def _sharded_search_padded(self, queries, view_arrays, prune_factor,
                                k: int, nprobe: int, prune: bool,
-                               interpret: bool):
+                               interpret: bool, max_dup: int = 8):
         """Pallas fast path per chip: local centroid scan, fused slab-DMA
         rerank (padded_rerank_distances) on each shard's slab block, distinct
         local top-k, collective merge."""
@@ -291,9 +520,9 @@ class ShardedSpannIndex:
                 thr = pf.astype(raw_d.dtype) * (global_cd + _F32_EPS)
                 raw_d = jnp.where(raw_d <= thr[:, None], raw_d, jnp.inf)
             local_d, local_i = smallest_k_unique(
-                raw_d, cand_ids, min(k, raw_d.shape[1]), max_dup=view.max_dup
+                raw_d, cand_ids, min(k, raw_d.shape[1]), max_dup=max_dup
             )
-            return _merge_topk(local_d, local_i, axis, k, view.max_dup)
+            return _merge_topk(local_d, local_i, axis, k, max_dup)
 
         return jax.shard_map(
             shard_fn,
@@ -336,6 +565,7 @@ class ShardedSpannIndex:
                 qi, qd = self._sharded_search_padded(
                     jax.device_put(qpad[s : s + batch_size], qspec),
                     arrays, pf, int(k), nprobe, prune, interpret,
+                    max_dup=view.max_dup,
                 )
                 out_i.append(np.asarray(qi))
                 out_d.append(np.asarray(qd))
@@ -350,6 +580,7 @@ class ShardedSpannIndex:
                 qi, qd = self._sharded_search(
                     jax.device_put(queries[s : s + batch_size], qspec),
                     arrays, pf, int(k), nprobe, prune,
+                    max_dup=view.max_dup,
                 )
                 out_i.append(np.asarray(qi))
                 out_d.append(np.asarray(qd))

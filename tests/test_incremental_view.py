@@ -147,3 +147,45 @@ def test_incremental_matches_brute_force_over_update_stream(rng):
         # full probe, no pruning -> exact (the repo's standing invariant)
         for r in range(4):
             assert set(ids_p[r].tolist()) == set(gt[r].tolist()), step
+
+
+def test_chunked_pack_multi_chunk_matches_single(rng, monkeypatch):
+    """The bounded-memory slab pack (spann._PACK_CHUNK pieces + idempotent
+    tail padding) must produce the same view as a one-shot pack: shrink the
+    chunk so a small index needs several pieces, both pack flavors."""
+    import jax.numpy as jnp
+
+    from spfresh_tpu.index import Config, SpannIndex
+    from spfresh_tpu.index import spann as spann_mod
+
+    monkeypatch.setattr(spann_mod, "_PACK_CHUNK", 32)
+    n, dim = 300, 16
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+
+    def build():
+        idx = SpannIndex(Config.from_dict({}))
+        for c in range(6):
+            ids = np.arange(c * 50, (c + 1) * 50, dtype=np.int64)
+            idx.add_cluster(data[ids], ids, centroid=data[ids[0]])
+        return idx
+
+    # Host-flat pack path (several 32-row chunks).
+    idx = build()
+    view = idx.padded_view()
+    assert np.asarray(view.lens)[:6].tolist() == [50] * 6
+    for c in range(6):
+        row = view.cluster_rows[c]
+        got = np.asarray(view.vectors3d)[row, :50, :dim]
+        np.testing.assert_allclose(got, data[c * 50 : (c + 1) * 50], atol=1e-6)
+        assert np.asarray(view.ids2d)[row, :50].tolist() == list(range(c * 50, (c + 1) * 50))
+        assert np.all(np.asarray(view.ids2d)[row, 50:] == -1)
+
+    # Zero-upload (device corpus) pack path.
+    idx2 = build()
+    idx2._flat_cache = None
+    idx2._corpus_cache = (idx2._gen, jnp.asarray(data))
+    view2 = idx2.padded_view()
+    np.testing.assert_allclose(
+        np.asarray(view2.vectors3d), np.asarray(view.vectors3d), atol=1e-6
+    )
+    np.testing.assert_array_equal(np.asarray(view2.ids2d), np.asarray(view.ids2d))

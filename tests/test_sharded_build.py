@@ -102,3 +102,31 @@ def test_sharded_build_end_to_end_search(rng, tmp_path):
     _, gt = brute_force_search(X, q, k=10)
     for r in range(8):
         assert set(ids[r].tolist()) == set(gt[r].tolist())
+
+
+def test_sharded_replica_pass_matches_single_device(rng):
+    """The mesh replica pass (pure data parallelism) must return exactly the
+    single-device _final_replica_pass results on every shard's slice."""
+    import jax.numpy as jnp
+
+    from spfresh_tpu.clustering.hierarchical import _final_replica_pass
+    from spfresh_tpu.parallel import replicate, shard_rows, sharded_replica_pass
+
+    X = rng.standard_normal((64, 6)).astype(np.float32)
+    C = rng.standard_normal((9, 6)).astype(np.float32)
+    base = rng.integers(0, 9, 64).astype(np.int32)
+    mesh = _mesh()
+    idx_s, d_s = sharded_replica_pass(
+        mesh, shard_rows(mesh, X), shard_rows(mesh, base),
+        replicate(mesh, C), "Euclidean", 1.3, 4,
+    )
+    idx_1, d_1 = _final_replica_pass(
+        jnp.asarray(X), jnp.asarray(base), jnp.asarray(C),
+        "Euclidean", jnp.float32(1.3), 4,
+    )
+    np.testing.assert_array_equal(np.asarray(idx_s), np.asarray(idx_1))
+    finite = np.isfinite(np.asarray(d_1))
+    np.testing.assert_allclose(
+        np.asarray(d_s)[finite], np.asarray(d_1)[finite], rtol=1e-6
+    )
+    assert np.array_equal(finite, np.isfinite(np.asarray(d_s)))
