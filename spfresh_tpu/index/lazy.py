@@ -46,12 +46,19 @@ from spfresh_tpu.ops.topk import centroid_topk, smallest_k_unique
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "max_dup"))
-def _rerank_staged(queries, slab_vecs, slab_ids, slab_lens, cent_d, k: int,
-                   metric: str = "Euclidean", max_dup: int = 8):
-    """Rerank host-staged slabs: queries (Q, d); slab_vecs (Q, nprobe, pad, d);
-    slab_ids (Q, nprobe, pad); slab_lens (Q, nprobe)."""
-    Q, nprobe, pad, d = slab_vecs.shape
-    qf = queries.astype(slab_vecs.dtype)
+def _rerank_staged(queries, staged_vecs, staged_ids, staged_lens, inv, cent_d,
+                   k: int, metric: str = "Euclidean", max_dup: int = 8):
+    """Rerank host-staged slabs: queries (Q, d); staged_vecs (U, pad, d) are
+    the batch's UNIQUE probed slabs (queries in a batch share clusters, so
+    the wire carries each slab once); ``inv`` (Q, nprobe) int32 maps each
+    probe to its staged row — the fan-out back to (Q, nprobe, pad, d)
+    happens on-device as a whole-slab gather."""
+    U, pad, d = staged_vecs.shape
+    Q, nprobe = inv.shape
+    qf = queries.astype(staged_vecs.dtype)
+    slab_vecs = staged_vecs[inv]  # (Q, nprobe, pad, d)
+    slab_ids = staged_ids[inv]
+    slab_lens = staged_lens[inv]
     dist = rowwise_distance(slab_vecs, qf[:, None, None, :], metric)
     ar = jnp.arange(pad, dtype=jnp.int32)
     valid = (ar < slab_lens[..., None]) & jnp.isfinite(cent_d)[..., None]
@@ -68,13 +75,21 @@ class LazySpannIndex:
     """Open a saved packed index without loading posting vectors into memory."""
 
     def __init__(self, directory: str, config: Optional[Config] = None, pad: Optional[int] = None,
-                 prefetch_threads: int = 2):
+                 prefetch_threads: Optional[int] = None):
+        if prefetch_threads is None:
+            # The pipeline only helps when staging can run on a spare core;
+            # on a 1-core host every stage (gather, cast, upload) contends
+            # for the same CPU and threading measures ~0.85x.
+            prefetch_threads = 2 if (os.cpu_count() or 1) > 1 else 0
         with open(os.path.join(directory, MANIFEST)) as f:
             manifest = json.load(f)
         if manifest["layout"] != "packed":
             raise ValueError("lazy mode requires the 'packed' save layout")
         self.config = config or Config.from_dict(manifest.get("config", {}))
         self.metric = canonical_metric(self.config.distance_metric)
+        from spfresh_tpu.core.dtypes import DtypePolicy
+
+        self.policy = DtypePolicy(self.config.storage_dtype)
         self.dim = int(manifest["dim"])
         with gzip.open(os.path.join(directory, CENTROIDS_FILE), "rb") as f:
             cent = np.load(f)
@@ -114,35 +129,49 @@ class LazySpannIndex:
 
     # -- staging -----------------------------------------------------------
 
-    def _stage_async(self, rows: np.ndarray):
-        """Start staging on a background thread; returns an object with
-        .join() -> (vecs, ids, lens).  Native C++ thread when the library is
-        built; Python thread (the ctypes gather releases the GIL) otherwise;
-        synchronous fallback when pipelining is disabled."""
-        flat = rows.reshape(-1).astype(np.int32)
-        if self._pipeline and self._native is not None:
-            return self._native.gather_padded_async(flat, self.pad)
-        if self._pipeline:
-            from concurrent.futures import ThreadPoolExecutor
+    def _stage_async(self, rows: np.ndarray, sd_np):
+        """Start staging on a background thread; returns an object whose
+        .join() -> DEVICE arrays (vecs, ids, lens) in the wire dtype.
 
-            if self._executor is None:
-                self._executor = ThreadPoolExecutor(max_workers=1)
-            fut = self._executor.submit(self._stage, rows)
+        Pipelined: the disk -> host gather runs on the native C++ thread
+        (falling back to a Python thread — the ctypes gather releases the
+        GIL), and the dtype cast + host -> device upload run on a worker
+        thread too, so the whole stage-cast-upload chain for batch i+1
+        overlaps batch i's rerank instead of serializing with it."""
 
-            class _Join:
-                def join(self, _fut=fut):
-                    return _fut.result()
+        def to_device(vecs, ids, lens):
+            if vecs.dtype != sd_np:  # storage-dtype wire halves bf16 bytes
+                vecs = vecs.astype(sd_np)
+            return jnp.asarray(vecs), jnp.asarray(_ids_i32(ids)), jnp.asarray(lens)
 
-            return _Join()
+        if not self._pipeline:
+            class _Sync:
+                def join(_s, _outer=self, _r=rows):
+                    return to_device(*_outer._stage(_r))
 
-        class _Sync:
-            def __init__(self, outer, r):
-                self._outer, self._r = outer, r
+            return _Sync()
+        # Kick the native gather immediately on its own C++ thread; the
+        # worker thread then joins it, casts, and uploads.
+        native_job = (
+            self._native.gather_padded_async(rows.reshape(-1).astype(np.int32), self.pad)
+            if self._native is not None else None
+        )
+        from concurrent.futures import ThreadPoolExecutor
 
-            def join(self):
-                return self._outer._stage(self._r)
+        if self._executor is None:
+            self._executor = ThreadPoolExecutor(max_workers=1)
 
-        return _Sync(self, rows)
+        def work():
+            staged = native_job.join() if native_job is not None else self._stage(rows)
+            return to_device(*staged)
+
+        fut = self._executor.submit(work)
+
+        class _Join:
+            def join(self, _fut=fut):
+                return _fut.result()
+
+        return _Join()
 
     def _stage(self, rows: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Host-gather probed postings into a (m, pad, d) slab batch."""
@@ -172,14 +201,16 @@ class LazySpannIndex:
         nprobe = max(1, min(int(nprobe or self.config.search.nprobe or k), self.num_clusters))
         out_i, out_d = [], []
 
-        def finish(qb, cent_d, job):
-            vecs, ids, lens = job.join()
-            Q = qb.shape[0]
+        sd_np = np.dtype(self.policy.storage_dtype)
+
+        def finish(qb, cent_d, inv, job):
+            vecs_d, ids_d, lens_d = job.join()  # already on device
             qi, qd = _rerank_staged(
                 jnp.asarray(qb),
-                jnp.asarray(vecs.reshape(Q, nprobe, self.pad, self.dim)),
-                jnp.asarray(_ids_i32(ids).reshape(Q, nprobe, self.pad)),
-                jnp.asarray(lens.reshape(Q, nprobe)),
+                vecs_d,
+                ids_d,
+                lens_d,
+                jnp.asarray(inv),
                 cent_d,
                 k=int(k),
                 metric=self.metric,
@@ -189,17 +220,25 @@ class LazySpannIndex:
             out_d.append(np.asarray(qd))
 
         # Software pipeline: batch i+1 stages (disk -> host, background
-        # thread) while batch i uploads + reranks on the device.
+        # thread) while batch i uploads + reranks on the device.  Queries in
+        # a batch probe overlapping clusters, so only the batch's UNIQUE
+        # slabs are staged/uploaded (bucketed so shapes stay compile-stable);
+        # the fan-out back to per-probe slabs is an on-device gather.
         pending = None
         for s in range(0, queries.shape[0], batch_size):
             qb = queries[s : s + batch_size]
             cent_d, rows = self._centroid_topk(
                 jnp.asarray(qb), self._centroids, nprobe, self.metric
             )
-            job = self._stage_async(np.asarray(rows))
+            rows_np = np.asarray(rows)
+            Q = rows_np.shape[0]
+            uniq, inv = np.unique(rows_np.reshape(-1), return_inverse=True)
+            Upad = max(8, _round_up(len(uniq), 64))
+            uniq = np.concatenate([uniq, np.repeat(uniq[:1], Upad - len(uniq))])
+            job = self._stage_async(uniq, sd_np)
             if pending is not None:
                 finish(*pending)
-            pending = (qb, cent_d, job)
+            pending = (qb, cent_d, inv.reshape(Q, nprobe).astype(np.int32), job)
         if pending is not None:
             finish(*pending)
         return np.concatenate(out_i).astype(np.int64), np.concatenate(out_d)

@@ -220,11 +220,36 @@ def _search_kernel_padded(
     return out_ids, vals
 
 
-@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("d",))
-def _gather_scatter_chunk(v, corpus, rows, slots, d: int):
-    """One bounded pack step: gather CH corpus rows, cast to the slab dtype,
-    scatter at their flat slots.  ``v`` is donated — XLA updates in place."""
-    return v.at[slots, :d].set(corpus[rows].astype(v.dtype))
+@functools.partial(
+    jax.jit, static_argnames=("d", "Cpad", "pad", "d_pad", "sd", "n_chunks")
+)
+def _pack_from_corpus_fused(
+    corpus, rows2d, slots2d, flat_ids_pad, d: int,
+    Cpad: int, pad: int, d_pad: int, sd, n_chunks: int,
+):
+    """Whole pack as ONE program: an internal fori_loop gathers each
+    (CH,)-row chunk from the corpus and scatters it at its flat slab slots,
+    so XLA keeps a single slab buffer in place.  The r2-start version
+    donated the slab across n_chunks separate calls — through the device
+    tunnel that churned n_chunks dead multi-GB generations the backend
+    reclaimed too slowly, leaving the chip 'full' with only the live view
+    resident (measured: 0-GiB free probe after a 1M x 960 build).  Chunk
+    padding repeats real entries — idempotent same-value rewrites."""
+
+    def body(i, v):
+        r = jax.lax.dynamic_index_in_dim(rows2d, i, keepdims=False)
+        s = jax.lax.dynamic_index_in_dim(slots2d, i, keepdims=False)
+        return v.at[s, :d].set(corpus[r].astype(v.dtype))
+
+    v = jax.lax.fori_loop(
+        0, n_chunks, body, jnp.zeros((Cpad * pad, d_pad), sd)
+    )
+    i = (
+        jnp.full((Cpad * pad,), -1, jnp.int32)
+        .at[slots2d.reshape(-1)].set(flat_ids_pad)
+        .reshape(Cpad, pad)
+    )
+    return v.reshape(Cpad, pad, d_pad), i
 
 
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("d",))
@@ -255,7 +280,7 @@ def _pad_tail(arr_slice: np.ndarray, tail: int) -> np.ndarray:
 
 def _pack_slabs_from_corpus(
     corpus, rows, flat_ids, slots, Cpad: int, pad: int, d_pad: int, sd: str
-):
+):  # noqa: D401 — see _pack_from_corpus_fused for the device program
     """Slab pack with ZERO vector upload: the corpus is already device-
     resident from the clustering phase and a fresh build's member vectors are
     corpus rows, so the host sends only the int32 row/slot/id arrays (~1% of
@@ -263,26 +288,31 @@ def _pack_slabs_from_corpus(
     Turns the view materialization from an H2D-bandwidth problem into a
     sub-second HBM shuffle.
 
-    Chunked: the member gather runs in fixed-size pieces against the donated
-    slab buffer, so peak HBM is slabs + corpus + one chunk — not slabs +
-    corpus + a full (P, d) gather (which OOMed a 16 GB chip at 1M x 960)."""
+    Chunked INSIDE one program: the member gather runs in fixed-size pieces
+    via an internal fori_loop, so peak HBM is slabs + corpus + one chunk —
+    not slabs + corpus + a full (P, d) gather (which OOMed a 16 GB chip at
+    1M x 960) — and the slab buffer is allocated exactly once (a donate-per-
+    chunk call chain churned dead generations the tunnel backend reclaimed
+    too slowly; see _pack_from_corpus_fused)."""
     d = corpus.shape[1]
     rows = np.asarray(rows, np.int32)
     slots_np = np.asarray(slots, np.int32)
-    v = jnp.zeros((Cpad * pad, d_pad), sd)
-    for s0, e, tail in _chunk_slices(rows.shape[0], _PACK_CHUNK):
-        v = _gather_scatter_chunk(
-            v, corpus,
-            jnp.asarray(_pad_tail(rows[s0:e], tail)),
-            jnp.asarray(_pad_tail(slots_np[s0:e], tail)),
-            d,
+    P = rows.shape[0]
+    n_chunks = max(1, (P + _PACK_CHUNK - 1) // _PACK_CHUNK)
+    rows2d = np.empty((n_chunks, _PACK_CHUNK), np.int32)
+    slots2d = np.empty((n_chunks, _PACK_CHUNK), np.int32)
+    ids_pad = np.empty(n_chunks * _PACK_CHUNK, flat_ids.dtype)
+    for ci, (s0, e, tail) in enumerate(_chunk_slices(P, _PACK_CHUNK)):
+        rows2d[ci] = _pad_tail(rows[s0:e], tail)
+        slots2d[ci] = _pad_tail(slots_np[s0:e], tail)
+        ids_pad[ci * _PACK_CHUNK : (ci + 1) * _PACK_CHUNK] = _pad_tail(
+            np.asarray(flat_ids)[s0:e], tail
         )
-    i = (
-        jnp.full((Cpad * pad,), -1, jnp.int32)
-        .at[jnp.asarray(slots_np)].set(flat_ids)
-        .reshape(Cpad, pad)
+    return _pack_from_corpus_fused(
+        corpus, jnp.asarray(rows2d), jnp.asarray(slots2d),
+        jnp.asarray(ids_pad), d,
+        Cpad=Cpad, pad=pad, d_pad=d_pad, sd=sd, n_chunks=n_chunks,
     )
-    return v.reshape(Cpad, pad, d_pad), i
 
 
 @functools.partial(jax.jit, static_argnames=("Ppad", "sd"))
@@ -478,6 +508,57 @@ class PaddedView:
     snapshot: Dict[int, np.ndarray] = dataclasses.field(default_factory=dict)
 
 
+class _LazyMemberVecs:
+    """Posting member vectors materialized on first touch from the build
+    corpus (``corpus[ids]``).
+
+    The bulk-build host gather of every replica row (~1.6 GB / ~9 s on the
+    1-core host at 1M x 128 x 3.2 replication) is pure waste when the first
+    device view packs straight from the device-resident corpus — nothing
+    host-side ever reads the vectors.  Steady-state update/save paths touch
+    a handful of postings and pay only their own slices.  Quacks like the
+    ndarray it stands for: ``np.asarray``/``np.concatenate`` hit
+    ``__array__``, slicing materializes, and unknown attributes delegate to
+    the materialized array."""
+
+    __slots__ = ("_corpus", "_ids", "_mat")
+
+    def __init__(self, corpus: np.ndarray, ids: np.ndarray):
+        self._corpus = corpus
+        self._ids = ids
+        self._mat = None
+
+    def _m(self) -> np.ndarray:
+        if self._mat is None:
+            self._mat = self._corpus[self._ids]
+        return self._mat
+
+    def __array__(self, dtype=None, copy=None):
+        m = self._m()
+        return m if dtype is None else m.astype(dtype, copy=False)
+
+    def __len__(self) -> int:
+        return len(self._ids)
+
+    def __getitem__(self, key):
+        return self._m()[key]
+
+    def __getattr__(self, name):
+        return getattr(self._m(), name)
+
+    @property
+    def shape(self):
+        return (len(self._ids), self._corpus.shape[1])
+
+    @property
+    def ndim(self) -> int:
+        return 2
+
+    @property
+    def dtype(self):
+        return self._corpus.dtype
+
+
 class SpannIndex:
     """Mirror of SpannIndex (spann_index.rs:17-21) with batched search and
     mutable posting state for SPFresh updates."""
@@ -554,14 +635,24 @@ class SpannIndex:
         data = np.asarray(data, dtype=np.float32)
         self.dim = data.shape[1]
         all_ids = np.concatenate([np.asarray(c.points, np.int64) for c in clusters])             if clusters else np.empty(0, np.int64)
-        all_vecs = data[all_ids]
         first_cid = self._next_cluster_id
+        fresh = first_cid == 0
+        corpus_ok = corpus_dev is not None and corpus_dev.shape[0] > (
+            int(all_ids.max()) if all_ids.size else -1
+        )
+        # When the first view will pack from the device-resident corpus,
+        # nothing host-side reads the member vectors — defer the ~GB host
+        # gather (point id == corpus row in a bulk build) to first touch.
+        lazy = fresh and corpus_ok
+        all_vecs = _LazyMemberVecs(data, all_ids) if lazy else data[all_ids]
         pos = 0
         for c in clusters:
             m = len(c.points)
             cid = self._next_cluster_id
             self._next_cluster_id += 1
-            self.postings[cid] = (all_ids[pos : pos + m], all_vecs[pos : pos + m])
+            ids_c = all_ids[pos : pos + m]
+            vecs_c = _LazyMemberVecs(data, ids_c) if lazy else all_vecs[pos : pos + m]
+            self.postings[cid] = (ids_c, vecs_c)
             self.centroids[cid] = data[c.centroid_idx].copy()
             pos += m
         self._gen += 1
@@ -569,11 +660,9 @@ class SpannIndex:
         self._bulk_gen = self._gen
         # The flat concatenation IS the view pack's input — cache it so the
         # first view build skips a multi-GB re-concat on the 1-core host.
-        if first_cid == 0 and len(self.postings) == len(clusters):
+        if fresh and len(self.postings) == len(clusters):
             self._flat_cache = (self._gen, all_ids, all_vecs)
-            if corpus_dev is not None and corpus_dev.shape[0] > (
-                int(all_ids.max()) if all_ids.size else -1
-            ):
+            if corpus_ok:
                 self._corpus_cache = (self._gen, corpus_dev)
 
     def _as_posting_vecs(self, ids, vectors) -> np.ndarray:
@@ -685,6 +774,7 @@ class SpannIndex:
             max_dup=self._refresh_mult(flat_ids[:P]),
         )
         self._view_gen = self._gen
+        self._hbm_guard(int(vectors_dev.size) * vectors_dev.dtype.itemsize)
         return self._view
 
     def _refresh_mult(self, all_ids: np.ndarray) -> int:
@@ -755,7 +845,7 @@ class SpannIndex:
                 vecs_dev, ids_dev = _pack_slabs_from_corpus(
                     self._corpus_cache[1],
                     flat_ids_all,
-                    jnp.asarray(flat_ids_all),
+                    flat_ids_all,
                     slots,
                     Cpad=Cpad, pad=pad, d_pad=d_pad, sd=sd,
                 )
@@ -787,7 +877,21 @@ class SpannIndex:
         self._padded_gen = self._gen
         self._dirty_padded = set()
         self._dirty_centroid = set()
+        self._hbm_guard(int(vecs_dev.size) * vecs_dev.dtype.itemsize)
         return self._padded_view
+
+    def _hbm_guard(self, view_bytes: int, budget: int = 8 << 30) -> None:
+        """Drop the device-resident build corpus once a packed view plus the
+        corpus would crowd the chip's HBM (measured: 1M x 960 bf16 slabs
+        ~6.4 GB + f32 corpus 3.8 GB OOMed the first 16 GB-chip search).  The
+        corpus cache only accelerates future FULL repacks — postings
+        materialize lazily from the host copy, so dropping it costs nothing
+        until a bulk rebuild, which re-uploads."""
+        if self._corpus_cache is None:
+            return
+        corpus = self._corpus_cache[1]
+        if view_bytes + int(corpus.size) * corpus.dtype.itemsize > budget:
+            self._corpus_cache = None
 
     def _apply_padded_updates(self) -> bool:
         """Scatter the dirty postings into the live padded view.
@@ -993,18 +1097,18 @@ class SpannIndex:
             engine = "xla"
         if engine == "pallas":
             # The rerank kernel writes one query's FULL (nprobe, pad) f32
-            # distance block per grid step — that output block shares the
-            # ~10 MB scoped-VMEM budget with the double-buffered slabs and
-            # the query block.  Near-full-probe nprobe at large pad blows it
-            # (measured: nprobe=5933, pad=336 -> 8 MB block, compile OOM);
-            # the XLA engine has no such per-step block.
+            # distance block per grid step — that (double-buffered) output
+            # block shares the ~10 MB scoped-VMEM budget with the DMA ring
+            # and the per-step query row.  Near-full-probe nprobe at large
+            # pad blows it (measured: nprobe=5933, pad=336 -> 8 MB block,
+            # compile OOM); the XLA engine has no such per-step block.
             pv = self.padded_view()
             eff_np = min(int(nprobe), int(pv.centroids.shape[0]))
             vmem_need = (
-                eff_np * pv.pad * 4
+                2 * eff_np * pv.pad * 4
                 + 2 * pv.pad * pv.d_pad * self.policy.storage_itemsize
             )
-            if vmem_need > (6 << 20):
+            if vmem_need > (9 << 20):
                 engine = "xla"
         out_i, out_d = [], []
         if engine == "pallas":
@@ -1012,9 +1116,6 @@ class SpannIndex:
             nprobe = max(1, min(int(nprobe), int(view.centroids.shape[0])))
             interpret = jax.devices()[0].platform != "tpu"
             bs = min(bs, max(8, smem_entries // max(1, nprobe)))
-            # The query block lives in VMEM (~16 MB/core): at GIST dims a
-            # 4096-query f32 block alone would blow it.
-            bs = min(bs, max(8, (8 << 20) // (view.d_pad * 4)))
             qpad = np.zeros((queries.shape[0], view.d_pad), np.float32)
             qpad[:, : self.dim] = queries
             for s in range(0, queries.shape[0], bs):

@@ -28,9 +28,12 @@ windows.  Window selection ranks by bf16-rounded minima (same rounding
 class as the oracle's matmul); a +8 window oversampling margin absorbs
 near-tie swaps at that boundary.
 
-Invalid (and padding) centroid rows carry a 1e30 penalty column whose
-square overflows their in-kernel |c|^2 to +inf — their window min can
-never win — and are masked out of pass 2 by validity rows.
+Invalid (and padding) centroid rows are filled with 1e18 in every column:
+their in-kernel |c|^2 is ~1e38 (vs any real rank's magnitude), so their
+window min can never win, and pass 2 masks them by validity rows.  This
+keeps d' = the plain 128-lane round-up of d — no extra penalty column
+forcing a whole extra lane block (d=128 would pad to 256, doubling both
+the matmul operand bytes and the pass-2 window-slab DMAs).
 
 Replaces the reference's k-d-tree centroid routing
 (/root/reference/src/spann/spann_index.rs:120-141) at centroid counts where
@@ -60,8 +63,9 @@ def _make_kernel(d_pad: int):
             qT.astype(jnp.bfloat16),
             preferred_element_type=jnp.float32,
         )  # (CT, QT) — one MXU pass, same input rounding as the dense oracle
-        # Exact f32 row norms on the VPU (pen^2 -> +inf for invalid rows);
-        # the pen column meets a zero in qT, contributing nothing to dotp.
+        # Exact f32 row norms on the VPU.  Invalid rows are 1e18 everywhere,
+        # so cn2 ~ 1e38 dominates any real rank (|dotp| for them is ~1e21 at
+        # most) — they can never win a window min.
         cn2 = jnp.sum(c * c, axis=1)  # (CT,)
         rank = cn2[:, None] + dotp
         min_ref[...] = jnp.min(rank.reshape(_CT // _L, _L, _QT), axis=1)
@@ -99,19 +103,19 @@ def pallas_centroid_window_scan(
 
 
 def _augment(qf, centroids, cent_valid, d_pad: int):
-    """Padded operands.  d' pads d+1 to a 128-lane multiple; the extra
-    column carries the validity PENALTY (0 valid / 1e30 invalid — its square
-    overflows the in-kernel |c|^2 to +inf), and every extra column meets a
-    zero in the query operand, so the dot product is untouched."""
+    """Padded operands.  Invalid and C-padding rows are 1e18 in EVERY column
+    (d-padding columns of valid rows stay 0 and meet a 0 in the query
+    operand, so the dot product is untouched); their in-kernel |c|^2 ~ 1e38
+    dominates every real rank, and pass 2 additionally masks them out."""
     C, d = centroids.shape
     Q = qf.shape[0]
     Cpad = ((C + _CT - 1) // _CT) * _CT
     Qpad = ((Q + _QT - 1) // _QT) * _QT
-    cf = centroids.astype(jnp.float32)
-    pen = jnp.where(cent_valid, 0.0, 1e30).astype(jnp.float32)
-    caug = jnp.zeros((Cpad, d_pad), jnp.float32)
-    caug = caug.at[:, d].set(1e30)  # C-padding rows
-    caug = caug.at[:C, :d].set(cf).at[:C, d].set(pen)
+    cf = jnp.zeros((C, d_pad), jnp.float32).at[:, :d].set(
+        centroids.astype(jnp.float32)
+    )
+    caug = jnp.full((Cpad, d_pad), 1e18, jnp.float32)
+    caug = caug.at[:C].set(jnp.where(cent_valid[:, None], cf, 1e18))
     qaug = jnp.zeros((Qpad, d_pad), jnp.float32)
     qaug = qaug.at[:Q, :d].set(-2.0 * qf.astype(jnp.float32))
     return caug, qaug.T, Cpad, Qpad
@@ -141,9 +145,9 @@ def windowed_centroid_topk(
 
     C, d = centroids.shape
     Q = qf.shape[0]
-    # One lane-block past d: window slabs and queries pad d identically, so
-    # the elementwise rerank's zero columns cancel.
-    d_pad = ((d + 1 + _L - 1) // _L) * _L
+    # Window slabs and queries pad d identically (zeros), so the elementwise
+    # rerank's padding columns cancel for valid rows.
+    d_pad = ((d + _L - 1) // _L) * _L
     qpad = jnp.zeros((Q, d_pad), jnp.float32).at[:, :d].set(
         qf.astype(jnp.float32)
     )
@@ -161,9 +165,10 @@ def windowed_centroid_topk(
         S = min(nprobe + _MARGIN, W)
         _, wsel = smallest_k(minT.T[:Q], S)  # (Q, S) window ids
         # Pass 2: exact distances inside the selected windows — the rerank
-        # kernel streams each (L, d') window slab by DMA; caug's pen column
-        # is zero for valid rows and matches qpad's zero, so it cancels.
-        slabs = caug.at[:, d].set(0.0).reshape(W, _L, d_pad)
+        # kernel streams each (L, d') window slab by DMA.  Invalid rows are
+        # 1e18, so their distances are astronomically large AND the validity
+        # mask below removes them.
+        slabs = caug.reshape(W, _L, d_pad)
         dw = padded_rerank_distances(
             qpad, wsel.astype(jnp.int32), slabs, "Euclidean",
             interpret=interpret,

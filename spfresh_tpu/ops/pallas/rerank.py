@@ -46,7 +46,7 @@ def _reduce(metric: str, diff: jnp.ndarray) -> jnp.ndarray:
     return jnp.max(jnp.abs(diff), axis=1)
 
 
-def _make_kernel(metric: str, nprobe: int):
+def _make_kernel(metric: str, nprobe: int, nbuf: int):
     def kernel(rows_ref, q_ref, v_hbm, out_ref, slab, sems):
         q = pl.program_id(0)
 
@@ -56,15 +56,24 @@ def _make_kernel(metric: str, nprobe: int):
             row = rows_ref[q * nprobe + j]
             return pltpu.make_async_copy(v_hbm.at[row], slab.at[slot], sems.at[slot])
 
-        get_dma(0, 0).start()
-        qv = q_ref[pl.ds(q, 1), :].astype(jnp.float32)  # (1, d)
+        # Fill the pipeline nbuf-1 deep: per-slab compute is tiny next to DMA
+        # issue latency, so 2 slots leave the kernel latency-bound when slabs
+        # are small (the windowed centroid scan's 128-row windows); keeping
+        # several fetches in flight restores streaming bandwidth.
+        for j in range(nbuf - 1):
+            if j < nprobe:
+                get_dma(j, j).start()
+        # This step's query row from the (8, d) block covering q (TPU block
+        # sublane dims must be 8-divisible; a whole-batch block cost 8 MB of
+        # VMEM at GIST dims).  Dynamic row reads require f32 queries.
+        qv = q_ref[pl.ds(jax.lax.rem(q, 8), 1), :].astype(jnp.float32)  # (1, d)
 
         def body(j, _):
-            slot = j % 2
+            slot = j % nbuf
 
-            @pl.when(j + 1 < nprobe)
+            @pl.when(j + nbuf - 1 < nprobe)
             def _():
-                get_dma((j + 1) % 2, j + 1).start()
+                get_dma((j + nbuf - 1) % nbuf, j + nbuf - 1).start()
 
             get_dma(slot, j).wait()
             v = slab[slot].astype(jnp.float32)  # (pad, d)
@@ -112,29 +121,40 @@ def padded_rerank_distances(
     nprobe = rows.shape[1]
     C, pad, d2 = vectors3d.shape
     assert d == d2, (d, d2)
+    slab_bytes = pad * d * vectors3d.dtype.itemsize
+    # Ring depth must fit scoped VMEM next to the per-step query row block
+    # and the (double-buffered) output block.  The query spec loads ONE
+    # (1, d) row per grid step — a whole-batch (Q, d) block cost 8 MB of
+    # VMEM at GIST dims and made large-pad configs spill (measured:
+    # scoped-alloc OOM at d_pad=1024, pad=400, Q=2048).  Budget ~10 MB and
+    # give the remainder to the ring; floor 2 = plain double-buffering.
+    avail = (10 << 20) - 2 * 8 * d * 4 - 2 * nprobe * pad * 4
+    nbuf = int(max(2, min(8, avail // max(1, slab_bytes), nprobe)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(Q,),
         in_specs=[
-            pl.BlockSpec((Q, d), lambda q, rows_ref: (0, 0)),  # queries, VMEM
+            # 8-query window holding this step's row (8-divisible sublanes).
+            pl.BlockSpec((8, d), lambda q, rows_ref: (q // 8, 0)),
             pl.BlockSpec(memory_space=pl.ANY),  # posting slabs stay in HBM
         ],
         # Block dims equal to array dims satisfy the TPU tiling rule for any
         # nprobe — one step writes a query's full (nprobe, pad) row.
         out_specs=pl.BlockSpec((1, nprobe, pad), lambda q, rows_ref: (q, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, pad, d), vectors3d.dtype),  # double buffer
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((nbuf, pad, d), vectors3d.dtype),  # DMA ring buffer
+            pltpu.SemaphoreType.DMA((nbuf,)),
         ],
     )
     return pl.pallas_call(
-        _make_kernel(metric, nprobe),
+        _make_kernel(metric, nprobe, nbuf),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Q, nprobe, pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=int(2 * pad * d * vectors3d.dtype.itemsize
-                                 + Q * d * 4 + nprobe * pad * 4 + (1 << 20)),
+            vmem_limit_bytes=int(nbuf * slab_bytes
+                                 + 2 * 8 * d * 4 + 2 * nprobe * pad * 4
+                                 + (1 << 20)),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * Q * nprobe * pad * d,

@@ -280,3 +280,29 @@ def test_high_dim_not_multiple_of_128(tmp_path, rng):
     _, gt = brute_force_search(data, q, k=5)
     for r in range(4):
         assert set(ids_x[r]) == set(gt[r])
+
+
+# -- lazy bulk-build member vectors ---------------------------------------
+
+
+def test_bulk_build_member_vecs_are_lazy_and_correct(tmp_path, rng):
+    from spfresh_tpu.index.spann import _LazyMemberVecs
+
+    data = rng.standard_normal((120, 6)).astype(np.float32)
+    cfg = _toy_config(tmp_path, clustering_params={"desired_cluster_size": 24})
+    index = SpannIndexBuilder(cfg).with_data(data).build(save=False)
+    # The builder hands the device corpus over, so bulk postings defer the
+    # host gather until someone actually reads the vectors.
+    lazies = [v for _, v in index.postings.values() if isinstance(v, _LazyMemberVecs)]
+    assert lazies, "bulk build should produce lazy member vectors"
+    assert all(v._mat is None for v in lazies)
+    for ids, vecs in index.postings.values():
+        np.testing.assert_array_equal(np.asarray(vecs), data[ids])
+        assert vecs.shape == (len(ids), 6) and len(vecs) == len(ids)
+        if len(ids) > 1:  # slicing materializes just like an ndarray
+            np.testing.assert_array_equal(vecs[1:], data[ids[1:]])
+    # Searches (which pack from the device corpus) never needed the host copy.
+    q = data[:3]
+    ids_l, _ = index.search(q, k=3, nprobe=index.num_clusters)
+    gt_d, gt_i = brute_force_search(data, q, k=3)
+    assert all(set(ids_l[i]) == set(gt_i[i]) for i in range(3))
