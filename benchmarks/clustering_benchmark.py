@@ -69,13 +69,16 @@ def bench_size(n: int, dim: int, out_dir: str, reps: int = 3):
     # 0.9-recall point per size, like bench.py, and report QPS there.
     k = 10
     _, gt = brute_force_search(data, queries, k)
-    sweep = [2, 4, 8, 16, 32, 64, 128, 256, 512]
+    # Sweep to the 0.9-recall point; the deepest point is capped (full probe
+    # at 1M would gather the whole corpus per query batch) and reported
+    # honestly when unstructured data plateaus below target.
+    cap = min(index.num_clusters, 1024)
+    sweep = [n_ for n_ in (2, 4, 8, 16, 32, 64, 128, 256, 512) if n_ < cap]
     best = None
-    for nprobe in sweep + [index.num_clusters]:
-        nprobe = min(nprobe, index.num_clusters)
+    for nprobe in sweep + [cap]:
         ids, _ = loaded.search(queries, k, nprobe=nprobe)  # warm
         rec = recall_at_k(ids, gt, k)
-        if rec >= 0.9 or nprobe == index.num_clusters:
+        if rec >= 0.9 or nprobe == cap:
             times = []
             for _ in range(reps):
                 t0 = time.perf_counter()

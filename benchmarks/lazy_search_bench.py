@@ -89,6 +89,7 @@ def main():
     args = ap.parse_args()
 
     d = args.dir or tempfile.mkdtemp(prefix="lazy_bench_")
+    os.makedirs(d, exist_ok=True)
     if not os.path.exists(os.path.join(d, "postings.csr")):
         t0 = time.perf_counter()
         C, queries = synthesize(d, args.n, args.dim, args.cluster_size, 0)

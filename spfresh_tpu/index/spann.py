@@ -161,6 +161,83 @@ def _search_kernel(
 
 @functools.partial(
     jax.jit,
+    static_argnames=(
+        "k", "nprobe", "pad", "metric", "prune", "max_dup", "probe_chunk"
+    ),
+)
+def _search_kernel_probe_chunked(
+    queries,
+    centroids,
+    cent_valid,
+    offsets,
+    lens,
+    ids,
+    vectors,
+    prune_factor,
+    *,
+    k: int,
+    nprobe: int,
+    pad: int,
+    metric: str,
+    prune: bool,
+    max_dup: int = 8,
+    probe_chunk: int = 64,
+):
+    """XLA-engine search consuming the probe axis in fixed chunks.
+
+    The plain kernel's candidate gather is O(Q * nprobe * pad * d) — a
+    full-probe search at 1M scale asks XLA for a 157 GB fusion output.
+    Here an internal fori_loop gathers ``probe_chunk`` postings at a time
+    and folds them into a running top-(k * max_dup) candidate set per
+    query, which provably contains the k distinct winners (the k-th
+    distinct id sits at raw-distance rank <= k * max_dup, the structural
+    replication bound), so the final bounded-dedup top-k is exact."""
+    Q = queries.shape[0]
+    qf = queries.astype(centroids.dtype)
+    cent_d, cent_i = centroid_topk(qf, centroids, cent_valid, nprobe, metric)
+    n_chunks = (nprobe + probe_chunk - 1) // probe_chunk
+    np_pad = n_chunks * probe_chunk
+    cent_d_p = jnp.pad(
+        cent_d, ((0, 0), (0, np_pad - nprobe)), constant_values=jnp.inf
+    )
+    cent_i_p = jnp.pad(cent_i, ((0, 0), (0, np_pad - nprobe)))
+    thr = (
+        prune_factor.astype(ACCUM_DTYPE) * (cent_d[:, 0] + _F32_EPS)
+        if prune else None
+    )
+    ar = jnp.arange(pad, dtype=jnp.int32)
+    kk = max(k, min(k * max_dup, np_pad * pad))
+
+    def body(ci, state):
+        best_d, best_i = state
+        cd = jax.lax.dynamic_slice(cent_d_p, (0, ci * probe_chunk), (Q, probe_chunk))
+        cii = jax.lax.dynamic_slice(cent_i_p, (0, ci * probe_chunk), (Q, probe_chunk))
+        base = offsets[cii].astype(jnp.int32)
+        pos = base[..., None] + ar
+        valid = (ar < lens[cii][..., None]) & jnp.isfinite(cd)[..., None]
+        pos = jnp.clip(pos, 0, vectors.shape[0] - 1)
+        d = rowwise_distance(vectors[pos], qf[:, None, None, :], metric)
+        d = jnp.where(valid, d, jnp.inf)
+        if prune:
+            d = jnp.where(d <= thr[:, None, None], d, jnp.inf)
+        cid = jnp.where(valid, ids[pos], -1)
+        cat_d = jnp.concatenate([best_d, d.reshape(Q, probe_chunk * pad)], axis=1)
+        cat_i = jnp.concatenate([best_i, cid.reshape(Q, probe_chunk * pad)], axis=1)
+        vals, idx = smallest_k(cat_d, kk)
+        return vals, jnp.take_along_axis(cat_i, idx, axis=1)
+
+    init = (
+        jnp.full((Q, kk), jnp.inf, jnp.float32),
+        jnp.full((Q, kk), -1, ids.dtype),
+    )
+    best_d, best_i = jax.lax.fori_loop(0, n_chunks, body, init)
+    vals, out_ids = smallest_k_unique(best_d, best_i, k, max_dup=max_dup)
+    out_ids = jnp.where(jnp.isfinite(vals), out_ids, -1)
+    return out_ids, vals
+
+
+@functools.partial(
+    jax.jit,
     static_argnames=("k", "nprobe", "pad", "metric", "prune", "interpret", "max_dup"),
 )
 def _search_kernel_padded(
@@ -1140,6 +1217,37 @@ class SpannIndex:
         elif engine == "xla":
             view = self.device_view()
             nprobe = max(1, min(int(nprobe), int(view.centroids.shape[0])))
+            # Probe-chunk when the one-shot candidate gather would exceed
+            # ~1 GB (full probe at 1M scale would otherwise ask XLA for a
+            # >100 GB fusion output).
+            d_eff = self.dim or 1
+            bs_eff = max(1, min(bs, queries.shape[0]))
+            pc = max(1, (1 << 30) // max(1, bs_eff * view.pad * d_eff * 4))
+            if pc < nprobe:
+                for s in range(0, queries.shape[0], bs):
+                    qi, qd = _search_kernel_probe_chunked(
+                        jnp.asarray(queries[s : s + bs]),
+                        view.centroids,
+                        view.cent_valid,
+                        view.offsets,
+                        view.lens,
+                        view.ids,
+                        view.vectors,
+                        pf,
+                        k=int(k),
+                        nprobe=nprobe,
+                        pad=view.pad,
+                        metric=self.metric,
+                        prune=prune,
+                        max_dup=view.max_dup,
+                        probe_chunk=pc,
+                    )
+                    out_i.append(qi)
+                    out_d.append(qd)
+                return (
+                    np.concatenate([np.asarray(x) for x in out_i]).astype(np.int64),
+                    np.concatenate([np.asarray(x) for x in out_d]),
+                )
             for s in range(0, queries.shape[0], bs):
                 qi, qd = _search_kernel(
                     jnp.asarray(queries[s : s + bs]),

@@ -306,3 +306,32 @@ def test_bulk_build_member_vecs_are_lazy_and_correct(tmp_path, rng):
     ids_l, _ = index.search(q, k=3, nprobe=index.num_clusters)
     gt_d, gt_i = brute_force_search(data, q, k=3)
     assert all(set(ids_l[i]) == set(gt_i[i]) for i in range(3))
+
+
+def test_probe_chunked_kernel_matches_plain(tmp_path, rng):
+    # Full probe through the chunked path (an internal fori_loop with a
+    # running bounded candidate set) must equal the one-shot gather kernel.
+    from spfresh_tpu.index.spann import (
+        _search_kernel,
+        _search_kernel_probe_chunked,
+    )
+    import jax.numpy as jnp
+
+    data = rng.standard_normal((300, 8)).astype(np.float32)
+    cfg = _toy_config(tmp_path, clustering_params={"desired_cluster_size": 30, "initial_k": 4})
+    index = SpannIndexBuilder(cfg).with_data(data).build(save=False)
+    view = index.device_view()
+    q = jnp.asarray(rng.standard_normal((9, 8)).astype(np.float32))
+    C = int(view.centroids.shape[0])
+    nprobe = index.num_clusters
+    common = dict(k=5, nprobe=nprobe, pad=view.pad, metric="Euclidean",
+                  prune=False, max_dup=view.max_dup)
+    ids_p, d_p = _search_kernel(
+        q, view.centroids, view.cent_valid, view.offsets, view.lens,
+        view.ids, view.vectors, jnp.float32(0.0), **common)
+    for pc in (1, 3, nprobe):
+        ids_c, d_c = _search_kernel_probe_chunked(
+            q, view.centroids, view.cent_valid, view.offsets, view.lens,
+            view.ids, view.vectors, jnp.float32(0.0), probe_chunk=pc, **common)
+        np.testing.assert_array_equal(np.asarray(ids_c), np.asarray(ids_p))
+        np.testing.assert_allclose(np.asarray(d_c), np.asarray(d_p), rtol=1e-6)
