@@ -1291,15 +1291,32 @@ class SpannIndex:
         return [PointData(i, vec_by_id[i]) for i in hits]
 
     def _vectors_for(self, point_ids: List[int]) -> Dict[int, np.ndarray]:
-        want = set(point_ids)
+        """Resolve result ids to vectors via a gen-cached sorted id -> cid
+        map (binary search per id).  The r1 full-postings scan was the wrong
+        shape past ~100k clusters and would also materialize every LAZY
+        posting's vectors; this touches only the postings that actually hold
+        the requested ids."""
+        if getattr(self, "_id_map_gen", None) != self._gen:
+            cids = sorted(self.postings)
+            if cids:
+                all_ids = np.concatenate([self.postings[c][0] for c in cids])
+                all_cids = np.repeat(
+                    np.fromiter(cids, np.int64, len(cids)),
+                    [len(self.postings[c][0]) for c in cids],
+                )
+                order = np.argsort(all_ids, kind="stable")
+                self._id_map = (all_ids[order], all_cids[order])
+            else:
+                self._id_map = (np.empty(0, np.int64), np.empty(0, np.int64))
+            self._id_map_gen = self._gen
+        sids, scids = self._id_map
         out: Dict[int, np.ndarray] = {}
-        for ids, vecs in self.postings.values():
-            if not want:
-                break
-            hit = np.isin(ids, list(want))
-            for i, v in zip(ids[hit], vecs[hit]):
-                out[int(i)] = v
-                want.discard(int(i))
+        for pid in point_ids:
+            j = int(np.searchsorted(sids, pid))
+            if j < len(sids) and sids[j] == pid:
+                ids, vecs = self.postings[int(scids[j])]
+                row = int(np.nonzero(ids == pid)[0][0])
+                out[int(pid)] = np.asarray(vecs[row : row + 1])[0]
         return out
 
     # -- persistence -------------------------------------------------------

@@ -335,3 +335,47 @@ def test_probe_chunked_kernel_matches_plain(tmp_path, rng):
             view.ids, view.vectors, jnp.float32(0.0), probe_chunk=pc, **common)
         np.testing.assert_array_equal(np.asarray(ids_c), np.asarray(ids_p))
         np.testing.assert_allclose(np.asarray(d_c), np.asarray(d_p), rtol=1e-6)
+
+
+def test_vectors_for_uses_id_map(tmp_path, rng):
+    data = rng.standard_normal((150, 6)).astype(np.float32)
+    cfg = _toy_config(tmp_path, clustering_params={"desired_cluster_size": 25})
+    index = SpannIndexBuilder(cfg).with_data(data).build(save=False)
+    got = index._vectors_for([3, 77, 149, 999_999])
+    assert set(got) == {3, 77, 149}  # unknown id simply absent
+    for pid, v in got.items():
+        np.testing.assert_allclose(v, data[pid], rtol=1e-6)
+    # Map survives (and refreshes across) an update.
+    index.replace_posting(
+        next(iter(index.postings)),
+        np.array([500_000]),
+        data[:1] * 0 + 7.0,
+    )
+    got2 = index._vectors_for([500_000])
+    np.testing.assert_allclose(got2[500_000], np.full(6, 7.0), rtol=1e-6)
+
+
+def test_hbm_guard_drops_corpus_cache(tmp_path, rng):
+    import jax.numpy as jnp
+
+    data = rng.standard_normal((60, 4)).astype(np.float32)
+    cfg = _toy_config(tmp_path, clustering_params={"desired_cluster_size": 15})
+    index = SpannIndexBuilder(cfg).with_data(data).build(save=False)
+    assert index._corpus_cache is not None
+    corpus_bytes = int(index._corpus_cache[1].size) * index._corpus_cache[1].dtype.itemsize
+    index._hbm_guard(view_bytes=100, budget=corpus_bytes + 1000)  # fits
+    assert index._corpus_cache is not None
+    index._hbm_guard(view_bytes=2000, budget=corpus_bytes + 1000)  # crowds
+    assert index._corpus_cache is None
+    index._hbm_guard(view_bytes=10, budget=1)  # no-op when already dropped
+
+
+def test_id_width_guard_rejects_int32_overflow():
+    from spfresh_tpu.index.spann import _ids_i32
+
+    ok = _ids_i32(np.array([0, 5, 2**31 - 2], np.int64))
+    assert ok.dtype == np.int32
+    with pytest.raises(ValueError):
+        _ids_i32(np.array([2**31], np.int64))
+    with pytest.raises(ValueError):
+        _ids_i32(np.array([-2], np.int64))
