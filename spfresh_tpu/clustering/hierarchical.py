@@ -378,15 +378,34 @@ class HierarchicalClustering:
             # Builder default: round(0.18 * n) (spann_builder.rs:48-49).
             cap = max(1, int(round(0.18 * n)))
 
-        self._initialize_clusters(k)
-        if self.mesh is not None:
-            self._assign_and_update_sharded()
-        else:
-            self._assign_points()
-            self._update_centroids()
-        self._subdivide_clusters(int(cap))
+        import os
+
+        from spfresh_tpu.utils import PhaseTimer
+
+        timer = PhaseTimer() if os.environ.get("SPF_PROFILE") else None
+
+        def _phase(name):
+            if timer is None:
+                import contextlib
+
+                return contextlib.nullcontext()
+            return timer.phase(name, block=True)
+
+        with _phase("fit/init"):
+            self._initialize_clusters(k)
+        with _phase("fit/assign+medoid"):
+            if self.mesh is not None:
+                self._assign_and_update_sharded()
+            else:
+                self._assign_points()
+                self._update_centroids()
+        with _phase("fit/subdivide"):
+            self._subdivide_clusters(int(cap))
         if self.params.replication == "final":
-            self._finalize_replication()
+            with _phase("fit/replica_pass"):
+                self._finalize_replication()
+        if timer is not None:
+            timer.report()
         return self
 
     def labels(self) -> np.ndarray:

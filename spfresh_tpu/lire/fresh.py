@@ -408,14 +408,31 @@ class SpFreshIndex:
 
     # -- lifecycle ---------------------------------------------------------
 
-    def flush(self) -> None:
-        """Wait for all scheduled background maintenance to finish."""
-        if self.pipeline.is_running:
+    def flush(self, repair_rounds: int = 3) -> None:
+        """Wait for all scheduled background maintenance to finish, then
+        SELF-HEAL: partitions flagged NEEDS_MAINTENANCE (typically version-
+        conflict casualties of concurrent foreground writes) are re-checked
+        and their maintenance re-scheduled, up to ``repair_rounds`` times.
+        After flush, remaining flags are persistent faults, not transients."""
+        if not self.pipeline.is_running:
+            return
+        self.pipeline.drain()
+        from spfresh_tpu.lire.pipeline import PartitionStatus
+
+        for _ in range(max(0, repair_rounds)):
+            with self.pipeline._status_lock:
+                flagged = any(
+                    st == PartitionStatus.NEEDS_MAINTENANCE
+                    for st in self.pipeline._status.values()
+                )
+            if not flagged:
+                break
+            self.repair()
             self.pipeline.drain()
 
     def close(self) -> None:
         if self.pipeline.is_running:
-            self.pipeline.drain()
+            self.flush()
             self.pipeline.stop()
         self.storage.flush()  # fold the update WAL into the posting logs
 

@@ -106,6 +106,14 @@ class PartitionOperation:
     def get_affected_partitions(self) -> List[int]:
         raise NotImplementedError
 
+    def is_stale(self, ctx: LireContext) -> bool:
+        """True when the op's source posting(s) were retired by an EARLIER
+        maintenance op between scheduling and execution (splits/merges
+        remove their sources).  A stale op is obsolete, not failed — the
+        successor postings were threshold-checked when they were created —
+        so the pipeline skips it instead of flagging NEEDS_MAINTENANCE."""
+        return False
+
 
 @dataclasses.dataclass
 class Split(PartitionOperation):
@@ -120,6 +128,9 @@ class Split(PartitionOperation):
             raise SplitError(f"split: posting {self.posting_id} does not exist")
         if ctx.storage.get_vector_count(self.posting_id) < 2:
             raise SplitError("split: need at least 2 vectors")
+
+    def is_stale(self, ctx: LireContext) -> bool:
+        return not ctx.storage.has_posting(self.posting_id)
 
     def execute(self, ctx: LireContext) -> OperationResult:
         self.validate(ctx)
@@ -178,6 +189,12 @@ class Merge(PartitionOperation):
 
     def get_affected_partitions(self) -> List[int]:
         return [self.posting_id, self.target_id]
+
+    def is_stale(self, ctx: LireContext) -> bool:
+        return not (
+            ctx.storage.has_posting(self.posting_id)
+            and ctx.storage.has_posting(self.target_id)
+        )
 
     def validate(self, ctx: LireContext) -> None:
         if self.posting_id == self.target_id:

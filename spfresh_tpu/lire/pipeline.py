@@ -133,6 +133,16 @@ class TwoStagePipeline:
     def _process(self, op: PartitionOperation) -> TaskOutcome:
         affected = op.get_affected_partitions()
         try:
+            if op.is_stale(self.ctx):
+                # Source posting(s) retired by an earlier queued op: the op
+                # is obsolete, not failed (see PartitionOperation.is_stale).
+                metrics.inc(f"lire.{type(op).__name__.lower()}.stale")
+                for pid in affected:
+                    self._set_status(pid, PartitionStatus.READY)
+                return TaskOutcome(op, None, None)
+        except Exception:  # noqa: BLE001 — fall through to execute's handling
+            pass
+        try:
             result = op.execute(self.ctx)
         except Exception as e:  # noqa: BLE001 — op failure flags maintenance
             metrics.inc(f"lire.{type(op).__name__.lower()}.failed")

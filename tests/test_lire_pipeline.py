@@ -62,12 +62,30 @@ def test_split_task_completes(tmp_path):
 
 def test_failed_op_marks_needs_maintenance(tmp_path):
     p, storage = make_pipeline(tmp_path)
+    storage.store_vector(42, 0, np.array([1.0, 2.0]))  # 1 vector: unsplittable
     p.start()
-    p.submit_task(Split(42))  # nonexistent posting
+    p.submit_task(Split(42))
     p.drain()
     assert p.get_partition_status(42) == PartitionStatus.NEEDS_MAINTENANCE
     out = p.outcomes()
     assert out[0].error is not None
+    p.stop()
+
+
+def test_stale_op_is_skipped_not_failed(tmp_path):
+    # A split whose source was retired by an earlier op (here: simply gone)
+    # is obsolete, not failed — status returns READY and no error records.
+    from spfresh_tpu.utils import metrics
+
+    p, storage = make_pipeline(tmp_path)
+    p.start()
+    before = metrics.snapshot().get("lire.split.stale", 0)
+    p.submit_task(Split(4242))  # nonexistent: retired-source shape
+    p.drain()
+    assert p.get_partition_status(4242) == PartitionStatus.READY
+    out = p.outcomes()
+    assert out[0].error is None and out[0].result is None
+    assert metrics.snapshot().get("lire.split.stale", 0) == before + 1
     p.stop()
 
 

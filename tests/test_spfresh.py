@@ -140,7 +140,11 @@ def test_repair_clears_flags(tmp_path):
 
     fresh, data, rng = build_fresh(tmp_path)
     with fresh:
-        # Force a failure: split a nonexistent posting.
+        # Force a GENUINE failure: a 1-vector posting cannot split.  (A
+        # nonexistent posting is a STALE op now — skipped, not failed.)
+        fresh.storage.import_posting(
+            99999, np.array([424242]), data[:1], data[0]
+        )
         fresh.pipeline.submit_task(Split(99999))
         fresh.pipeline.drain()
         assert fresh.pipeline.get_partition_status(99999) == PartitionStatus.NEEDS_MAINTENANCE
@@ -168,3 +172,20 @@ def test_typed_lire_errors(tmp_path):
     with pytest.raises(MergeError):
         Merge(0, 0).validate(ctx)
     assert issubclass(SplitError, LireOperationError)
+
+
+def test_flush_self_heals_flagged_partitions(tmp_path):
+    from spfresh_tpu.lire import Split
+    from spfresh_tpu.lire.pipeline import PartitionStatus
+
+    fresh, data, rng = build_fresh(tmp_path)
+    with fresh:
+        fresh.storage.import_posting(
+            99999, np.array([424242]), data[:1], data[0]
+        )
+        fresh.pipeline.submit_task(Split(99999))  # 1-vector: genuine failure
+        # flush alone (no manual repair call) must clear the transient flag.
+        fresh.flush()
+        assert (
+            fresh.pipeline.get_partition_status(99999) == PartitionStatus.READY
+        )
