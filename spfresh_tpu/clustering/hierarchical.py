@@ -273,6 +273,65 @@ def _split_level_multiway(
     return best_j, seeds, counts, d1
 
 
+def _np_rowdist(a: np.ndarray, b: np.ndarray, metric: str) -> np.ndarray:
+    diff = a - b
+    if metric == "Manhattan":
+        return np.abs(diff).sum(axis=1)
+    if metric == "Chebyshev":
+        return np.abs(diff).max(axis=1)
+    return (diff * diff).sum(axis=1)
+
+
+def _split_level_multiway_host(
+    X: np.ndarray, point_list, cluster_of, c1_idx, m_c, metric: str,
+    nm: int, m_ways: int,
+):
+    """Numpy mirror of ``_split_level_multiway`` for small TAIL levels.
+
+    The subdivision loop runs until no cluster exceeds the cap; unbalanced
+    farthest-point splits leave a long tail of levels that each split a few
+    straggler clusters — 28 levels measured on a 1M build, each paying
+    ~1.4 s of device dispatch + transfer for <0.1 s of math.  Below a size
+    threshold the same algorithm (same seeds, same tie-breaks) runs on the
+    host in microseconds-per-level; both the single-device and the mesh
+    build take this path identically, preserving their bit-equality."""
+    P = point_list.shape[0]
+    pts = X[point_list]  # (P, d) f32
+    pos = np.arange(P)
+    seeds = np.zeros((nm, m_ways), np.int32)
+    seeds[:, 0] = c1_idx
+    d_min = _np_rowdist(pts, X[c1_idx][cluster_of], metric)
+    d1 = d_min.copy()
+    best_j = np.zeros(P, np.int32)
+    taken = point_list == c1_idx[cluster_of]
+    for j in range(1, m_ways):
+        ok = j < m_c  # (nm,)
+        d_masked = np.where(~taken & ok[cluster_of], d_min, -np.inf)
+        seg_max = np.full(nm, -np.inf, d_masked.dtype)
+        np.maximum.at(seg_max, cluster_of, d_masked)
+        at_max = (d_masked == seg_max[cluster_of]) & ~taken & ok[cluster_of]
+        sj_pos = np.full(nm, P, np.int64)
+        np.minimum.at(sj_pos, cluster_of[at_max], pos[at_max])
+        found = sj_pos < P
+        sj_pos_c = np.clip(sj_pos, 0, P - 1)
+        seed_j = point_list[sj_pos_c].astype(np.int32)
+        seeds[:, j] = np.where(found, seed_j, seeds[:, 0])
+        use = ok & found
+        d_new = _np_rowdist(pts, X[seed_j][cluster_of], metric)
+        upd = use[cluster_of] & (d_new < d_min)
+        best_j = np.where(upd, j, best_j).astype(np.int32)
+        d_min = np.where(upd, d_new, d_min)
+        taken = taken | ((pos == sj_pos_c[cluster_of]) & use[cluster_of])
+    counts = np.zeros((nm, m_ways), np.int64)
+    np.add.at(counts, (cluster_of, best_j), 1)
+    return best_j, seeds, counts, d1
+
+
+# Tail levels at or below this many member rows run on the host (the numpy
+# pass costs ~0.3 s at this size vs ~1 s of device dispatch + transfer).
+_HOST_SPLIT_MAX_P = 1 << 17
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "closure", "num_segments"))
 def _split_level_flat(
     X, point_list, cluster_of, valid, c1_idx, metric: str, boundary_threshold,
@@ -358,13 +417,24 @@ class HierarchicalClustering:
             self._host_data = np.asarray(data, np.float32)
             self.data = replicate(mesh, self._host_data.astype(ACCUM_DTYPE))
         else:
-            self._host_data = None
+            # Host copy kept for the small-level subdivision fallback (the
+            # caller's array — np.asarray is no-copy for f32 numpy input).
+            self._host_data = (
+                np.asarray(data, np.float32) if isinstance(data, np.ndarray) else None
+            )
             self.data = jnp.asarray(data, dtype=ACCUM_DTYPE)
         if self.data.ndim != 2:
             raise ValueError(f"data must be 2-d, got shape {self.data.shape}")
         self.clusters: List[Cluster] = []
         seed = params.rng_seed if params.rng_seed is not None else np.random.SeedSequence().entropy % (2**63)
-        self._key = jax.random.key(int(seed) & 0x7FFFFFFFFFFFFFFF)
+        self._seed = int(seed) & 0x7FFFFFFFFFFFFFFF
+        self._key = jax.random.key(self._seed)
+
+    def _level_rng(self, stream: int) -> np.random.Generator:
+        """Deterministic host RNG for per-level draws (fold_in analogue)."""
+        return np.random.Generator(
+            np.random.Philox(key=np.uint64(self._seed ^ (stream * 0x9E3779B9)))
+        )
 
     # -- public API (fit / labels), parity with hierarchical.rs:65-71,215-246
 
@@ -383,6 +453,7 @@ class HierarchicalClustering:
         from spfresh_tpu.utils import PhaseTimer
 
         timer = PhaseTimer() if os.environ.get("SPF_PROFILE") else None
+        self._timer = timer
 
         def _phase(name):
             if timer is None:
@@ -628,75 +699,119 @@ class HierarchicalClustering:
         level splits into ~ceil(len/cap) (<= max_split_ways) children in one
         batched device call.  Replaces ~log2 binary levels with ~log8 levels
         — fewer rounds, fewer padded-shape compile buckets."""
+        import contextlib
+
         max_ways = self.params.max_split_ways
+        timer = getattr(self, "_timer", None)
+
+        def _p(name, block=False):
+            return (
+                timer.phase(name, block=block)
+                if timer is not None else contextlib.nullcontext()
+            )
+
         level = 0
         while True:
             oversized = [i for i, c in enumerate(self.clusters) if len(c) > cap]
             if not oversized:
                 break
             level += 1
-            members = [self.clusters[i].points for i in oversized]
-            nm = len(members)
-            lens = np.array([len(m) for m in members])
-            m_c = np.ceil(lens / cap).astype(np.int64)
-            m_c = np.clip(m_c, 2, min(max_ways, int(lens.max())))
-            m_c = np.minimum(m_c, lens)
-            M = next_pow2(int(m_c.max()))  # bucket: 2 / 4 / 8 kernel variants
-            bounds = np.zeros(nm + 1, np.int64)
-            np.cumsum(lens, out=bounds[1:])
-            P = int(bounds[-1])
-            Ppad = next_pow2(P)
-            S = next_pow2(nm)
-            point_list = np.zeros(Ppad, np.int32)
-            cluster_of = np.zeros(Ppad, np.int32)
-            valid = np.zeros(Ppad, bool)
-            flat_members = np.concatenate(members)
-            point_list[:P] = flat_members
-            valid[:P] = True
-            cluster_of_np = np.repeat(np.arange(nm, dtype=np.int32), lens)
-            cluster_of[:P] = cluster_of_np
-            seed_valid = np.zeros((S, M), bool)
-            seed_valid[:nm] = np.arange(M)[None, :] < m_c[:, None]
-            offs = np.asarray(
-                jax.random.randint(
-                    jax.random.fold_in(self._key, 1000 + level),
-                    (nm,),
-                    0,
-                    jnp.asarray(np.maximum(lens, 1)),
+            with _p("subdiv/host_prep"):
+                members = [self.clusters[i].points for i in oversized]
+                nm = len(members)
+                lens = np.array([len(m) for m in members])
+                m_c = np.ceil(lens / cap).astype(np.int64)
+                m_c = np.clip(m_c, 2, min(max_ways, int(lens.max())))
+                m_c = np.minimum(m_c, lens)
+                M = next_pow2(int(m_c.max()))  # bucket: 2 / 4 / 8 variants
+                bounds = np.zeros(nm + 1, np.int64)
+                np.cumsum(lens, out=bounds[1:])
+                P = int(bounds[-1])
+                Ppad = next_pow2(P)
+                S = next_pow2(nm)
+                point_list = np.zeros(Ppad, np.int32)
+                cluster_of = np.zeros(Ppad, np.int32)
+                valid = np.zeros(Ppad, bool)
+                flat_members = np.concatenate(members)
+                point_list[:P] = flat_members
+                valid[:P] = True
+                cluster_of_np = np.repeat(np.arange(nm, dtype=np.int32), lens)
+                cluster_of[:P] = cluster_of_np
+                seed_valid = np.zeros((S, M), bool)
+                seed_valid[:nm] = np.arange(M)[None, :] < m_c[:, None]
+                # Seed-1 positions from a HOST RNG derived from the build
+                # seed + level: the per-level device randint round-trip cost
+                # ~1 s/level through the tunnel (28 levels measured); host
+                # draws keep the same-seed determinism contract and the
+                # mesh/single-device bit-equality (both paths share this).
+                offs = self._level_rng(1000 + level).integers(
+                    0, np.maximum(lens, 1)
                 )
-            )
-            c1_idx = np.zeros(S, np.int32)
-            c1_idx[:nm] = flat_members[bounds[:-1] + offs]
-            if self.mesh is not None:
-                from spfresh_tpu.parallel.build import sharded_split_level
+                c1_idx = np.zeros(S, np.int32)
+                c1_idx[:nm] = flat_members[bounds[:-1] + offs]
+            if P <= _HOST_SPLIT_MAX_P and self._host_data is not None:
+                # Tail level: a few stragglers — the device round-trip costs
+                # ~1.4 s for <0.1 s of math; run the same algorithm on host.
+                with _p("subdiv/host_level"):
+                    assign, seeds, counts, d1 = _split_level_multiway_host(
+                        self._host_data, flat_members, cluster_of_np,
+                        c1_idx[:nm], m_c, self.params.metric,
+                        nm=nm, m_ways=M,
+                    )
+                self._finish_multiway_level(
+                    oversized, members, lens, bounds, m_c, M, nm,
+                    cluster_of_np, flat_members, assign, seeds, counts, d1,
+                    _p,
+                )
+                continue
+            with _p("subdiv/kernel+transfer", block=True):
+                if self.mesh is not None:
+                    from spfresh_tpu.parallel.build import sharded_split_level
 
-                assign, seeds, counts, d1 = sharded_split_level(
-                    self.mesh, self.data, point_list, cluster_of, valid,
-                    c1_idx, seed_valid, self.params.metric,
-                    num_segments=S, m_ways=M,
-                )
-            else:
-                assign, seeds, counts, d1 = _split_level_multiway(
-                    self.data,
-                    jnp.asarray(point_list),
-                    jnp.asarray(cluster_of),
-                    jnp.asarray(valid),
-                    jnp.asarray(c1_idx),
-                    jnp.asarray(seed_valid),
-                    self.params.metric,
-                    num_segments=S,
-                    m_ways=M,
-                )
+                    assign, seeds, counts, d1 = sharded_split_level(
+                        self.mesh, self.data, point_list, cluster_of, valid,
+                        c1_idx, seed_valid, self.params.metric,
+                        num_segments=S, m_ways=M,
+                    )
+                else:
+                    assign, seeds, counts, d1 = _split_level_multiway(
+                        self.data,
+                        jnp.asarray(point_list),
+                        jnp.asarray(cluster_of),
+                        jnp.asarray(valid),
+                        jnp.asarray(c1_idx),
+                        jnp.asarray(seed_valid),
+                        self.params.metric,
+                        num_segments=S,
+                        m_ways=M,
+                    )
+                assign = np.asarray(assign)[:P]
+                seeds = np.asarray(seeds)
+                counts = np.asarray(counts)[:nm]
+            self._finish_multiway_level(
+                oversized, members, lens, bounds, m_c, M, nm,
+                cluster_of_np, flat_members, assign, seeds, counts, d1, _p,
+            )
+
+    def _finish_multiway_level(
+        self, oversized, members, lens, bounds, m_c, M, nm,
+        cluster_of_np, flat_members, assign, seeds, counts, d1, _p,
+    ) -> None:
+        """Host bookkeeping shared by the device and host split paths:
+        detect degenerate (no-progress) splits, build the child clusters via
+        one global stable sort, and splice them into ``self.clusters``."""
+        P = flat_members.shape[0]
+        with _p("subdiv/host_build"):
             assign = np.asarray(assign)[:P]
             seeds = np.asarray(seeds)
             counts = np.asarray(counts)[:nm]
-            # No progress = everything landed in one child (duplicate-heavy
-            # cluster): exact balanced quantile split on d1 instead.
+            # No progress = everything landed in one child (duplicate-
+            # heavy cluster): exact balanced quantile split on d1 instead.
             degenerate = counts.max(axis=1) == lens
             d1 = np.asarray(d1)[:P] if degenerate.any() else None
             # Vectorized child building: one global stable sort by
-            # (cluster, child), then bincount + split — no per-cluster loops
-            # over P.
+            # (cluster, child), then bincount + split — no per-cluster
+            # loops over P.
             key = cluster_of_np * M + assign
             order = np.argsort(key, kind="stable")
             sorted_members = flat_members[order]
@@ -746,15 +861,11 @@ class HierarchicalClustering:
             valid[:P] = True
             cluster_of[:P] = np.repeat(np.arange(nm, dtype=np.int32), lens)
             # Random member as seed 1 per cluster (points.choose,
-            # hierarchical.rs:110); uniform positions drawn on device for
-            # rng_seed determinism.
-            offs = np.asarray(
-                jax.random.randint(
-                    jax.random.fold_in(self._key, 1000 + level),
-                    (nm,),
-                    0,
-                    jnp.asarray(np.maximum(lens, 1)),
-                )
+            # hierarchical.rs:110); deterministic HOST draw (see the
+            # multiway path — a per-level device randint costs a tunnel
+            # round-trip for nothing).
+            offs = self._level_rng(1000 + level).integers(
+                0, np.maximum(lens, 1)
             )
             c1_idx = np.zeros(S, np.int32)
             c1_idx[:nm] = flat_members[bounds[:-1] + offs]
