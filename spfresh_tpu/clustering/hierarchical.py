@@ -103,6 +103,12 @@ class ClusteringParams:
     # keeps the reference's binary splits).  8-way levels replace three
     # binary levels: fewer device rounds and fewer padded shape buckets.
     max_split_ways: int = 8
+    # Host->device dtype for the build corpus.  "bfloat16" halves the
+    # dominant one-time upload (512 MB at 1M x 128 over a slow link); the
+    # corpus is upcast to f32 on device, so all clustering math still
+    # accumulates in f32 over bf16-rounded coordinates — the same rounding
+    # class the bf16 STORAGE index serves from anyway.  None = float32.
+    wire_dtype: Optional[str] = None
 
     def __post_init__(self):
         self.metric = canonical_metric(self.metric)
@@ -422,7 +428,20 @@ class HierarchicalClustering:
             self._host_data = (
                 np.asarray(data, np.float32) if isinstance(data, np.ndarray) else None
             )
-            self.data = jnp.asarray(data, dtype=ACCUM_DTYPE)
+            if (
+                params.wire_dtype not in (None, "float32")
+                and self._host_data is not None
+            ):
+                import ml_dtypes
+
+                wire = np.asarray(self._host_data).astype(ml_dtypes.bfloat16)
+                self.data = jnp.asarray(wire).astype(ACCUM_DTYPE)
+                # The host mirror must see the SAME rounded coordinates as
+                # the device kernels, or host tail-level splits would
+                # diverge from device levels.
+                self._host_data = wire.astype(np.float32)
+            else:
+                self.data = jnp.asarray(data, dtype=ACCUM_DTYPE)
         if self.data.ndim != 2:
             raise ValueError(f"data must be 2-d, got shape {self.data.shape}")
         self.clusters: List[Cluster] = []

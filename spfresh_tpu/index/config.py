@@ -124,6 +124,12 @@ class Config:
             replication=self.replication,
             max_replicas=self.max_replicas,
             max_split_ways=self.max_split_ways,
+            # bf16-storage indexes also ship the BUILD corpus over the wire
+            # in bf16 (the index serves bf16-rounded vectors either way);
+            # halves the dominant one-time upload of large builds.
+            wire_dtype=(
+                self.storage_dtype if self.storage_dtype != "float32" else None
+            ),
         )
 
     def to_dict(self) -> Dict[str, Any]:

@@ -379,3 +379,24 @@ def test_id_width_guard_rejects_int32_overflow():
         _ids_i32(np.array([2**31], np.int64))
     with pytest.raises(ValueError):
         _ids_i32(np.array([-2], np.int64))
+
+
+def test_bf16_wire_build_deterministic_and_exact_on_rounded_corpus(tmp_path, rng):
+    import ml_dtypes
+
+    data = rng.standard_normal((200, 8)).astype(np.float32)
+    base = _toy_config(tmp_path, clustering_params={"desired_cluster_size": 40})
+    cfg = Config.from_dict({**base.to_dict(), "storage_dtype": "bfloat16"})
+    q = rng.standard_normal((6, 8)).astype(np.float32)
+    i1 = SpannIndexBuilder(cfg).with_data(data).build(save=False)
+    i2 = SpannIndexBuilder(cfg).with_data(data).build(save=False)
+    ids1, d1 = i1.search(q, k=5, nprobe=i1.num_clusters)
+    ids2, d2 = i2.search(q, k=5, nprobe=i2.num_clusters)
+    np.testing.assert_array_equal(ids1, ids2)  # same seed => same index
+    # Full probe is exact against the corpus THE INDEX STORES: the bf16 wire
+    # means it serves bf16-rounded vectors (same rounding class as bf16
+    # storage always had).
+    rounded = data.astype(ml_dtypes.bfloat16).astype(np.float32)
+    gt_d, gt_i = brute_force_search(rounded, q, k=5)
+    rec = np.mean([len(set(ids1[i]) & set(gt_i[i])) / 5 for i in range(6)])
+    assert rec == 1.0
