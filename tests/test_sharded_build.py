@@ -130,3 +130,24 @@ def test_sharded_replica_pass_matches_single_device(rng):
         np.asarray(d_s)[finite], np.asarray(d_1)[finite], rtol=1e-6
     )
     assert np.array_equal(finite, np.isfinite(np.asarray(d_s)))
+
+
+def test_fit_device_levels_match_host_levels(rng, monkeypatch):
+    """Small builds take the HOST tail-level path by default; forcing every
+    level through the device kernel (and the mesh kernel) must produce the
+    same clusters — guards the fit() wiring of all three split paths."""
+    import spfresh_tpu.clustering.hierarchical as H
+
+    X = rng.standard_normal((600, 8)).astype(np.float32)
+    hc_host = H.HierarchicalClustering(_params(), X).fit()
+    monkeypatch.setattr(H, "_HOST_SPLIT_MAX_P", 0)
+    hc_dev = H.HierarchicalClustering(_params(), X).fit()
+    hc_mesh = H.HierarchicalClustering(_params(), X, mesh=_mesh()).fit()
+
+    def key(hc):
+        return sorted(
+            (c.centroid_idx, tuple(c.points.tolist())) for c in hc.clusters
+        )
+
+    assert key(hc_host) == key(hc_dev)
+    assert key(hc_dev) == key(hc_mesh)
