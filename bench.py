@@ -28,6 +28,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import numpy as np
 
 
+_BENCH_SEED = 12345  # corpus seed; part of the GT cache key
+
+
 def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
@@ -78,7 +81,7 @@ def main():
     from spfresh_tpu.index import Config, SpannIndexBuilder, brute_force_search
 
     log(f"bench: n={n} dim={args.dim} nq={nq} device={jax.devices()[0]}")
-    rng = np.random.default_rng(12345)
+    rng = np.random.default_rng(_BENCH_SEED)
     # SIFT-like data model: a mixture of Gaussians (real embedding corpora are
     # clustered; uniform Gaussian noise has no nearest-neighbor structure and
     # degenerates every IVF index to a full scan).  Queries are drawn from the
@@ -115,7 +118,7 @@ def main():
     # repeat runs skip the ~10-minute exact scan (the cache key pins every
     # input that shapes data/queries/metric).
     gt_key = (f"gt_n{n}_d{args.dim}_nq{nq}_k{args.k}_{args.metric}"
-              f"_s{spread}_lat{L}_seed0_v1")
+              f"_s{spread}_lat{L}_seed{_BENCH_SEED}_v1")
     gt_path = os.path.join("/tmp/spann_bench_gt", gt_key + ".npz")
     if os.path.exists(gt_path):
         cached = np.load(gt_path)
