@@ -335,6 +335,15 @@ def test_probe_chunked_kernel_matches_plain(tmp_path, rng):
             view.ids, view.vectors, jnp.float32(0.0), probe_chunk=pc, **common)
         np.testing.assert_array_equal(np.asarray(ids_c), np.asarray(ids_p))
         np.testing.assert_allclose(np.asarray(d_c), np.asarray(d_p), rtol=1e-6)
+    # Pruning branch: same equality with the 1.2x dynamic threshold on.
+    pruned = dict(common, prune=True)
+    ids_pp, d_pp = _search_kernel(
+        q, view.centroids, view.cent_valid, view.offsets, view.lens,
+        view.ids, view.vectors, jnp.float32(1.2), **pruned)
+    ids_cp, d_cp = _search_kernel_probe_chunked(
+        q, view.centroids, view.cent_valid, view.offsets, view.lens,
+        view.ids, view.vectors, jnp.float32(1.2), probe_chunk=3, **pruned)
+    np.testing.assert_array_equal(np.asarray(ids_cp), np.asarray(ids_pp))
 
 
 def test_vectors_for_uses_id_map(tmp_path, rng):
