@@ -417,31 +417,38 @@ class HierarchicalClustering:
     def __init__(self, params: ClusteringParams, data, mesh=None):
         self.params = params
         self.mesh = mesh
+        # Host copy kept for the small-level subdivision fallback (the
+        # caller's array — np.asarray is no-copy for f32 numpy input); the
+        # mesh path always needs one for sharding/padding.
         if mesh is not None:
-            from spfresh_tpu.parallel.cluster_step import replicate
-
             self._host_data = np.asarray(data, np.float32)
-            self.data = replicate(mesh, self._host_data.astype(ACCUM_DTYPE))
         else:
-            # Host copy kept for the small-level subdivision fallback (the
-            # caller's array — np.asarray is no-copy for f32 numpy input).
             self._host_data = (
                 np.asarray(data, np.float32) if isinstance(data, np.ndarray) else None
             )
-            if (
-                params.wire_dtype not in (None, "float32")
-                and self._host_data is not None
-            ):
-                import ml_dtypes
+        # bf16 corpus wire (halves the dominant one-time upload).  Applied
+        # IDENTICALLY on the mesh and single-device paths — the host mirror
+        # must see the SAME rounded coordinates as the device kernels, or
+        # host tail-level splits would diverge from device levels and a mesh
+        # build would differ from a single-device build of the same config.
+        wire_arr = None
+        if (
+            params.wire_dtype not in (None, "float32")
+            and self._host_data is not None
+        ):
+            import ml_dtypes
 
-                wire = np.asarray(self._host_data).astype(ml_dtypes.bfloat16)
-                self.data = jnp.asarray(wire).astype(ACCUM_DTYPE)
-                # The host mirror must see the SAME rounded coordinates as
-                # the device kernels, or host tail-level splits would
-                # diverge from device levels.
-                self._host_data = wire.astype(np.float32)
-            else:
-                self.data = jnp.asarray(data, dtype=ACCUM_DTYPE)
+            wire_arr = np.asarray(self._host_data).astype(ml_dtypes.bfloat16)
+            self._host_data = wire_arr.astype(np.float32)
+        if mesh is not None:
+            from spfresh_tpu.parallel.cluster_step import replicate
+
+            src = wire_arr if wire_arr is not None else self._host_data
+            self.data = replicate(mesh, src).astype(ACCUM_DTYPE)
+        elif wire_arr is not None:
+            self.data = jnp.asarray(wire_arr).astype(ACCUM_DTYPE)
+        else:
+            self.data = jnp.asarray(data, dtype=ACCUM_DTYPE)
         if self.data.ndim != 2:
             raise ValueError(f"data must be 2-d, got shape {self.data.shape}")
         self.clusters: List[Cluster] = []

@@ -957,6 +957,26 @@ class SpannIndex:
         self._hbm_guard(int(vecs_dev.size) * vecs_dev.dtype.itemsize)
         return self._padded_view
 
+    def _padded_geometry(self) -> Tuple[int, int, int]:
+        """(Cpad, pad, d_pad) the padded view has — or WOULD have — computed
+        from host metadata alone.  Used by the search engine's VMEM guard,
+        which must not pack a multi-GB slab view on device only to decide to
+        fall back to the XLA engine (measured: the unused padded view cached
+        next to the CSR view roughly doubled HBM at 1M-scale configs)."""
+        if self._padded_view is not None and self._padded_gen == self._gen:
+            v = self._padded_view
+            return int(v.centroids.shape[0]), v.pad, v.d_pad
+        if not self.postings:
+            raise ValueError("index is empty")
+        d_pad = max(128, _round_up(self.dim, 128))
+        Cpad = max(8, _round_up(len(self.postings), 256))
+        max_len = max(len(p[0]) for p in self.postings.values())
+        pad = max(
+            16,
+            _round_up(max(1, max_len) + self.config.search.slab_growth_slots, 16),
+        )
+        return Cpad, pad, d_pad
+
     def _hbm_guard(self, view_bytes: int, budget: int = 8 << 30) -> None:
         """Drop the device-resident build corpus once a packed view plus the
         corpus would crowd the chip's HBM (measured: 1M x 960 bf16 slabs
@@ -1179,11 +1199,14 @@ class SpannIndex:
             # and the per-step query row.  Near-full-probe nprobe at large
             # pad blows it (measured: nprobe=5933, pad=336 -> 8 MB block,
             # compile OOM); the XLA engine has no such per-step block.
-            pv = self.padded_view()
-            eff_np = min(int(nprobe), int(pv.centroids.shape[0]))
+            # Geometry comes from HOST metadata — materializing the padded
+            # view just to decide against using it would leave a multi-GB
+            # slab allocation cached next to the CSR view (ADVICE r2).
+            Cpad, pad, d_pad = self._padded_geometry()
+            eff_np = min(int(nprobe), Cpad)
             vmem_need = (
-                2 * eff_np * pv.pad * 4
-                + 2 * pv.pad * pv.d_pad * self.policy.storage_itemsize
+                2 * eff_np * pad * 4
+                + 2 * pad * d_pad * self.policy.storage_itemsize
             )
             if vmem_need > (9 << 20):
                 engine = "xla"

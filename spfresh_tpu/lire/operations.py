@@ -114,6 +114,17 @@ class PartitionOperation:
         so the pipeline skips it instead of flagging NEEDS_MAINTENANCE."""
         return False
 
+    def stale_survivors(self, ctx: LireContext) -> List[int]:
+        """Affected partitions that STILL EXIST when the op goes stale.
+
+        The "successors were threshold-checked" rationale of ``is_stale``
+        only covers the retired posting(s).  A survivor (e.g. a Merge source
+        whose target was retired) keeps whatever condition triggered the op
+        — the pipeline re-flags survivors NEEDS_MAINTENANCE so the repair
+        loop re-checks thresholds, instead of silently dropping pending
+        maintenance (ADVICE r2)."""
+        return []
+
 
 @dataclasses.dataclass
 class Split(PartitionOperation):
@@ -195,6 +206,16 @@ class Merge(PartitionOperation):
             ctx.storage.has_posting(self.posting_id)
             and ctx.storage.has_posting(self.target_id)
         )
+
+    def stale_survivors(self, ctx: LireContext) -> List[int]:
+        # A still-existing source may still be undersized; a still-existing
+        # target lost nothing but a re-check is cheap and repair() clears
+        # healthy partitions straight back to READY.
+        return [
+            p
+            for p in (self.posting_id, self.target_id)
+            if ctx.storage.has_posting(p)
+        ]
 
     def validate(self, ctx: LireContext) -> None:
         if self.posting_id == self.target_id:

@@ -136,9 +136,22 @@ class TwoStagePipeline:
             if op.is_stale(self.ctx):
                 # Source posting(s) retired by an earlier queued op: the op
                 # is obsolete, not failed (see PartitionOperation.is_stale).
+                # Partitions that still exist may still carry the condition
+                # that triggered the op — flag them for the repair loop's
+                # threshold re-check instead of silently dropping pending
+                # maintenance (stale_survivors).
                 metrics.inc(f"lire.{type(op).__name__.lower()}.stale")
+                try:
+                    survivors = set(op.stale_survivors(self.ctx))
+                except Exception:  # noqa: BLE001 — never block the skip path
+                    survivors = set()
                 for pid in affected:
-                    self._set_status(pid, PartitionStatus.READY)
+                    self._set_status(
+                        pid,
+                        PartitionStatus.NEEDS_MAINTENANCE
+                        if pid in survivors
+                        else PartitionStatus.READY,
+                    )
                 return TaskOutcome(op, None, None)
         except Exception:  # noqa: BLE001 — fall through to execute's handling
             pass

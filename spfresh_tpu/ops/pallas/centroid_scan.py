@@ -24,9 +24,12 @@ Exactness: let T be the nprobe-th smallest window minimum for a query; the
 nprobe windows achieving it contain nprobe distinct ranks <= T, so the
 global nprobe-th smallest rank <= T, and any window with min > T holds no
 top-nprobe member — the true top-nprobe live inside the nprobe best-min
-windows.  Window selection ranks by bf16-rounded minima (same rounding
-class as the oracle's matmul); a +8 window oversampling margin absorbs
-near-tie swaps at that boundary.
+windows.  Window selection ranks in the STORAGE dtype's rounding class:
+bf16-storage indexes rank by one bf16 MXU pass (the same input rounding
+their dense oracle carries) with a +8 window oversampling margin absorbing
+near-tie swaps at that boundary; f32-storage indexes rank at
+Precision.HIGHEST so the selection is margin-bounded against the f32
+oracle, not a coarser one.
 
 Invalid (and padding) centroid rows are filled with 1e18 in every column:
 their in-kernel |c|^2 is ~1e38 (vs any real rank's magnitude), so their
@@ -54,15 +57,29 @@ _L = 128    # window size: _CT/_L = 8 keeps the minima tile sublane-aligned
 _MARGIN = 8  # extra windows selected to absorb bf16 near-tie swaps
 
 
-def _make_kernel(d_pad: int):
+def _make_kernel(d_pad: int, bf16_rank: bool):
     def kernel(c_ref, qT_ref, min_ref):
         c = c_ref[...]                          # (CT, d')  [c | pen | 0pad] f32
         qT = qT_ref[...]                        # (d', QT)  [-2q | 0pad]^T  f32
-        dotp = jnp.dot(
-            c.astype(jnp.bfloat16),
-            qT.astype(jnp.bfloat16),
-            preferred_element_type=jnp.float32,
-        )  # (CT, QT) — one MXU pass, same input rounding as the dense oracle
+        if bf16_rank:
+            # bf16-storage centroids: one MXU pass with the same input
+            # rounding the dense oracle's matmul carries for this index.
+            dotp = jnp.dot(
+                c.astype(jnp.bfloat16),
+                qT.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )  # (CT, QT)
+        else:
+            # f32-storage centroids: the oracle scores in f32, so window
+            # RANKING must too, or near-tie-heavy corpora could lose true
+            # top-nprobe centroids past the +_MARGIN window margin (ADVICE
+            # r2).  HIGHEST = 3-pass bf16 expansion on the MXU (~3x pass-1
+            # FLOPs; pass 1 is a minority of scan wall at these C).
+            dotp = jnp.dot(
+                c, qT,
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )
         # Exact f32 row norms on the VPU.  Invalid rows are 1e18 everywhere,
         # so cn2 ~ 1e38 dominates any real rank (|dotp| for them is ~1e21 at
         # most) — they can never win a window min.
@@ -73,18 +90,19 @@ def _make_kernel(d_pad: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "bf16_rank"))
 def pallas_centroid_window_scan(
     caug: jax.Array,  # (Cpad, d') f32 — [centroid | pen | zeros], Cpad % _CT == 0
     qaugT: jax.Array,  # (d', Qpad) f32 — [-2 q | zeros]^T, Qpad % _QT == 0
     interpret: bool = False,
+    bf16_rank: bool = True,
 ):
     """Returns winminT (Cpad/_L, Qpad) f32 — per-window rank minima."""
     Cpad, d_pad = caug.shape
     Qpad = qaugT.shape[1]
     assert Cpad % _CT == 0 and Qpad % _QT == 0 and qaugT.shape[0] == d_pad
     return pl.pallas_call(
-        _make_kernel(d_pad),
+        _make_kernel(d_pad, bf16_rank),
         grid=(Qpad // _QT, Cpad // _CT),  # centroid axis minor: streams C
         in_specs=[
             pl.BlockSpec((_CT, d_pad), lambda qi, cj: (cj, 0)),
@@ -145,6 +163,11 @@ def windowed_centroid_topk(
 
     C, d = centroids.shape
     Q = qf.shape[0]
+    # Ranking precision follows the STORAGE dtype: a bf16-storage index's
+    # oracle matmul carries bf16 input rounding (windowed selection is in
+    # the same rounding class + margin); an f32-storage index's oracle is
+    # f32, so window ranking runs the MXU at HIGHEST precision instead.
+    bf16_rank = centroids.dtype == jnp.bfloat16
     # Window slabs and queries pad d identically (zeros), so the elementwise
     # rerank's padding columns cancel for valid rows.
     d_pad = ((d + _L - 1) // _L) * _L
@@ -160,7 +183,9 @@ def windowed_centroid_topk(
         caug, qaugT, Cpad, Qpad = _augment(
             qf, centroids[start:end], cent_valid[start:end], d_pad
         )
-        minT = pallas_centroid_window_scan(caug, qaugT, interpret=interpret)
+        minT = pallas_centroid_window_scan(
+            caug, qaugT, interpret=interpret, bf16_rank=bf16_rank
+        )
         W = Cpad // _L
         S = min(nprobe + _MARGIN, W)
         _, wsel = smallest_k(minT.T[:Q], S)  # (Q, S) window ids

@@ -307,6 +307,7 @@ class ShardedSpannIndex:
         appends: List[List[Tuple[int, int, np.ndarray, np.ndarray, int]]] = [
             [] for _ in range(S)
         ]  # per shard: (row, old_len, add_ids, add_vecs, new_len)
+        append_snap: List[Tuple[int, np.ndarray]] = []  # committed after planning
         rewrites: List[List[int]] = [[] for _ in range(S)]  # cids (or -row-1 frees)
         row_of: Dict[int, Tuple[int, int]] = {}
         for c in sorted(dirty):
@@ -325,7 +326,10 @@ class ShardedSpannIndex:
                     appends[s].append(
                         (row, len(old), ids[len(old):], vecs[len(old):], len(ids))
                     )
-                    view.snapshot[c] = ids
+                    # Snapshot mutation DEFERRED: a later free-row exhaustion
+                    # returns False, and the caller's repack must not see a
+                    # half-planned snapshot (ADVICE r2).
+                    append_snap.append((c, ids))
                     continue
                 if loc is None:
                     s = int(np.argmax([len(f) for f in free]))
@@ -338,6 +342,8 @@ class ShardedSpannIndex:
                 s, row = view.cluster_rows[c]
                 row_of[c] = (s, row)
                 rewrites[s].append(c)
+        for c, ids in append_snap:
+            view.snapshot[c] = ids
 
         sd = idx.policy.storage_dtype
         dummy_slot = view.scratch_row * view.pad

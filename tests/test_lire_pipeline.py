@@ -168,3 +168,21 @@ def test_protocol_gc_on_delete(tmp_path):
     # 3 deletes of 10 > 0.2 -> GC compacted the log
     ids_all, _, _ = storage.get_posting(0, include_deleted=True)
     assert len(ids_all) == 7
+
+
+def test_stale_merge_reflags_surviving_posting(tmp_path):
+    """A Merge whose TARGET was retired is stale, but the still-existing
+    (possibly still-undersized) source must not silently lose its pending
+    maintenance: the survivor is flagged NEEDS_MAINTENANCE for the repair
+    loop's threshold re-check; the missing posting returns READY."""
+    p, storage = make_pipeline(tmp_path)
+    for i in range(3):
+        storage.store_vector(7, i, np.array([float(i), 0.0]))
+    p.start()
+    p.submit_task(Merge(7, 4242))  # target never existed: retired shape
+    p.drain()
+    assert p.get_partition_status(7) == PartitionStatus.NEEDS_MAINTENANCE
+    assert p.get_partition_status(4242) == PartitionStatus.READY
+    out = p.outcomes()
+    assert out[0].error is None and out[0].result is None  # stale, not failed
+    p.stop()

@@ -151,3 +151,23 @@ def test_fit_device_levels_match_host_levels(rng, monkeypatch):
 
     assert key(hc_host) == key(hc_dev)
     assert key(hc_dev) == key(hc_mesh)
+
+
+def test_sharded_fit_bf16_wire_matches_single_device(rng):
+    """bf16 corpus wire (auto-enabled for bfloat16-storage configs) must be
+    applied IDENTICALLY on the mesh and single-device paths — a mesh build
+    of the same config + seed must produce the same clusters (ADVICE r2)."""
+    X = rng.standard_normal((400, 16)).astype(np.float32)
+    p1 = _params(wire_dtype="bfloat16")
+    p2 = _params(wire_dtype="bfloat16")
+    hc1 = HierarchicalClustering(p1, X).fit()
+    hc2 = HierarchicalClustering(p2, X, mesh=_mesh()).fit()
+    key1 = sorted((c.centroid_idx, tuple(c.points.tolist())) for c in hc1.clusters)
+    key2 = sorted((c.centroid_idx, tuple(c.points.tolist())) for c in hc2.clusters)
+    assert key1 == key2
+    # And the rounding actually happened (host mirror carries bf16 grid).
+    import ml_dtypes
+
+    assert np.array_equal(
+        hc2._host_data, X.astype(ml_dtypes.bfloat16).astype(np.float32)
+    )
