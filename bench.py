@@ -65,6 +65,13 @@ def main():
                          "moderate overlap; 1.0 = heavy overlap (1.9%% of "
                          "lists at 0.9 recall, beyond published SIFT1M IVF "
                          "probe fractions)")
+    ap.add_argument("--mesh", default=None,
+                    help="build over a device mesh: 'auto' (all local devices "
+                         "when >1 real accelerator), an integer device count, "
+                         "or omit for the single-chip build.  Results are "
+                         "bit-identical to the single-device path (tested); "
+                         "an S-chip mesh shards the build's hot-loop FLOPs "
+                         "and dispatches S ways")
     ap.add_argument("--latent-dim", type=int, default=None,
                     help="draw the corpus on an L-dimensional linear manifold "
                          "embedded in --dim (plus 1%% ambient noise).  Real "
@@ -153,18 +160,51 @@ def main():
             "search": {"query_batch_size": args.batch},
         }
     )
+    # Link weather BEFORE the timed region: every recorded number carries
+    # the conditions it was measured under (the axon tunnel swings 50x
+    # between windows — VERDICT r2 flagged the r2 capture as
+    # weather-dominated and uninterpretable).
+    from spfresh_tpu.utils.xfer import STATS, calibrate
+
+    cal_pre = calibrate()
+    log(f"tunnel (pre-build): {cal_pre}")
+    mesh = args.mesh
+    if mesh is not None and mesh != "auto":
+        mesh = int(mesh)
+    builder = SpannIndexBuilder(cfg, mesh=mesh)
+    if builder.mesh is not None:
+        log(f"mesh build over {builder.mesh.devices.size} devices")
+    STATS.reset()
     t0 = time.perf_counter()
-    index = SpannIndexBuilder(cfg).with_data(data).build(save=False)
-    index.padded_view()  # materialize the search-engine view inside the clock
+    index = builder.with_data(data).build(save=False)
+    t_pack = time.perf_counter()
+    view = index.padded_view()  # materialize the search view inside the clock
+    jax.block_until_ready((view.vectors3d, view.ids2d))
     build_s = time.perf_counter() - t0
+    build_xfer = STATS.total_s
+    build_dev = build_s - build_xfer
+    xfer_stats = STATS.as_dict()
+    phases = dict(getattr(index, "build_profile", {}))
+    phases["view_pack"] = round(time.perf_counter() - t_pack, 3)
     log(
-        f"build: {build_s:.1f}s  clusters={index.num_clusters} "
+        f"build: wall={build_s:.1f}s = transfers {build_xfer:.1f}s "
+        f"({xfer_stats['h2d_mb']:.0f} MB h2d @ "
+        f"{xfer_stats['h2d_mb'] / max(xfer_stats['h2d_s'], 1e-9):.0f} MB/s, "
+        f"{xfer_stats['d2h_mb']:.0f} MB d2h) "
+        f"+ device/host {build_dev:.1f}s"
+    )
+    log(
+        f"build: clusters={index.num_clusters} "
         f"stored={index.num_vectors} (x{index.num_vectors / n:.2f})  "
         f"vectors/sec={n / build_s:,.0f}"
     )
+    for name, secs in sorted(phases.items(), key=lambda kv: -kv[1]):
+        log(f"  phase {name:<28s} {secs:8.2f}s")
 
     if os.environ.get("SPF_DEBUG_LIVE"):
         import gc
+
+        import jax.numpy as jnp
 
         gc.collect()
         las = jax.live_arrays()
@@ -232,9 +272,12 @@ def main():
             _timed(lambda: index.search(queries, args.k, nprobe=nprobe))
             for _ in range(3)
         )
+    cal_post = calibrate()
+    log(f"tunnel (post-sweep): {cal_post}")
     log(
         f"RESULT nprobe={nprobe} ({nprobe / index.num_clusters:.3%} of lists) "
-        f"recall={rec:.4f} qps={qps:,.0f} build={build_s:.1f}s"
+        f"recall={rec:.4f} qps={qps:,.0f} "
+        f"build={build_s:.1f}s (device/host {build_dev:.1f}s + link {build_xfer:.1f}s)"
     )
 
     print(
@@ -253,6 +296,25 @@ def main():
                 "vs_baseline": round(
                     qps / 10_000.0 * min(1.0, rec / args.target_recall), 3
                 ),
+                # Build decomposition (VERDICT r2 item 1): wall splits into
+                # measured link seconds (bytes / current tunnel bandwidth,
+                # both reported) and device/host engine seconds — the
+                # weather-robust number the <60 s target judges.
+                "recall": round(float(rec), 4),
+                "nprobe": int(nprobe),
+                "clusters": int(index.num_clusters),
+                "stored_x": round(index.num_vectors / n, 2),
+                "build_wall_s": round(build_s, 1),
+                "build_xfer_s": round(build_xfer, 1),
+                "build_device_s": round(build_dev, 1),
+                "build_xfer": xfer_stats,
+                "build_phases": {
+                    k2: v for k2, v in sorted(
+                        phases.items(), key=lambda kv: -kv[1]
+                    )
+                },
+                "tunnel_pre": cal_pre,
+                "tunnel_post": cal_post,
             }
         )
     )

@@ -440,15 +440,31 @@ class HierarchicalClustering:
 
             wire_arr = np.asarray(self._host_data).astype(ml_dtypes.bfloat16)
             self._host_data = wire_arr.astype(np.float32)
+        # The corpus upload is the build's dominant transfer (GBs through a
+        # ~20-40 MB/s tunnel): route it through the xfer accounting so the
+        # bench can separate link time from engine time.
+        from spfresh_tpu.utils.xfer import STATS, timed_put
+
         if mesh is not None:
+            import time as _time
+
             from spfresh_tpu.parallel.cluster_step import replicate
 
             src = wire_arr if wire_arr is not None else self._host_data
+            t0 = _time.perf_counter()
             self.data = replicate(mesh, src).astype(ACCUM_DTYPE)
+            jax.block_until_ready(self.data)
+            STATS.account_h2d(src.nbytes, _time.perf_counter() - t0)
         elif wire_arr is not None:
-            self.data = jnp.asarray(wire_arr).astype(ACCUM_DTYPE)
+            self.data = timed_put(wire_arr).astype(ACCUM_DTYPE)
+        elif isinstance(data, jax.Array):
+            self.data = jnp.asarray(data, dtype=ACCUM_DTYPE)  # already on device
         else:
-            self.data = jnp.asarray(data, dtype=ACCUM_DTYPE)
+            self.data = timed_put(
+                self._host_data
+                if self._host_data is not None
+                else np.asarray(data, np.float32)
+            ).astype(ACCUM_DTYPE)
         if self.data.ndim != 2:
             raise ValueError(f"data must be 2-d, got shape {self.data.shape}")
         self.clusters: List[Cluster] = []
@@ -478,14 +494,13 @@ class HierarchicalClustering:
 
         from spfresh_tpu.utils import PhaseTimer
 
-        timer = PhaseTimer() if os.environ.get("SPF_PROFILE") else None
+        # Always profile: the per-phase barriers cost microseconds and the
+        # official bench must decompose every build second in any tunnel
+        # weather (VERDICT r2).  SPF_PROFILE only controls log verbosity now.
+        timer = PhaseTimer()
         self._timer = timer
 
         def _phase(name):
-            if timer is None:
-                import contextlib
-
-                return contextlib.nullcontext()
             return timer.phase(name, block=True)
 
         with _phase("fit/init"):
@@ -501,7 +516,7 @@ class HierarchicalClustering:
         if self.params.replication == "final":
             with _phase("fit/replica_pass"):
                 self._finalize_replication()
-        if timer is not None:
+        if os.environ.get("SPF_PROFILE"):
             timer.report()
         return self
 
@@ -611,6 +626,8 @@ class HierarchicalClustering:
         n_extra = min(self.params.max_replicas - 1, len(self.clusters) - 1)
         if n_extra <= 0:
             return
+        from spfresh_tpu.utils.xfer import timed_pull
+
         n = self.data.shape[0]
         base = np.zeros(n, np.int64)
         for ci, c in enumerate(self.clusters):
@@ -668,9 +685,9 @@ class HierarchicalClustering:
                 )
                 if len(pending) >= 4:
                     s0, i0, d0 = pending.pop(0)
-                    tiles.append((s0, np.asarray(i0), np.asarray(d0)))
+                    tiles.append((s0, timed_pull(i0), timed_pull(d0)))
             for s0, i0, d0 in pending:
-                tiles.append((s0, np.asarray(i0), np.asarray(d0)))
+                tiles.append((s0, timed_pull(i0), timed_pull(d0)))
         for s, idx, dists in tiles:
             valid = np.isfinite(dists)
             pts = np.broadcast_to(
@@ -790,7 +807,16 @@ class HierarchicalClustering:
                     _p,
                 )
                 continue
-            with _p("subdiv/kernel+transfer", block=True):
+            from spfresh_tpu.utils.xfer import timed_pull, timed_put
+
+            with _p("subdiv/upload"):
+                if self.mesh is None:
+                    # Member tables cost ~9 MB/level at 1M scale — account
+                    # them as link time, not kernel time.
+                    pl_dev = timed_put(point_list)
+                    co_dev = timed_put(cluster_of)
+                    valid_dev = timed_put(valid)
+            with _p("subdiv/kernel", block=True):
                 if self.mesh is not None:
                     from spfresh_tpu.parallel.build import sharded_split_level
 
@@ -802,18 +828,19 @@ class HierarchicalClustering:
                 else:
                     assign, seeds, counts, d1 = _split_level_multiway(
                         self.data,
-                        jnp.asarray(point_list),
-                        jnp.asarray(cluster_of),
-                        jnp.asarray(valid),
+                        pl_dev,
+                        co_dev,
+                        valid_dev,
                         jnp.asarray(c1_idx),
                         jnp.asarray(seed_valid),
                         self.params.metric,
                         num_segments=S,
                         m_ways=M,
                     )
-                assign = np.asarray(assign)[:P]
-                seeds = np.asarray(seeds)
-                counts = np.asarray(counts)[:nm]
+            with _p("subdiv/transfer"):
+                assign = timed_pull(assign)[:P]
+                seeds = timed_pull(seeds)
+                counts = timed_pull(counts)[:nm]
             self._finish_multiway_level(
                 oversized, members, lens, bounds, m_c, M, nm,
                 cluster_of_np, flat_members, assign, seeds, counts, d1, _p,

@@ -4,6 +4,14 @@
 reference's balance cap default ``desired_cluster_size = round(0.18 * n)``
 (spann_builder.rs:48-49) unless the config overrides it (the reference never
 lets you — SURVEY.md section 5 "config").
+
+``mesh`` (new in r3): the build's hot loops — assign + medoid, multi-way
+subdivision, the replica pass — run data-sharded over a
+``jax.sharding.Mesh`` with psum/pmax/pmin collectives, the TPU-native
+analogue of the reference's rayon pools (hierarchical.rs:144,261,302).
+``mesh="auto"`` uses all local devices when more than one REAL accelerator
+is attached (virtual CPU meshes must be passed explicitly — tests do).
+Results are bit-identical to the single-device path.
 """
 
 from __future__ import annotations
@@ -20,13 +28,36 @@ from spfresh_tpu.index.spann import SpannIndex
 log = logging.getLogger(__name__)
 
 
-class SpannIndexBuilder:
-    """Mirror of SpannIndexBuilder (spann_builder.rs:8-75)."""
+def _resolve_mesh(mesh):
+    """None | "auto" | int (device count) | Mesh -> Optional[Mesh]."""
+    if mesh is None:
+        return None
+    import jax
+    from jax.sharding import Mesh
 
-    def __init__(self, config: Config | str):
+    if isinstance(mesh, Mesh):
+        return mesh if mesh.devices.size > 1 else None
+    if mesh == "auto":
+        devices = jax.devices()
+        if len(devices) > 1 and devices[0].platform != "cpu":
+            return Mesh(np.array(devices), ("shard",))
+        return None
+    if isinstance(mesh, int):
+        devices = jax.devices()
+        if mesh > len(devices):
+            raise ValueError(f"mesh={mesh} devices requested, {len(devices)} available")
+        return Mesh(np.array(devices[:mesh]), ("shard",)) if mesh > 1 else None
+    raise TypeError(f"mesh must be None, 'auto', an int, or a Mesh; got {mesh!r}")
+
+
+class SpannIndexBuilder:
+    """Mirror of SpannIndexBuilder (spann_builder.rs:8-75) + mesh scale-out."""
+
+    def __init__(self, config: Config | str, mesh=None):
         self.config = Config.from_file(config) if isinstance(config, str) else config
         self.config.validate()
         self.data: Optional[np.ndarray] = None
+        self.mesh = _resolve_mesh(mesh)
 
     def with_data(self, data) -> "SpannIndexBuilder":
         self.data = np.asarray(data, dtype=np.float32)
@@ -48,16 +79,32 @@ class SpannIndexBuilder:
         if params.desired_cluster_size is None:
             params.desired_cluster_size = max(1, int(round(0.18 * n)))
         log.info(
-            "building SPANN index: n=%d d=%d k=%d cap=%d metric=%s",
+            "building SPANN index: n=%d d=%d k=%d cap=%d metric=%s mesh=%s",
             n, d, params.initial_k, params.desired_cluster_size, params.metric,
+            self.mesh.devices.size if self.mesh is not None else 1,
         )
-        hc = HierarchicalClustering(params, self.data).fit()
+        hc = HierarchicalClustering(params, self.data, mesh=self.mesh).fit()
 
         index = SpannIndex(self.config)
+        # Per-phase build walls (always measured; see PhaseTimer in fit) —
+        # the bench reads these into its JSON side-channel so the official
+        # artifact shows where every build second went.
+        index.build_profile = {
+            name: round(total, 3) for name, total, _ in hc._timer.totals()
+        }
         # Hand the clustering phase's device-resident corpus to the index:
         # the first search view then packs entirely on-chip (no multi-GB
-        # member-vector re-upload from the host).
-        index.create_posting_lists(hc.clusters, self.data, corpus_dev=hc.data)
+        # member-vector re-upload from the host).  On a mesh the corpus is
+        # replicated — any one addressable shard holds the full copy as a
+        # plain single-device array the (single-chip) view pack can gather
+        # from.
+        corpus_dev = hc.data
+        if self.mesh is not None:
+            try:
+                corpus_dev = hc.data.addressable_shards[0].data
+            except (AttributeError, IndexError):
+                corpus_dev = None
+        index.create_posting_lists(hc.clusters, self.data, corpus_dev=corpus_dev)
         # The device view (centroid index, build_kdtree parity) materializes
         # lazily on first search, in the layout the search engine needs —
         # eagerly building both CSR and slab views would double the upload.

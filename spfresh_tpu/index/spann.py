@@ -385,9 +385,11 @@ def _pack_slabs_from_corpus(
         ids_pad[ci * _PACK_CHUNK : (ci + 1) * _PACK_CHUNK] = _pad_tail(
             np.asarray(flat_ids)[s0:e], tail
         )
+    from spfresh_tpu.utils.xfer import timed_put
+
     return _pack_from_corpus_fused(
-        corpus, jnp.asarray(rows2d), jnp.asarray(slots2d),
-        jnp.asarray(ids_pad), d,
+        corpus, timed_put(rows2d), timed_put(slots2d),
+        timed_put(ids_pad), d,
         Cpad=Cpad, pad=pad, d_pad=d_pad, sd=sd, n_chunks=n_chunks,
     )
 
@@ -404,6 +406,8 @@ def _pack_slabs(flat_vecs, flat_ids, slots, Cpad: int, pad: int, d_pad: int, sd)
     the raw (P, d) vectors in the storage dtype — no padding bytes cross the
     wire — and peak HBM is slabs + one chunk, never slabs + a second full
     flat copy."""
+    from spfresh_tpu.utils.xfer import timed_put
+
     flat_vecs = np.asarray(flat_vecs)
     d = flat_vecs.shape[1]
     slots_np = np.asarray(slots, np.int32)
@@ -411,8 +415,8 @@ def _pack_slabs(flat_vecs, flat_ids, slots, Cpad: int, pad: int, d_pad: int, sd)
     for s0, e, tail in _chunk_slices(slots_np.shape[0], _PACK_CHUNK):
         v = _scatter_flat_chunk(
             v,
-            jnp.asarray(_pad_tail(flat_vecs[s0:e], tail).astype(sd)),
-            jnp.asarray(_pad_tail(slots_np[s0:e], tail)),
+            timed_put(_pad_tail(flat_vecs[s0:e], tail).astype(sd)),
+            timed_put(_pad_tail(slots_np[s0:e], tail)),
             d,
         )
     i = (

@@ -171,3 +171,59 @@ def test_sharded_fit_bf16_wire_matches_single_device(rng):
     assert np.array_equal(
         hc2._host_data, X.astype(ml_dtypes.bfloat16).astype(np.float32)
     )
+
+
+def test_builder_facade_mesh_build_matches_single_device(rng, tmp_path):
+    """VERDICT r2 item 2: the mesh build must be reachable from the public
+    facade — SpannIndexBuilder(cfg, mesh=...) over the 8-device CPU mesh
+    builds the SAME index (postings + centroids) as the single-device
+    builder."""
+    from spfresh_tpu.index import SpannIndexBuilder
+
+    X = rng.standard_normal((500, 24)).astype(np.float32)
+    cfg = {
+        "clustering_params": {
+            "initial_k": 4,
+            "desired_cluster_size": 40,
+            "rng_seed": 11,
+            "initialization_method": "KMeans++",
+        },
+        "output_path": str(tmp_path / "idx"),
+    }
+    idx1 = (
+        SpannIndexBuilder(Config.from_dict(cfg)).with_data(X).build(save=False)
+    )
+    idx2 = (
+        SpannIndexBuilder(Config.from_dict(cfg), mesh=_mesh())
+        .with_data(X)
+        .build(save=False)
+    )
+    assert sorted(idx1.postings) == sorted(idx2.postings)
+    for c in idx1.postings:
+        np.testing.assert_array_equal(idx1.postings[c][0], idx2.postings[c][0])
+        np.testing.assert_array_equal(
+            np.asarray(idx1.postings[c][1]), np.asarray(idx2.postings[c][1])
+        )
+        np.testing.assert_array_equal(idx1.centroids[c], idx2.centroids[c])
+    # The mesh builder's corpus handoff must let the view pack run on-chip
+    # and search must agree between the two indexes.
+    q = rng.standard_normal((6, 24)).astype(np.float32)
+    i1, d1 = idx1.search(q, k=5, nprobe=idx1.num_clusters, engine="xla")
+    i2, d2 = idx2.search(q, k=5, nprobe=idx2.num_clusters, engine="xla")
+    np.testing.assert_array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-6)
+
+
+def test_builder_mesh_resolution(rng):
+    """mesh=None -> single device; mesh=1 -> single device; explicit Mesh
+    object passes through; 'auto' never grabs virtual CPU devices."""
+    from spfresh_tpu.index.builder import _resolve_mesh
+
+    assert _resolve_mesh(None) is None
+    assert _resolve_mesh(1) is None
+    assert _resolve_mesh("auto") is None  # CPU platform in tests
+    m = _mesh(4)
+    assert _resolve_mesh(m) is m
+    assert _resolve_mesh(4).devices.size == 4
+    with pytest.raises(ValueError):
+        _resolve_mesh(1000)
