@@ -412,11 +412,29 @@ class HierarchicalClustering:
     (assign + medoid, subdivision levels) then run data-sharded over the mesh
     with psum/pmax/pmin collectives, the TPU-native analogue of the
     reference's rayon pools (hierarchical.rs:144,261,302).  Results are
-    identical to the single-device path."""
+    identical to the single-device path.
 
-    def __init__(self, params: ClusteringParams, data, mesh=None):
+    ``corpus_layout`` (mesh builds only): "sharded" (default) keeps n/S
+    corpus rows per chip — global-row accesses run as psum-contribution
+    gathers, and an S-chip mesh can build a corpus larger than one chip's
+    HBM.  "replicated" keeps a full corpus copy per chip (no gather
+    collectives, and the builder can hand the device corpus to the
+    zero-upload view pack).  Both are bit-identical to single-device."""
+
+    def __init__(
+        self, params: ClusteringParams, data, mesh=None,
+        corpus_layout: str = "sharded",
+    ):
         self.params = params
         self.mesh = mesh
+        if corpus_layout not in ("sharded", "replicated"):
+            raise ValueError(f"unknown corpus_layout {corpus_layout!r}")
+        if params.replication == "nested" or params.max_split_ways == 2:
+            # The binary (reference-parity) split path runs the plain kernel
+            # over the mesh array; it needs whole-corpus gathers, so the
+            # corpus stays replicated there.
+            corpus_layout = "replicated"
+        self._corpus_layout = corpus_layout if mesh is not None else "single"
         # Host copy kept for the small-level subdivision fallback (the
         # caller's array — np.asarray is no-copy for f32 numpy input); the
         # mesh path always needs one for sharding/padding.
@@ -448,11 +466,24 @@ class HierarchicalClustering:
         if mesh is not None:
             import time as _time
 
-            from spfresh_tpu.parallel.cluster_step import replicate
+            from spfresh_tpu.parallel.cluster_step import replicate, shard_rows
 
             src = wire_arr if wire_arr is not None else self._host_data
             t0 = _time.perf_counter()
-            self.data = replicate(mesh, src).astype(ACCUM_DTYPE)
+            if self._corpus_layout == "sharded":
+                # n/S corpus rows per chip.  Padding rows are copies of row
+                # 0: ties break to the smaller (real) row id everywhere, so
+                # padding can never win a medoid/seed or join a segment.
+                S = mesh.devices.size
+                n0 = src.shape[0]
+                n_pad = ((n0 + S - 1) // S) * S
+                if n_pad != n0:
+                    src = np.concatenate(
+                        [src, np.repeat(src[:1], n_pad - n0, axis=0)]
+                    )
+                self.data = shard_rows(mesh, src).astype(ACCUM_DTYPE)
+            else:
+                self.data = replicate(mesh, src).astype(ACCUM_DTYPE)
             jax.block_until_ready(self.data)
             STATS.account_h2d(src.nbytes, _time.perf_counter() - t0)
         elif wire_arr is not None:
@@ -467,6 +498,12 @@ class HierarchicalClustering:
             ).astype(ACCUM_DTYPE)
         if self.data.ndim != 2:
             raise ValueError(f"data must be 2-d, got shape {self.data.shape}")
+        # True corpus size (self.data may carry mesh-padding rows).
+        self._n = int(
+            self._host_data.shape[0]
+            if self._host_data is not None
+            else self.data.shape[0]
+        )
         self.clusters: List[Cluster] = []
         seed = params.rng_seed if params.rng_seed is not None else np.random.SeedSequence().entropy % (2**63)
         self._seed = int(seed) & 0x7FFFFFFFFFFFFFFF
@@ -481,7 +518,7 @@ class HierarchicalClustering:
     # -- public API (fit / labels), parity with hierarchical.rs:65-71,215-246
 
     def fit(self) -> "HierarchicalClustering":
-        n = self.data.shape[0]
+        n = self._n
         k = self.params.initial_k
         if k > n:
             raise ValueError(f"initial_k={k} exceeds number of points n={n}")
@@ -527,7 +564,7 @@ class HierarchicalClustering:
         not default unvisited points to cluster 0 — the reference's init quirk
         can label a point with a cluster it is not a member of.  Points not in
         any cluster (impossible after fit()) would raise."""
-        n = self.data.shape[0]
+        n = self._n
         cent_vecs = self.centroid_vectors()
         pts, cls = [], []
         for ci, c in enumerate(self.clusters):
@@ -535,9 +572,18 @@ class HierarchicalClustering:
             cls.append(np.full(len(c.points), ci, dtype=np.int64))
         pts = np.concatenate(pts)
         cls = np.concatenate(cls)
-        d = np.asarray(
-            rowwise_distance(self.data[pts], cent_vecs[cls], self.params.metric)
-        )
+        if self._corpus_layout == "sharded":
+            # No full corpus on any device: label on the host mirror (same
+            # rounded coordinates as the device rows).
+            d = _np_rowdist(
+                self._host_data[pts],
+                np.asarray(cent_vecs, np.float32)[cls],
+                self.params.metric,
+            )
+        else:
+            d = np.asarray(
+                rowwise_distance(self.data[pts], cent_vecs[cls], self.params.metric)
+            )
         order = np.lexsort((cls, d, pts))  # by point, then dist, then cluster
         pts_o = pts[order]
         first = np.ones(len(pts_o), dtype=bool)
@@ -547,6 +593,19 @@ class HierarchicalClustering:
         return labels
 
     def centroid_vectors(self) -> jnp.ndarray:
+        if self._corpus_layout == "sharded":
+            # Row-sharded corpus: gather the C rows on the HOST mirror (the
+            # same bf16-rounded grid as the device rows) and replicate —
+            # a C-row cross-shard gather for every caller would serialize
+            # on collectives for a few MB.
+            from spfresh_tpu.parallel.cluster_step import replicate
+
+            idx_np = np.asarray(
+                [c.centroid_idx for c in self.clusters], np.int64
+            )
+            return replicate(
+                self.mesh, self._host_data[idx_np].astype(np.float32)
+            )
         idx = jnp.asarray([c.centroid_idx for c in self.clusters], dtype=jnp.int32)
         return self.data[idx]
 
@@ -557,11 +616,20 @@ class HierarchicalClustering:
             # choose_multiple without replacement (hierarchical.rs:200-210)
             idx = jax.random.choice(
                 jax.random.fold_in(self._key, 0),
-                self.data.shape[0],
+                self._n,
                 shape=(k,),
                 replace=False,
             )
             idx = np.asarray(idx)
+        elif self._corpus_layout == "sharded":
+            from spfresh_tpu.parallel.build import kmeanspp_init_sharded
+
+            idx = np.asarray(
+                kmeanspp_init_sharded(
+                    self.mesh, self._key, self.data, k,
+                    self.params.metric, self._n,
+                )
+            )
         else:
             idx = np.asarray(
                 _kmeanspp_init(self._key, self.data, k, self.params.metric)
@@ -599,14 +667,21 @@ class HierarchicalClustering:
         n = self._host_data.shape[0]
         S = self.mesh.devices.size
         n_pad = ((n + S - 1) // S) * S
-        Xpad = self._host_data
-        if n_pad != n:
-            # Pad with copies of row 0: ties break to the smaller (real) row
-            # id, so padding can never win a medoid or change a mask column.
-            Xpad = np.concatenate([Xpad, np.repeat(Xpad[:1], n_pad - n, axis=0)])
+        if self._corpus_layout == "sharded":
+            X_sh = self.data  # already row-sharded + mesh-padded on device
+        else:
+            Xpad = self._host_data
+            if n_pad != n:
+                # Pad with copies of row 0: ties break to the smaller (real)
+                # row id, so padding can never win a medoid or change a mask
+                # column.
+                Xpad = np.concatenate(
+                    [Xpad, np.repeat(Xpad[:1], n_pad - n, axis=0)]
+                )
+            X_sh = shard_rows(self.mesh, Xpad)
         mask, _, rows = sharded_cluster_step(
             self.mesh,
-            shard_rows(self.mesh, Xpad),
+            X_sh,
             self.centroid_vectors(),
             boundary_threshold=self.params.boundary_threshold,
             metric=self.params.metric,
@@ -628,7 +703,7 @@ class HierarchicalClustering:
             return
         from spfresh_tpu.utils.xfer import timed_pull
 
-        n = self.data.shape[0]
+        n = self._n
         base = np.zeros(n, np.int64)
         for ci, c in enumerate(self.clusters):
             base[c.points] = ci
@@ -645,20 +720,28 @@ class HierarchicalClustering:
 
             S = self.mesh.devices.size
             n_pad = ((n + S - 1) // S) * S
-            Xp, bp = self._host_data, base
+            bp = base
             if n_pad != n:  # padding rows' replicas are sliced off below
-                Xp = np.concatenate([Xp, np.repeat(Xp[:1], n_pad - n, axis=0)])
                 bp = np.concatenate([bp, np.repeat(bp[:1], n_pad - n)])
+            if self._corpus_layout == "sharded":
+                X_sh = self.data  # row-sharded + mesh-padded already
+            else:
+                Xp = self._host_data
+                if n_pad != n:
+                    Xp = np.concatenate(
+                        [Xp, np.repeat(Xp[:1], n_pad - n, axis=0)]
+                    )
+                X_sh = shard_rows(self.mesh, Xp.astype(ACCUM_DTYPE))
             idx, dists = sharded_replica_pass(
                 self.mesh,
-                shard_rows(self.mesh, Xp.astype(ACCUM_DTYPE)),
+                X_sh,
                 shard_rows(self.mesh, bp.astype(np.int32)),
                 cents,
                 self.params.metric,
                 self.params.boundary_threshold,
                 n_extra,
             )
-            tiles = [(0, np.asarray(idx)[:n], np.asarray(dists)[:n])]
+            tiles = [(0, timed_pull(idx)[:n], timed_pull(dists)[:n])]
         else:
             # Tile size balances the two (tile, C) distance matrices (<= ~1 GB
             # each) against per-dispatch overhead — hundreds of tiny tiles were
@@ -809,6 +892,25 @@ class HierarchicalClustering:
                 continue
             from spfresh_tpu.utils.xfer import timed_pull, timed_put
 
+            if self.mesh is not None and self._corpus_layout == "sharded":
+                # Row-sharded corpus: the level runs with psum-contribution
+                # seed gathers and original-position tie-breaks; outputs come
+                # back as numpy in member order (transfers accounted inside).
+                from spfresh_tpu.parallel.build import sharded_split_level_rows
+
+                with _p("subdiv/kernel", block=True):
+                    assign, seeds, counts, d1 = sharded_split_level_rows(
+                        self.mesh, self.data, flat_members, cluster_of_np,
+                        c1_idx, seed_valid, self.params.metric,
+                        num_segments=S, m_ways=M,
+                    )
+                counts = counts[:nm]
+                self._finish_multiway_level(
+                    oversized, members, lens, bounds, m_c, M, nm,
+                    cluster_of_np, flat_members, assign, seeds, counts, d1,
+                    _p,
+                )
+                continue
             with _p("subdiv/upload"):
                 if self.mesh is None:
                     # Member tables cost ~9 MB/level at 1M scale — account

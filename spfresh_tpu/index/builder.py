@@ -53,11 +53,16 @@ def _resolve_mesh(mesh):
 class SpannIndexBuilder:
     """Mirror of SpannIndexBuilder (spann_builder.rs:8-75) + mesh scale-out."""
 
-    def __init__(self, config: Config | str, mesh=None):
+    def __init__(self, config: Config | str, mesh=None, corpus_layout: str = "sharded"):
+        """``corpus_layout`` (mesh builds only): "sharded" keeps n/S corpus
+        rows per chip — the layout that scales HBM and builds corpora larger
+        than one chip; "replicated" keeps a full per-chip copy (and hands
+        the device corpus to the zero-upload view pack)."""
         self.config = Config.from_file(config) if isinstance(config, str) else config
         self.config.validate()
         self.data: Optional[np.ndarray] = None
         self.mesh = _resolve_mesh(mesh)
+        self.corpus_layout = corpus_layout
 
     def with_data(self, data) -> "SpannIndexBuilder":
         self.data = np.asarray(data, dtype=np.float32)
@@ -83,7 +88,9 @@ class SpannIndexBuilder:
             n, d, params.initial_k, params.desired_cluster_size, params.metric,
             self.mesh.devices.size if self.mesh is not None else 1,
         )
-        hc = HierarchicalClustering(params, self.data, mesh=self.mesh).fit()
+        hc = HierarchicalClustering(
+            params, self.data, mesh=self.mesh, corpus_layout=self.corpus_layout
+        ).fit()
 
         index = SpannIndex(self.config)
         # Per-phase build walls (always measured; see PhaseTimer in fit) —
@@ -94,16 +101,19 @@ class SpannIndexBuilder:
         }
         # Hand the clustering phase's device-resident corpus to the index:
         # the first search view then packs entirely on-chip (no multi-GB
-        # member-vector re-upload from the host).  On a mesh the corpus is
-        # replicated — any one addressable shard holds the full copy as a
-        # plain single-device array the (single-chip) view pack can gather
-        # from.
+        # member-vector re-upload from the host).  On a REPLICATED mesh any
+        # one addressable shard holds the full copy as a plain single-device
+        # array the (single-chip) view pack can gather from; a row-SHARDED
+        # corpus has no full copy anywhere — the view pack stages from host
+        # (at that scale the search index is Lazy/Sharded anyway).
         corpus_dev = hc.data
         if self.mesh is not None:
-            try:
-                corpus_dev = hc.data.addressable_shards[0].data
-            except (AttributeError, IndexError):
-                corpus_dev = None
+            corpus_dev = None
+            if hc._corpus_layout == "replicated":
+                try:
+                    corpus_dev = hc.data.addressable_shards[0].data
+                except (AttributeError, IndexError):
+                    corpus_dev = None
         index.create_posting_lists(hc.clusters, self.data, corpus_dev=corpus_dev)
         # The device view (centroid index, build_kdtree parity) materializes
         # lazily on first search, in the layout the search engine needs —

@@ -7,7 +7,20 @@ mesh: every chip scores its slice of the points against the (replicated)
 seed vectors, and the cross-shard reductions — farthest-point seed selection,
 membership counts — meet in ``pmax``/``pmin``/``psum`` collectives over ICI.
 
-Semantics are IDENTICAL to the single-device
+Two corpus layouts:
+
+* ``sharded_split_level`` — corpus REPLICATED per chip, member lists
+  sharded.  Shards FLOPs and dispatches; HBM does not scale.
+* ``sharded_split_level_rows`` / ``kmeanspp_init_sharded`` — corpus
+  ROW-SHARDED (n/S rows per chip).  Every global-row access (seed vectors,
+  KMeans++ draws) becomes a psum-contribution gather: the owning shard
+  contributes the row, every other shard zeros, and one psum over ICI
+  replicates the result.  Farthest-point tie-breaks ride the ORIGINAL
+  member positions carried as data, so results stay bit-identical to the
+  single-device kernel.  This is the layout that makes corpus > 1-chip-HBM
+  builds possible (VERDICT r2 item 3).
+
+Semantics of both are IDENTICAL to the single-device
 ``hierarchical._split_level_multiway`` (same seeds, same assignment, same
 tie-breaks), which the tests verify on a virtual 8-device CPU mesh.
 """
@@ -146,3 +159,249 @@ def sharded_split_level(
     if n_pad != n:
         assign, d1 = assign[:n], d1[:n]
     return assign, seeds, counts, d1
+
+
+# ---------------------------------------------------------------------------
+# Row-sharded corpus layout: n/S rows per chip, psum-contribution gathers
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "axis", "metric", "num_segments", "m_ways", "pbig"),
+)
+def _rowsharded_split_call(
+    X, pid_loc, co, valid, opos, c1_idx, seed_valid,
+    *, mesh, axis, metric, num_segments, m_ways, pbig,
+):
+    S_seg = num_segments
+    M = m_ways
+
+    def step(x_loc, pid, co_l, valid_l, opos_l, c1, sv):
+        rps = x_loc.shape[0]
+        row0 = jax.lax.axis_index(axis) * rps
+
+        def gather_rows(rows):
+            """(m,) global row ids -> (m, d) replicated, via psum
+            contribution from the owning shard (zeros elsewhere)."""
+            in_sh = (rows >= row0) & (rows < row0 + rps)
+            li = jnp.clip(rows - row0, 0, rps - 1)
+            return jax.lax.psum(
+                jnp.where(in_sh[:, None], x_loc[li], 0.0), axis
+            )
+
+        pts = x_loc[pid]  # (L, d) — members this shard OWNS (local gather)
+        gpid = (row0 + pid).astype(jnp.int32)  # global point ids
+        c1v = gather_rows(c1)  # (S_seg, d) seed-0 vectors
+        d_min = rowwise_distance(pts, c1v[co_l], metric)
+        d1 = d_min
+        best_j = jnp.zeros_like(pid)
+        taken = gpid == c1[co_l]
+        seeds = jnp.zeros((S_seg, M), jnp.int32).at[:, 0].set(
+            c1.astype(jnp.int32)
+        )
+        for j in range(1, M):
+            ok = sv[:, j]
+            d_masked = jnp.where(
+                valid_l & ~taken & ok[co_l], d_min, -jnp.inf
+            )
+            gmax = jax.lax.pmax(
+                jax.ops.segment_max(d_masked, co_l, num_segments=S_seg), axis
+            )
+            at_max = (
+                (d_masked == gmax[co_l]) & valid_l & ~taken & ok[co_l]
+            )
+            # First (by ORIGINAL position) point at the max — the exact
+            # single-device tie-break, carried as data so the per-shard
+            # repartition cannot change it.
+            gpos = jax.lax.pmin(
+                jax.ops.segment_min(
+                    jnp.where(at_max, opos_l, pbig), co_l,
+                    num_segments=S_seg,
+                ),
+                axis,
+            )
+            found = gpos < pbig
+            mine = at_max & (opos_l == gpos[co_l])  # unique winner entry
+            seed_j = jax.lax.psum(
+                jax.ops.segment_sum(
+                    jnp.where(mine, gpid, 0), co_l, num_segments=S_seg
+                ),
+                axis,
+            )
+            seed_j = jnp.where(found, seed_j, c1.astype(jnp.int32))
+            seeds = seeds.at[:, j].set(seed_j)
+            sv_vec = jax.lax.psum(
+                jax.ops.segment_sum(
+                    jnp.where(mine[:, None], pts, 0.0), co_l,
+                    num_segments=S_seg,
+                ),
+                axis,
+            )  # (S_seg, d) winner vectors (zeros where not found; masked)
+            use = ok & found
+            d_new = rowwise_distance(pts, sv_vec[co_l], metric)
+            upd = use[co_l] & (d_new < d_min)
+            best_j = jnp.where(upd, j, best_j)
+            d_min = jnp.where(upd, d_new, d_min)
+            taken = taken | ((opos_l == gpos[co_l]) & use[co_l])
+        counts = jax.lax.psum(
+            jax.ops.segment_sum(
+                valid_l.astype(jnp.int32), co_l * M + best_j,
+                num_segments=S_seg * M,
+            ),
+            axis,
+        ).reshape(S_seg, M)
+        return best_j, seeds, counts, d1
+
+    return jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(), P()),
+        out_specs=(P(axis), P(), P(), P(axis)),
+        check_vma=False,
+    )(X, pid_loc, co, valid, opos, c1_idx, seed_valid)
+
+
+def sharded_split_level_rows(
+    mesh: Mesh,
+    X_shard: jax.Array,  # (n_pad, d) ROW-SHARDED over the mesh
+    flat_members: np.ndarray,  # (P,) global point ids (no padding)
+    cluster_of: np.ndarray,  # (P,)
+    c1_idx: np.ndarray,  # (num_segments,) seed-0 global row per segment
+    seed_valid: np.ndarray,  # (num_segments, m_ways)
+    metric: str,
+    num_segments: int,
+    m_ways: int,
+    axis: Optional[str] = None,
+):
+    """Row-sharded-corpus drop-in for ``_split_level_multiway``.
+
+    The host deals each member entry to the shard OWNING its corpus row
+    (owner = id // rows_per_shard), padding every shard's list to a common
+    length; original positions ride along so seed tie-breaks are exactly
+    the single-device ones.  Returns (assign (P,), seeds, counts, d1 (P,))
+    as numpy, already un-permuted to the caller's member order."""
+    axis = axis or mesh.axis_names[0]
+    S = mesh.devices.size
+    rps = X_shard.shape[0] // S
+    P_n = int(flat_members.shape[0])
+    flat_members = np.asarray(flat_members, np.int64)
+    cluster_of = np.asarray(cluster_of, np.int32)
+    owner = (flat_members // rps).astype(np.int64)
+    order = np.argsort(owner, kind="stable")
+    cnt = np.bincount(owner, minlength=S)
+    L = max(8, int(-(-int(cnt.max()) // 8) * 8))
+    pid_loc = np.zeros((S, L), np.int32)
+    co = np.zeros((S, L), np.int32)
+    valid = np.zeros((S, L), bool)
+    opos = np.full((S, L), P_n, np.int32)  # pbig sentinel for padding
+    offs = np.zeros(S + 1, np.int64)
+    np.cumsum(cnt, out=offs[1:])
+    fm_o = flat_members[order]
+    co_o = cluster_of[order]
+    for s in range(S):
+        m = int(cnt[s])
+        pid_loc[s, :m] = (fm_o[offs[s] : offs[s] + m] - s * rps).astype(np.int32)
+        co[s, :m] = co_o[offs[s] : offs[s] + m]
+        valid[s, :m] = True
+        opos[s, :m] = order[offs[s] : offs[s] + m].astype(np.int32)
+    shard = NamedSharding(mesh, P(axis))
+    rep = NamedSharding(mesh, P())
+    assign, seeds, counts, d1 = _rowsharded_split_call(
+        X_shard,
+        jax.device_put(pid_loc.reshape(-1), shard),
+        jax.device_put(co.reshape(-1), shard),
+        jax.device_put(valid.reshape(-1), shard),
+        jax.device_put(opos.reshape(-1), shard),
+        jax.device_put(np.asarray(c1_idx, np.int32), rep),
+        jax.device_put(np.asarray(seed_valid, bool), rep),
+        mesh=mesh,
+        axis=axis,
+        metric=metric,
+        num_segments=num_segments,
+        m_ways=m_ways,
+        pbig=P_n,
+    )
+    from spfresh_tpu.utils.xfer import timed_pull
+
+    assign = timed_pull(assign)
+    seeds = timed_pull(seeds)
+    counts = timed_pull(counts)
+    d1 = timed_pull(d1)
+    opos_flat = opos.reshape(-1)
+    valid_flat = valid.reshape(-1)
+    assign_out = np.zeros(P_n, np.int32)
+    d1_out = np.zeros(P_n, np.float32)
+    assign_out[opos_flat[valid_flat]] = assign[valid_flat]
+    d1_out[opos_flat[valid_flat]] = d1[valid_flat]
+    return assign_out, seeds, counts, d1_out
+
+
+def kmeanspp_init_sharded(
+    mesh: Mesh,
+    key,
+    X_shard: jax.Array,  # (n_pad, d) ROW-SHARDED
+    k: int,
+    metric: str,
+    n: int,
+    axis: Optional[str] = None,
+):
+    """KMeans++ seeding over a row-sharded corpus — bit-identical to the
+    single-device ``_kmeanspp_init`` (hierarchical.py): per-row distances
+    are computed locally, the (n,) weight vector is all_gathered (4 MB at
+    1M — the corpus rows are what must not replicate, not the scalars), and
+    the categorical draw runs replicated on the identical (n,) logits with
+    the identical folded key."""
+    axis = axis or mesh.axis_names[0]
+
+    @functools.partial(
+        jax.jit, static_argnames=("mesh_", "axis_", "k_", "metric_", "n_")
+    )
+    def run(X, key_, *, mesh_, axis_, k_, metric_, n_):
+        def step(x_loc, kk):
+            rps = x_loc.shape[0]
+            row0 = jax.lax.axis_index(axis_) * rps
+
+            def gather1(row):
+                in_sh = (row >= row0) & (row < row0 + rps)
+                li = jnp.clip(row - row0, 0, rps - 1)
+                return jax.lax.psum(
+                    jnp.where(in_sh, x_loc[li], 0.0), axis_
+                )
+
+            first = jax.random.randint(
+                jax.random.fold_in(kk, 0), (), 0, n_
+            )
+            fv = gather1(first)
+            min_d = rowwise_distance(x_loc, fv[None, :], metric_)
+            chosen = jnp.zeros((k_,), jnp.int32).at[0].set(
+                first.astype(jnp.int32)
+            )
+
+            def body(i, state):
+                md, ch = state
+                full = jax.lax.all_gather(md, axis_).reshape(-1)[:n_]
+                w = full * full
+                total = jnp.sum(w)
+                w = jnp.where(total > 0, w, jnp.ones_like(w))
+                idx = jax.random.categorical(
+                    jax.random.fold_in(kk, i), jnp.log(w)
+                )
+                dv = gather1(idx)
+                d_new = rowwise_distance(x_loc, dv[None, :], metric_)
+                return jnp.minimum(md, d_new), ch.at[i].set(
+                    idx.astype(jnp.int32)
+                )
+
+            _, chosen = jax.lax.fori_loop(1, k_, body, (min_d, chosen))
+            return chosen
+
+        return jax.shard_map(
+            step, mesh=mesh_, in_specs=(P(axis), P()), out_specs=P(),
+            check_vma=False,
+        )(X, key_)
+
+    return run(
+        X_shard, key, mesh_=mesh, axis_=axis, k_=int(k), metric_=metric,
+        n_=int(n),
+    )
