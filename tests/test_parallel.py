@@ -163,3 +163,72 @@ def test_sharded_pallas_engine_matches_xla(tmp_path, rng):
         np.testing.assert_array_equal(ids_x, ids_p)
         finite = np.isfinite(d_x)
         np.testing.assert_allclose(d_x[finite], d_p[finite], rtol=1e-5)
+
+
+def test_global_nprobe_matches_single_chip(tmp_path, rng):
+    """VERDICT r2 item 7: at nprobe_mode='global' the sharded search probes
+    the GLOBAL top-nprobe lists — recall parity with the single-chip index
+    at the same (total) nprobe.  Exact id equality is not the contract:
+    centroid distances are f32 matmuls over different blockings (one (Q, C)
+    scan vs S (Q, Cs) scans), so near-tied list rankings may flip in the
+    last float bit; the probed-list COUNT and recall match."""
+    index, data = _build(tmp_path, rng, n=600, cap=30)
+    sharded = ShardedSpannIndex(index, default_mesh())
+    queries = rng.standard_normal((24, 8)).astype(np.float32)
+    _, gt = brute_force_search(data, queries, k=5)
+
+    def recall(ids):
+        return np.mean(
+            [len(set(ids[q]) & set(gt[q])) / 5 for q in range(len(queries))]
+        )
+
+    for nprobe in (2, 4, 8, index.num_clusters):
+        ids_1, _ = index.search(queries, k=5, nprobe=nprobe, engine="xla")
+        ids_g, _ = sharded.search(
+            queries, k=5, nprobe=nprobe, nprobe_mode="global"
+        )
+        r1, rg = recall(ids_1), recall(ids_g)
+        # Equal total probed lists -> recall parity (tie-flip tolerance of
+        # one result row across the batch).
+        assert abs(r1 - rg) <= 1.0 / len(queries) + 1e-9, (nprobe, r1, rg)
+    # Full probe: both exact.
+    ids_g, _ = sharded.search(
+        queries, k=5, nprobe=index.num_clusters, nprobe_mode="global"
+    )
+    assert recall(ids_g) == 1.0
+
+
+def test_per_shard_nprobe_is_superset_of_global(tmp_path, rng):
+    """per_shard mode probes S*nprobe lists — its recall at equal nprobe
+    must dominate (>=) global mode's, quantifying VERDICT r2's
+    apples-to-oranges concern."""
+    index, data = _build(tmp_path, rng, n=600, cap=30)
+    sharded = ShardedSpannIndex(index, default_mesh())
+    queries = rng.standard_normal((16, 8)).astype(np.float32)
+    _, gt = brute_force_search(data, queries, k=5)
+
+    def recall(ids):
+        return np.mean([len(set(ids[q]) & set(gt[q])) / 5 for q in range(16)])
+
+    ids_p, _ = sharded.search(queries, k=5, nprobe=2, nprobe_mode="per_shard")
+    ids_g, _ = sharded.search(queries, k=5, nprobe=2, nprobe_mode="global")
+    assert recall(ids_p) >= recall(ids_g)
+
+
+def test_sharded_kernels_shared_across_instances(tmp_path, rng):
+    """VERDICT r2 item 8: a second ShardedSpannIndex on the same mesh reuses
+    the compiled search program (module-level jit keyed on mesh/shape, not
+    instance)."""
+    index, _ = _build(tmp_path, np.random.default_rng(7))
+    mesh = default_mesh()
+    s1 = ShardedSpannIndex(index, mesh, engine="xla")
+    queries = np.random.default_rng(8).standard_normal((8, 8)).astype(np.float32)
+    s1.search(queries, k=5, nprobe=3)
+    from spfresh_tpu.parallel.sharded import _sharded_search_xla
+
+    misses_before = _sharded_search_xla._cache_size()
+    # Same data -> same view shapes -> the compiled program must be reused.
+    index2, _ = _build(tmp_path, np.random.default_rng(7))
+    s2 = ShardedSpannIndex(index2, mesh, engine="xla")
+    s2.search(queries, k=5, nprobe=3)
+    assert _sharded_search_xla._cache_size() == misses_before
