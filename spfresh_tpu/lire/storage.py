@@ -90,6 +90,13 @@ class LireStorage:
         os.makedirs(self._meta_dir, exist_ok=True)
         self._lock = threading.Lock()
         self._current_version = 0
+        # Topology generation: bumped whenever the posting SET or a centroid
+        # changes (create/retire/centroid update).  Steady-state appends and
+        # tombstones do NOT bump it, so the packed centroid matrix below is
+        # cached across them — routing an insert is O(1) host work instead of
+        # an O(C) per-call snapshot rebuild (VERDICT r2 item 6).
+        self._topology_gen = 0
+        self._cent_matrix_cache = None
         self._postings: Dict[int, _Posting] = {}
         self._metadata: Dict[int, PostingMetadata] = {}
         # Reverse index: vector_id -> posting ids holding a LIVE copy.  Kept
@@ -106,6 +113,33 @@ class LireStorage:
         self._wal_pids: set = set()
         self._recover_journal()
         self._load_all()
+
+    def _bump_topology_locked(self) -> None:
+        self._topology_gen += 1
+        self._cent_matrix_cache = None
+
+    def topology_gen(self) -> int:
+        with self._lock:
+            return self._topology_gen
+
+    def centroid_matrix(self):
+        """(gen, pids (C,) int64, centroids (C, d) f32) — the packed router
+        view, cached per topology generation.  Rebuilt (one vectorized stack
+        under the lock) only when a posting was created/retired or a centroid
+        moved; every steady-state op reads the cache.  Callers must treat the
+        arrays as immutable."""
+        with self._lock:
+            cm = self._cent_matrix_cache
+            if cm is None or cm[0] != self._topology_gen:
+                pids = np.array(sorted(self._postings), np.int64)
+                cents = (
+                    np.stack([self._metadata[int(p)].centroid for p in pids])
+                    if len(pids)
+                    else np.empty((0, self.dim), np.float32)
+                )
+                cm = (self._topology_gen, pids, cents.astype(np.float32, copy=False))
+                self._cent_matrix_cache = cm
+            return cm
 
     # -- paths -------------------------------------------------------------
 
@@ -260,6 +294,7 @@ class LireStorage:
                 meta = self._metadata[posting_id] = PostingMetadata(
                     version, 1, vector.copy()
                 )
+                self._bump_topology_locked()
             else:
                 meta.version = version
                 meta.vector_count += 1
@@ -311,6 +346,7 @@ class LireStorage:
                     len(p.ids),
                     vectors[0].copy() if len(vectors) else np.zeros(self.dim, np.float32),
                 )
+                self._bump_topology_locked()
             else:
                 meta.version = versions[-1] if versions else meta.version
                 meta.vector_count += len(versions)
@@ -391,6 +427,7 @@ class LireStorage:
                 meta = self._metadata.get(pid)
                 if meta is None:
                     self._metadata[pid] = PostingMetadata(version, 1, vec.copy())
+                    self._bump_topology_locked()
                 else:
                     meta.version = version
                     meta.vector_count += 1
@@ -506,6 +543,7 @@ class LireStorage:
             self._unindex_posting_locked(posting_id)
             self._postings.pop(posting_id, None)
             self._metadata.pop(posting_id, None)
+            self._bump_topology_locked()
             for path in (self._log_path(posting_id), self._meta_path(posting_id)):
                 if os.path.exists(path):
                     os.remove(path)
@@ -557,6 +595,7 @@ class LireStorage:
             self._metadata[posting_id] = PostingMetadata(
                 version, len(p.ids), np.asarray(centroid, np.float32).copy()
             )
+            self._bump_topology_locked()
             self._rewrite_log(posting_id)
             self._save_metadata(posting_id)
 
@@ -622,6 +661,7 @@ class LireStorage:
                 for path in (self._log_path(pid), self._meta_path(pid)):
                     if os.path.exists(path):
                         os.remove(path)
+            self._bump_topology_locked()
             self._clear_journal()
         return True
 
@@ -713,6 +753,7 @@ class LireStorage:
             if meta is None:
                 raise LireStorageError(f"posting {posting_id} does not exist")
             meta.centroid = centroid.copy()
+            self._bump_topology_locked()
             self._save_metadata(posting_id)
 
     # -- persistence -------------------------------------------------------

@@ -181,3 +181,53 @@ def test_store_vectors_batch(tmp_path):
     got_ids, got_vecs, _ = s2.get_posting(3)
     assert len(got_ids) == 51
     np.testing.assert_allclose(got_vecs[:50], vecs)
+
+
+def test_centroid_matrix_cached_across_steady_state_ops(tmp_path):
+    """VERDICT r2 item 6: routing snapshots are cached per TOPOLOGY
+    generation — appends/tombstones to existing postings must not rebuild
+    the O(C) packed matrix; posting creation/retirement and centroid moves
+    must."""
+    storage = LireStorage(str(tmp_path / "s"), 2)
+    for pid in range(5):
+        storage.store_vector(pid, pid, np.array([float(pid), 0.0]))
+    cm1 = storage.centroid_matrix()
+    assert list(cm1[1]) == [0, 1, 2, 3, 4]
+    # Steady-state append + tombstone: same generation, same cached object.
+    storage.store_vector(0, 99, np.array([0.5, 0.5]))
+    storage.mark_deleted(1, 1)
+    assert storage.centroid_matrix() is cm1
+    # Posting creation bumps.
+    storage.store_vector(77, 100, np.array([9.0, 9.0]))
+    cm2 = storage.centroid_matrix()
+    assert cm2 is not cm1 and cm2[0] > cm1[0] and 77 in cm2[1]
+    # Centroid move bumps.
+    storage.update_posting_centroid(0, np.array([5.0, 5.0]))
+    cm3 = storage.centroid_matrix()
+    assert cm3 is not cm2
+    np.testing.assert_array_equal(
+        cm3[2][list(cm3[1]).index(0)], [5.0, 5.0]
+    )
+    # Retirement bumps.
+    storage.delete_posting(77)
+    cm4 = storage.centroid_matrix()
+    assert cm4 is not cm3 and 77 not in cm4[1]
+
+
+def test_protocol_router_uses_cache(tmp_path):
+    """The protocol's routing must not rebuild per call: repeated inserts to
+    existing postings reuse one matrix and the route cache object."""
+    from spfresh_tpu.lire import LireProtocol
+
+    storage = LireStorage(str(tmp_path / "s"), 2)
+    for pid in range(4):
+        storage.store_vector(pid, pid, np.array([float(pid) * 10, 0.0]))
+    proto = LireProtocol(storage)
+    assert proto.find_nearest_partition(np.array([19.0, 0.0])) == 2
+    rc = proto._route_cache
+    for i in range(20):
+        proto.insert(np.array([31.0, 0.0]), 1000 + i, posting_id=3)
+    assert proto._route_cache is rc  # no per-insert rebuild
+    nearby = proto.get_nearby_postings(0, count=2)
+    assert nearby == [1, 2]
+    assert proto._route_cache is rc
