@@ -69,11 +69,18 @@ def bench_size(n: int, dim: int, out_dir: str, reps: int = 3):
     # 0.9-recall point per size, like bench.py, and report QPS there.
     k = 10
     _, gt = brute_force_search(data, queries, k)
-    # Sweep to the 0.9-recall point; the deepest point is capped (full probe
-    # at 1M would gather the whole corpus per query batch) and reported
-    # honestly when unstructured data plateaus below target.
-    cap = min(index.num_clusters, 1024)
-    sweep = [n_ for n_ in (2, 4, 8, 16, 32, 64, 128, 256, 512) if n_ < cap]
+    # Sweep to the 0.9-recall point, all the way to FULL probe (no cap):
+    # the probe-chunked XLA kernel streams the candidate gather in bounded
+    # pieces, so even 1M-scale full probe is feasible — and full probe is
+    # exactly recall 1.0 (standing invariant), so every row reaches its
+    # 0.9 point and the table carries no under-cap asterisks (VERDICT r2
+    # item 10).  Unstructured Gaussian needs large probe fractions at
+    # scale; that is the corpus (no cluster structure), reported as-is.
+    cap = index.num_clusters
+    sweep = [
+        n_ for n_ in (2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 3072)
+        if n_ < cap
+    ]
     best = None
     for nprobe in sweep + [cap]:
         ids, _ = loaded.search(queries, k, nprobe=nprobe)  # warm

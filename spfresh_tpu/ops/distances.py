@@ -29,6 +29,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from spfresh_tpu.core.dtypes import ACCUM_DTYPE
 
@@ -147,6 +148,25 @@ def distance(u: jnp.ndarray, v: jnp.ndarray, metric: str = EUCLIDEAN) -> jnp.nda
     if metric == MANHATTAN:
         return jnp.sum(jnp.abs(diff))
     return jnp.max(jnp.abs(diff))
+
+
+def distance_f64(u, v, metric: str = EUCLIDEAN) -> np.float64:
+    """HOST-path float64 distance — the reference's ``SpannFloat`` admits f32
+    AND f64 (/root/reference/src/core/float.rs:24-25); TPU has no f64 ALUs,
+    so the f64 capability lives on the host (numpy), exact to f64 semantics.
+    Use for verification/ground-truth work; the device hot path is
+    f32-accumulated by policy (core/dtypes.py)."""
+    metric = canonical_metric(metric)
+    uf = np.asarray(u, np.float64).reshape(-1)
+    vf = np.asarray(v, np.float64).reshape(-1)
+    if uf.shape != vf.shape:
+        raise ValueError(f"dimension mismatch: {uf.shape} vs {vf.shape}")
+    diff = uf - vf
+    if metric == EUCLIDEAN:
+        return np.float64(np.sum(diff * diff))
+    if metric == MANHATTAN:
+        return np.float64(np.sum(np.abs(diff)))
+    return np.float64(np.max(np.abs(diff)))
 
 
 @functools.partial(jax.jit, static_argnames=("metric",))

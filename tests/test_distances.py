@@ -101,3 +101,23 @@ def test_canonical_metric_rejects_unknown():
     with pytest.raises(ValueError):
         canonical_metric("Cosine")
     assert canonical_metric("euclidean") == EUCLIDEAN
+
+
+def test_distance_f64_host_path():
+    """f64 parity capability (reference SpannFloat admits f64,
+    core/float.rs:24-25): exact float64 semantics on the host; see the
+    COMPONENTS.md decision for why the device path stays f32/bf16."""
+    from spfresh_tpu.ops.distances import distance_f64
+
+    u = np.array([1.0, 2.0, 3.0], np.float64)
+    v = np.array([4.0, 6.0, 3.0], np.float64)
+    assert distance_f64(u, v) == 25.0
+    assert distance_f64(u, v, "Manhattan") == 7.0
+    assert distance_f64(u, v, "Chebyshev") == 4.0
+    assert isinstance(distance_f64(u, v), np.float64)
+    # f64 precision actually preserved (would be lost in f32).
+    a = np.array([1e9, 0.0])
+    b = np.array([1e9 + 1.0, 0.0])
+    assert distance_f64(a, b) == 1.0
+    with pytest.raises(ValueError):
+        distance_f64(u, v[:2])
