@@ -58,6 +58,12 @@ class Config:
     rng_seed: Optional[int] = None
     replication: str = "final"  # "final" (SPANN replica pass) | "nested" (reference parity)
     max_replicas: int = 8
+    # Closure-replica knobs (the replication/recall/HBM frontier — see the
+    # RESULTS.md sweep): a point replicates into cluster j only when
+    # d(p, c_j) < boundary_threshold * d(p, c_base), and a cluster accepts
+    # replicas only up to ceil(replica_overflow * cap) total members.
+    boundary_threshold: float = 1.1
+    replica_overflow: float = 1.25
     max_split_ways: int = 8  # children per subdivision round (2 = binary parity)
     storage_dtype: str = "float32"  # or "bfloat16" for HBM-lean indexes
     search: SearchConfig = dataclasses.field(default_factory=SearchConfig)
@@ -79,6 +85,8 @@ class Config:
             rng_seed=cp.get("rng_seed"),
             replication=cp.get("replication", "final"),
             max_replicas=int(cp.get("max_replicas", 8)),
+            boundary_threshold=float(cp.get("boundary_threshold", 1.1)),
+            replica_overflow=float(cp.get("replica_overflow", 1.25)),
             max_split_ways=int(cp.get("max_split_ways", 8)),
             storage_dtype=raw.get("storage_dtype", "float32"),
             search=SearchConfig(
@@ -123,6 +131,8 @@ class Config:
             rng_seed=self.rng_seed,
             replication=self.replication,
             max_replicas=self.max_replicas,
+            boundary_threshold=self.boundary_threshold,
+            replica_overflow=self.replica_overflow,
             max_split_ways=self.max_split_ways,
             # bf16-storage indexes also ship the BUILD corpus over the wire
             # in bf16 (the index serves bf16-rounded vectors either way);
@@ -142,6 +152,8 @@ class Config:
                 "rng_seed": self.rng_seed,
                 "replication": self.replication,
                 "max_replicas": self.max_replicas,
+                "boundary_threshold": self.boundary_threshold,
+                "replica_overflow": self.replica_overflow,
                 "max_split_ways": self.max_split_ways,
             },
             "output_path": self.output_path,

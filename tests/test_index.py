@@ -38,6 +38,35 @@ def test_config_defaults_and_validation(tmp_path):
     assert params.desired_cluster_size is None  # builder supplies 0.18n
 
 
+def test_config_replication_knobs_reach_build(rng):
+    """boundary_threshold / replica_overflow flow Config -> ClusteringParams ->
+    build, and a wider boundary stores strictly more replicas.  (bt=1.0 does
+    NOT force zero replicas: the base cluster comes from the hierarchical
+    assignment, and a different final medoid can be strictly nearer.)"""
+    base = {"clustering_params": {"initial_k": 4, "rng_seed": 7,
+                                  "boundary_threshold": 1.0,
+                                  "replica_overflow": 1.5}}
+    cfg = Config.from_dict(base)
+    assert cfg.boundary_threshold == 1.0 and cfg.replica_overflow == 1.5
+    p = cfg.to_clustering_params()
+    assert p.boundary_threshold == 1.0 and p.replica_overflow == 1.5
+    cfg2 = Config.from_dict(cfg.to_dict())
+    assert cfg2.boundary_threshold == 1.0 and cfg2.replica_overflow == 1.5
+
+    n, d = 600, 8
+    centers = rng.normal(size=(6, d)).astype(np.float32) * 4.0
+    data = (centers[rng.integers(0, 6, size=n)]
+            + rng.normal(size=(n, d)).astype(np.float32) * 0.3)
+    idx_tight = SpannIndexBuilder(cfg).with_data(data).build()
+    assert idx_tight.num_vectors >= n
+
+    cfg_wide = Config.from_dict(
+        {"clustering_params": {"initial_k": 4, "rng_seed": 7,
+                               "boundary_threshold": 1.4}})
+    idx_wide = SpannIndexBuilder(cfg_wide).with_data(data).build()
+    assert idx_wide.num_vectors > idx_tight.num_vectors
+
+
 @pytest.mark.parametrize(
     "bad",
     [
