@@ -72,6 +72,13 @@ def main():
                          "bit-identical to the single-device path (tested); "
                          "an S-chip mesh shards the build's hot-loop FLOPs "
                          "and dispatches S ways")
+    ap.add_argument("--max-replicas", type=int, default=None,
+                    help="closure-replica cap per point (default: Config's)")
+    ap.add_argument("--boundary-threshold", type=float, default=None,
+                    help="replica admission d(p,c_j) < bt * d(p,c_base) "
+                         "(default: Config's)")
+    ap.add_argument("--replica-overflow", type=float, default=None,
+                    help="posting replica headroom factor (default: Config's)")
     ap.add_argument("--latent-dim", type=int, default=None,
                     help="draw the corpus on an L-dimensional linear manifold "
                          "embedded in --dim (plus 1%% ambient noise).  Real "
@@ -146,6 +153,15 @@ def main():
     )
     log(f"corpus hardness: LID(median)={np.median(lid):.1f} spread={spread}")
 
+    rep_knobs = {
+        k: v
+        for k, v in (
+            ("max_replicas", args.max_replicas),
+            ("boundary_threshold", args.boundary_threshold),
+            ("replica_overflow", args.replica_overflow),
+        )
+        if v is not None
+    }
     cfg = Config.from_dict(
         {
             "clustering_params": {
@@ -154,6 +170,7 @@ def main():
                 "initial_k": args.initial_k,
                 "desired_cluster_size": args.cluster_size,
                 "rng_seed": 42,
+                **rep_knobs,
             },
             "output_path": "/tmp/spann_bench_idx",
             "storage_dtype": args.storage_dtype,

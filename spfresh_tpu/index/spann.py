@@ -797,6 +797,19 @@ class SpannIndex:
 
     # -- device view -------------------------------------------------------
 
+    def drop_device_views(self) -> None:
+        """Release all device-resident caches (CSR view, padded slab view,
+        build-corpus cache).  Host posting state is untouched; the next
+        search repacks.  Use when an index is done serving (e.g. benchmark
+        loops building many indexes) to return its HBM before the next
+        allocation."""
+        self._view = None
+        self._padded_view = None
+        self._view_gen = -1
+        self._padded_gen = -1
+        self._corpus_cache = None
+        self._flat_cache = None
+
     def device_view(self) -> DeviceView:
         if self._view is not None and self._view_gen == self._gen:
             return self._view
