@@ -57,11 +57,14 @@ class Config:
     desired_cluster_size: Optional[int] = None  # None -> round(0.18 * n)
     rng_seed: Optional[int] = None
     replication: str = "final"  # "final" (SPANN replica pass) | "nested" (reference parity)
-    max_replicas: int = 8
     # Closure-replica knobs (the replication/recall/HBM frontier — see the
     # RESULTS.md sweep): a point replicates into cluster j only when
     # d(p, c_j) < boundary_threshold * d(p, c_base), and a cluster accepts
     # replicas only up to ceil(replica_overflow * cap) total members.
+    # max_replicas=4 is the measured frontier point: the r3 sweep (RESULTS.md)
+    # shows x2.6 stored (vs x3.2 at 8) holds recall 0.915 @ nprobe=8 on the
+    # 1M bench with equal-or-better QPS; published SPANN configs sit ~x1.5-2.
+    max_replicas: int = 4
     boundary_threshold: float = 1.1
     replica_overflow: float = 1.25
     max_split_ways: int = 8  # children per subdivision round (2 = binary parity)
@@ -84,7 +87,7 @@ class Config:
             desired_cluster_size=cp.get("desired_cluster_size"),
             rng_seed=cp.get("rng_seed"),
             replication=cp.get("replication", "final"),
-            max_replicas=int(cp.get("max_replicas", 8)),
+            max_replicas=int(cp.get("max_replicas", 4)),
             boundary_threshold=float(cp.get("boundary_threshold", 1.1)),
             replica_overflow=float(cp.get("replica_overflow", 1.25)),
             max_split_ways=int(cp.get("max_split_ways", 8)),
