@@ -92,7 +92,9 @@ class ClusteringParams:
     rng_seed: Optional[int] = None
     boundary_threshold: float = BOUNDARY_THRESHOLD
     replication: str = "final"
-    max_replicas: int = 8
+    # 4 = the measured replication frontier point (RESULTS.md r3 sweep);
+    # mirrors Config's default.
+    max_replicas: int = 4
     # Posting-length ceiling under 'final' replication: a cluster accepts
     # replicas only up to ceil(replica_overflow * cap) total members (closest
     # replicas win).  Keeps the padded search layout tight — without it,

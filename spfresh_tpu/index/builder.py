@@ -83,6 +83,8 @@ class SpannIndexBuilder:
         params = self.config.to_clustering_params()
         if params.desired_cluster_size is None:
             params.desired_cluster_size = max(1, int(round(0.18 * n)))
+        if self.config.build_sample_rows is not None:
+            return self._build_outofcore(params, save)
         log.info(
             "building SPANN index: n=%d d=%d k=%d cap=%d metric=%s mesh=%s",
             n, d, params.initial_k, params.desired_cluster_size, params.metric,
@@ -118,6 +120,51 @@ class SpannIndexBuilder:
         # The device view (centroid index, build_kdtree parity) materializes
         # lazily on first search, in the layout the search engine needs —
         # eagerly building both CSR and slab views would double the upload.
+        if save:
+            index.save(self.config.output_path)
+        return index
+
+    def _build_outofcore(self, params, save: bool) -> SpannIndex:
+        """Out-of-core build: host-resident corpus, streamed device tiles
+        (clustering/outofcore.py).  Single-device by design — the mesh build
+        already shards the corpus n/S per chip; out-of-core is the
+        one-chip/corpus-larger-than-HBM axis."""
+        if self.mesh is not None:
+            raise ValueError(
+                "build_sample_rows (out-of-core) and mesh builds are "
+                "mutually exclusive; the mesh build already row-shards the "
+                "corpus across chips"
+            )
+        from spfresh_tpu.clustering.outofcore import (
+            DEFAULT_TILE_ROWS,
+            fit_outofcore,
+        )
+        from spfresh_tpu.utils import PhaseTimer
+
+        n, d = self.data.shape
+        log.info(
+            "building SPANN index OUT-OF-CORE: n=%d d=%d sample=%d tile=%d",
+            n, d, self.config.build_sample_rows,
+            self.config.build_tile_rows or DEFAULT_TILE_ROWS,
+        )
+        timer = PhaseTimer()
+        result = fit_outofcore(
+            params,
+            self.data,
+            self.config.build_sample_rows,
+            tile_rows=self.config.build_tile_rows or DEFAULT_TILE_ROWS,
+            timer=timer,
+        )
+        index = SpannIndex(self.config)
+        index.build_profile = {
+            name: round(total, 3) for name, total, _ in timer.totals()
+        }
+        # Host-lazy postings: member vectors materialize from the host
+        # corpus only when a save/update touches them — the index never
+        # holds a stored-x copy of a corpus that may not fit in RAM twice.
+        index.create_posting_lists(
+            result.clusters, self.data, corpus_dev=None, lazy_host=True
+        )
         if save:
             index.save(self.config.output_path)
         return index

@@ -69,6 +69,13 @@ class Config:
     replica_overflow: float = 1.25
     max_split_ways: int = 8  # children per subdivision round (2 = binary parity)
     storage_dtype: str = "float32"  # or "bfloat16" for HBM-lean indexes
+    # Out-of-core build (clustering/outofcore.py): when set, the corpus
+    # stays host-resident (ndarray/np.memmap) — centroids are learned on a
+    # ``build_sample_rows`` seeded sample and the corpus streams through the
+    # device in ``build_tile_rows`` tiles.  Enables building indexes whose
+    # corpus exceeds HBM (the reference can only SEARCH such corpora).
+    build_sample_rows: Optional[int] = None
+    build_tile_rows: Optional[int] = None
     search: SearchConfig = dataclasses.field(default_factory=SearchConfig)
 
     # -- constructors ------------------------------------------------------
@@ -92,6 +99,16 @@ class Config:
             replica_overflow=float(cp.get("replica_overflow", 1.25)),
             max_split_ways=int(cp.get("max_split_ways", 8)),
             storage_dtype=raw.get("storage_dtype", "float32"),
+            build_sample_rows=(
+                int(raw["build_sample_rows"])
+                if raw.get("build_sample_rows") is not None
+                else None
+            ),
+            build_tile_rows=(
+                int(raw["build_tile_rows"])
+                if raw.get("build_tile_rows") is not None
+                else None
+            ),
             search=SearchConfig(
                 nprobe=sc.get("nprobe"),
                 prune_factor=sc.get("prune_factor"),
@@ -122,6 +139,10 @@ class Config:
             raise ValueError("desired_cluster_size must be greater than 0")
         if self.storage_dtype not in ("float32", "bfloat16"):
             raise ValueError("storage_dtype must be 'float32' or 'bfloat16'")
+        if self.build_sample_rows is not None and self.build_sample_rows <= 0:
+            raise ValueError("build_sample_rows must be greater than 0")
+        if self.build_tile_rows is not None and self.build_tile_rows <= 0:
+            raise ValueError("build_tile_rows must be greater than 0")
         self.search.validate()
 
     def to_clustering_params(self) -> ClusteringParams:
@@ -162,6 +183,8 @@ class Config:
             "output_path": self.output_path,
             "data_file": self.data_file,
             "storage_dtype": self.storage_dtype,
+            "build_sample_rows": self.build_sample_rows,
+            "build_tile_rows": self.build_tile_rows,
             "search": {
                 "nprobe": self.search.nprobe,
                 "prune_factor": self.search.prune_factor,

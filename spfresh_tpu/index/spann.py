@@ -704,7 +704,10 @@ class SpannIndex:
 
     # -- construction ------------------------------------------------------
 
-    def create_posting_lists(self, clusters, data: np.ndarray, corpus_dev=None) -> None:
+    def create_posting_lists(
+        self, clusters, data: np.ndarray, corpus_dev=None,
+        lazy_host: bool = False,
+    ) -> None:
         """From fitted clusters (create_posting_lists, spann_index.rs:56-84).
         One bulk gather + split instead of a per-cluster copy loop (the loop
         costs ~10 s at 12k clusters on a 1-core host).
@@ -712,7 +715,11 @@ class SpannIndex:
         ``corpus_dev``: the clustering phase's device-resident corpus.  When
         given, the first device view gathers member vectors from it ON-CHIP
         instead of re-uploading them from the host (the dominant build cost
-        over a slow host link)."""
+        over a slow host link).
+
+        ``lazy_host``: keep member vectors as lazy views over the HOST
+        corpus even without a device corpus (out-of-core builds: the corpus
+        may not fit in RAM twice, let alone HBM)."""
         data = np.asarray(data, dtype=np.float32)
         self.dim = data.shape[1]
         all_ids = np.concatenate([np.asarray(c.points, np.int64) for c in clusters])             if clusters else np.empty(0, np.int64)
@@ -724,7 +731,7 @@ class SpannIndex:
         # When the first view will pack from the device-resident corpus,
         # nothing host-side reads the member vectors — defer the ~GB host
         # gather (point id == corpus row in a bulk build) to first touch.
-        lazy = fresh and corpus_ok
+        lazy = fresh and (corpus_ok or lazy_host)
         all_vecs = _LazyMemberVecs(data, all_ids) if lazy else data[all_ids]
         pos = 0
         for c in clusters:
