@@ -79,6 +79,12 @@ def main():
                          "(default: Config's)")
     ap.add_argument("--replica-overflow", type=float, default=None,
                     help="posting replica headroom factor (default: Config's)")
+    ap.add_argument("--query-wire", default=None, choices=["float32", "bfloat16"],
+                    help="bfloat16 ships query batches over the link in bf16 "
+                         "(upcast on device) — halves the per-batch query "
+                         "upload, the measured QPS bottleneck through the "
+                         "tunnel; queries carry bf16 rounding.  Default: "
+                         "exact f32 wire")
     ap.add_argument("--latent-dim", type=int, default=None,
                     help="draw the corpus on an L-dimensional linear manifold "
                          "embedded in --dim (plus 1%% ambient noise).  Real "
@@ -174,7 +180,8 @@ def main():
             },
             "output_path": "/tmp/spann_bench_idx",
             "storage_dtype": args.storage_dtype,
-            "search": {"query_batch_size": args.batch},
+            "search": {"query_batch_size": args.batch,
+                       "query_wire": args.query_wire},
         }
     )
     # Link weather BEFORE the timed region: every recorded number carries
@@ -318,6 +325,7 @@ def main():
                 # both reported) and device/host engine seconds — the
                 # weather-robust number the <60 s target judges.
                 "recall": round(float(rec), 4),
+                "query_wire": args.query_wire or "float32",
                 "nprobe": int(nprobe),
                 "clusters": int(index.num_clusters),
                 "stored_x": round(index.num_vectors / n, 2),

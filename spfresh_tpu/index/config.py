@@ -31,8 +31,19 @@ class SearchConfig:
     # device view in place instead of forcing a full repack the moment the
     # largest posting grows by one.
     slab_growth_slots: int = 16
+    # "bfloat16" ships query batches over the host->device link in bf16
+    # (upcast to f32 on device before any kernel math).  Halves the
+    # per-batch query upload — the measured QPS bottleneck on slow links
+    # (2 MB / 4096 queries at 128-d vs ~60 ms of device work).  Queries are
+    # bf16-rounded, so results can differ from the f32 wire in near-ties;
+    # None (default) keeps the exact f32 wire.
+    query_wire: Optional[str] = None
 
     def validate(self) -> None:
+        if self.query_wire not in (None, "float32", "bfloat16"):
+            raise ValueError(
+                "search.query_wire must be None, 'float32', or 'bfloat16'"
+            )
         if self.slab_growth_slots < 0:
             raise ValueError("search.slab_growth_slots must be >= 0")
         if self.nprobe is not None and self.nprobe <= 0:
@@ -115,6 +126,7 @@ class Config:
                 query_batch_size=int(sc.get("query_batch_size", 4096)),
                 engine=sc.get("engine", "auto"),
                 slab_growth_slots=int(sc.get("slab_growth_slots", 16)),
+                query_wire=sc.get("query_wire"),
             ),
         )
         cfg.validate()
@@ -191,6 +203,7 @@ class Config:
                 "query_batch_size": self.search.query_batch_size,
                 "engine": self.search.engine,
                 "slab_growth_slots": self.search.slab_growth_slots,
+                "query_wire": self.search.query_wire,
             },
         }
 

@@ -1234,6 +1234,16 @@ class SpannIndex:
             )
             if vmem_need > (9 << 20):
                 engine = "xla"
+        # Optional bf16 query wire: halves the per-batch upload (the QPS
+        # bottleneck on slow links); kernels upcast to f32 on device, so
+        # only the query coordinates carry bf16 rounding.
+        if self.config.search.query_wire == "bfloat16":
+            import ml_dtypes
+
+            def _stage(a):
+                return jnp.asarray(np.asarray(a).astype(ml_dtypes.bfloat16))
+        else:
+            _stage = jnp.asarray
         out_i, out_d = [], []
         if engine == "pallas":
             view = self.padded_view()
@@ -1244,7 +1254,7 @@ class SpannIndex:
             qpad[:, : self.dim] = queries
             for s in range(0, queries.shape[0], bs):
                 qi, qd = _search_kernel_padded(
-                    jnp.asarray(qpad[s : s + bs]),
+                    _stage(qpad[s : s + bs]),
                     view.centroids,
                     view.cent_valid,
                     view.lens,
@@ -1273,7 +1283,7 @@ class SpannIndex:
             if pc < nprobe:
                 for s in range(0, queries.shape[0], bs):
                     qi, qd = _search_kernel_probe_chunked(
-                        jnp.asarray(queries[s : s + bs]),
+                        _stage(queries[s : s + bs]),
                         view.centroids,
                         view.cent_valid,
                         view.offsets,
@@ -1297,7 +1307,7 @@ class SpannIndex:
                 )
             for s in range(0, queries.shape[0], bs):
                 qi, qd = _search_kernel(
-                    jnp.asarray(queries[s : s + bs]),
+                    _stage(queries[s : s + bs]),
                     view.centroids,
                     view.cent_valid,
                     view.offsets,

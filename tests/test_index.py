@@ -440,6 +440,33 @@ def test_bf16_wire_build_deterministic_and_exact_on_rounded_corpus(tmp_path, rng
     assert rec == 1.0
 
 
+def test_bf16_query_wire_matches_rounded_f32_wire(tmp_path, rng):
+    """search.query_wire="bfloat16" halves the per-batch query upload; the
+    kernels upcast on device, so it must be EXACTLY the f32 wire evaluated
+    at bf16-rounded query coordinates — on both engines."""
+    import ml_dtypes
+
+    data = rng.standard_normal((200, 16)).astype(np.float32)
+    base = _toy_config(tmp_path, clustering_params={"desired_cluster_size": 40})
+    wire = Config.from_dict(
+        {**base.to_dict(), "search": {"query_wire": "bfloat16"}}
+    )
+    assert wire.search.query_wire == "bfloat16"  # survives dict roundtrip
+    i_plain = SpannIndexBuilder(base).with_data(data).build(save=False)
+    i_wire = SpannIndexBuilder(wire).with_data(data).build(save=False)
+    q = rng.standard_normal((6, 16)).astype(np.float32)
+    q_rounded = q.astype(ml_dtypes.bfloat16).astype(np.float32)
+    for engine in ("xla", "pallas"):
+        ids_w, d_w = i_wire.search(q, k=5, nprobe=i_wire.num_clusters, engine=engine)
+        ids_r, d_r = i_plain.search(
+            q_rounded, k=5, nprobe=i_plain.num_clusters, engine=engine
+        )
+        np.testing.assert_array_equal(ids_w, ids_r)
+        np.testing.assert_allclose(d_w, d_r, rtol=1e-6)
+    with pytest.raises(ValueError):
+        Config.from_dict({**base.to_dict(), "search": {"query_wire": "fp8"}})
+
+
 def test_vmem_guard_does_not_materialize_padded_view(tmp_path, rng):
     """The Pallas VMEM guard must decide pallas-vs-xla from HOST metadata:
     deciding by packing the padded view and then falling back to xla left
