@@ -79,12 +79,15 @@ def main():
                          "(default: Config's)")
     ap.add_argument("--replica-overflow", type=float, default=None,
                     help="posting replica headroom factor (default: Config's)")
-    ap.add_argument("--query-wire", default=None, choices=["float32", "bfloat16"],
-                    help="bfloat16 ships query batches over the link in bf16 "
-                         "(upcast on device) — halves the per-batch query "
-                         "upload, the measured QPS bottleneck through the "
-                         "tunnel; queries carry bf16 rounding.  Default: "
-                         "exact f32 wire")
+    ap.add_argument("--query-wire", default="bfloat16",
+                    choices=["float32", "bfloat16"],
+                    help="bfloat16 (default) ships query batches over the "
+                         "link in bf16 (upcast on device) — halves the "
+                         "per-batch query upload, the measured QPS "
+                         "bottleneck through the tunnel; queries carry bf16 "
+                         "rounding (measured recall cost 0.0006 at the 1M "
+                         "operating point; the JSON reports the actual "
+                         "recall).  float32 = exact wire")
     ap.add_argument("--latent-dim", type=int, default=None,
                     help="draw the corpus on an L-dimensional linear manifold "
                          "embedded in --dim (plus 1%% ambient noise).  Real "
