@@ -72,6 +72,9 @@ def main():
                          "bit-identical to the single-device path (tested); "
                          "an S-chip mesh shards the build's hot-loop FLOPs "
                          "and dispatches S ways")
+    ap.add_argument("--max-split-ways", type=int, default=None,
+                    help="children per subdivision round (default: Config's "
+                         "8; 16 halves the big-level count at 1M scale)")
     ap.add_argument("--max-replicas", type=int, default=None,
                     help="closure-replica cap per point (default: Config's)")
     ap.add_argument("--boundary-threshold", type=float, default=None,
@@ -168,6 +171,7 @@ def main():
             ("max_replicas", args.max_replicas),
             ("boundary_threshold", args.boundary_threshold),
             ("replica_overflow", args.replica_overflow),
+            ("max_split_ways", args.max_split_ways),
         )
         if v is not None
     }
@@ -301,6 +305,22 @@ def main():
         )
     cal_post = calibrate()
     log(f"tunnel (post-sweep): {cal_post}")
+    # Engine QPS: the serving wall through the tunnel pays a per-batch query
+    # upload + result pull that direct-attached hardware would not.  Subtract
+    # the link seconds implied by the measured post-sweep bandwidth (bytes
+    # are exact: wire dtype x nq x dim up, k ids + dists down) to get the
+    # weather-robust engine throughput — same decomposition as the build.
+    wire_itemsize = 2 if args.query_wire == "bfloat16" else 4
+    q_mb = nq * args.dim * wire_itemsize / 2**20
+    out_mb = nq * args.k * (8 + 4) / 2**20
+    link_s = (
+        q_mb / max(cal_post["h2d_mbps"], 1e-9)
+        + out_mb / max(cal_post["d2h_mbps"], 1e-9)
+    )
+    engine_s = max(nq / max(qps, 1e-9) - link_s, 1e-9)
+    qps_engine = nq / engine_s
+    log(f"engine qps (wall minus {link_s * 1e3:.0f} ms/batch measured link): "
+        f"{qps_engine:,.0f}")
     log(
         f"RESULT nprobe={nprobe} ({nprobe / index.num_clusters:.3%} of lists) "
         f"recall={rec:.4f} qps={qps:,.0f} "
@@ -329,6 +349,8 @@ def main():
                 # weather-robust number the <60 s target judges.
                 "recall": round(float(rec), 4),
                 "query_wire": args.query_wire or "float32",
+                "qps_engine": round(qps_engine, 1),
+                "query_link_ms_per_batch": round(link_s * 1e3, 1),
                 "nprobe": int(nprobe),
                 "clusters": int(index.num_clusters),
                 "stored_x": round(index.num_vectors / n, 2),

@@ -220,7 +220,7 @@ def _final_replica_pass(X_tile, base_tile, cents, metric: str, boundary_threshol
 
 @functools.partial(jax.jit, static_argnames=("metric", "num_segments", "m_ways"))
 def _split_level_multiway(
-    X, point_list, cluster_of, valid, c1_idx, seed_valid, metric: str,
+    X, point_list, cluster_of, p_count, c1_idx, seed_valid, metric: str,
     num_segments: int, m_ways: int,
 ):
     """Batched M-WAY split of every oversized cluster at a level.
@@ -238,14 +238,18 @@ def _split_level_multiway(
     reference's fold semantics).
 
     seed_valid (S, m_ways) masks how many children each cluster actually
-    wants (clusters near the cap need only 2).  Returns (assign (P,) int32
-    child index, seeds (S, m_ways) int32 dataset rows, counts (S, m_ways)
-    member counts, d1 (P,) distances to seed 0 for the host-side balanced
-    fallback)."""
+    wants (clusters near the cap need only 2).  ``p_count`` is the number
+    of real (non-padding) rows at the front of the member tables — a
+    device scalar, replacing the 1 MB/level bool-table upload.  Returns
+    (assign (P,) int8 child index, seeds (S, m_ways) int32 dataset rows,
+    counts (S, m_ways) member counts, d1 (P,) distances to seed 0 for the
+    host-side balanced fallback)."""
     P = point_list.shape[0]
     S = num_segments
+    cluster_of = cluster_of.astype(jnp.int32)  # int16 on the wire when S<=32k
     pts = X[point_list]  # (P, d)
     pos = jnp.arange(P, dtype=jnp.int32)
+    valid = pos < p_count
 
     seeds = jnp.zeros((S, m_ways), jnp.int32)
     seeds = seeds.at[:, 0].set(c1_idx.astype(jnp.int32))
@@ -278,7 +282,8 @@ def _split_level_multiway(
     counts = jax.ops.segment_sum(
         ones, cluster_of * m_ways + best_j, num_segments=S * m_ways
     ).reshape(S, m_ways)
-    return best_j, seeds, counts, d1
+    # int8 assign quarters the per-level pull (m_ways <= 127 structurally).
+    return best_j.astype(jnp.int8), seeds, counts, d1
 
 
 def _np_rowdist(a: np.ndarray, b: np.ndarray, metric: str) -> np.ndarray:
@@ -858,11 +863,12 @@ class HierarchicalClustering:
                 Ppad = next_pow2(P)
                 S = next_pow2(nm)
                 point_list = np.zeros(Ppad, np.int32)
-                cluster_of = np.zeros(Ppad, np.int32)
-                valid = np.zeros(Ppad, bool)
+                # int16 wire when the segment count allows: halves the
+                # cluster-table upload (values < S; the kernel upcasts).
+                co_dtype = np.int16 if S <= (1 << 15) else np.int32
+                cluster_of = np.zeros(Ppad, co_dtype)
                 flat_members = np.concatenate(members)
                 point_list[:P] = flat_members
-                valid[:P] = True
                 cluster_of_np = np.repeat(np.arange(nm, dtype=np.int32), lens)
                 cluster_of[:P] = cluster_of_np
                 seed_valid = np.zeros((S, M), bool)
@@ -915,17 +921,21 @@ class HierarchicalClustering:
                 continue
             with _p("subdiv/upload"):
                 if self.mesh is None:
-                    # Member tables cost ~9 MB/level at 1M scale — account
-                    # them as link time, not kernel time.
+                    # Member tables cost ~6 MB/level at 1M scale — account
+                    # them as link time, not kernel time.  (The former 1 MB
+                    # bool valid table is now a device scalar; cluster_of
+                    # rides int16.)
                     pl_dev = timed_put(point_list)
                     co_dev = timed_put(cluster_of)
-                    valid_dev = timed_put(valid)
             with _p("subdiv/kernel", block=True):
                 if self.mesh is not None:
                     from spfresh_tpu.parallel.build import sharded_split_level
 
+                    valid = np.zeros(Ppad, bool)
+                    valid[:P] = True
                     assign, seeds, counts, d1 = sharded_split_level(
-                        self.mesh, self.data, point_list, cluster_of, valid,
+                        self.mesh, self.data, point_list,
+                        cluster_of.astype(np.int32), valid,
                         c1_idx, seed_valid, self.params.metric,
                         num_segments=S, m_ways=M,
                     )
@@ -934,7 +944,7 @@ class HierarchicalClustering:
                         self.data,
                         pl_dev,
                         co_dev,
-                        valid_dev,
+                        jnp.int32(P),
                         jnp.asarray(c1_idx),
                         jnp.asarray(seed_valid),
                         self.params.metric,

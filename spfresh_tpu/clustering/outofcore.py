@@ -56,12 +56,18 @@ from spfresh_tpu.ops.topk import smallest_k
 
 __all__ = ["fit_outofcore", "OutOfCoreResult", "DEFAULT_TILE_ROWS"]
 
-# Device tile default: 64k rows x 128-d f32 = 32 MB per staged tile; with
-# the centroid chunk below, per-dispatch HBM scratch is bounded by two
-# (tile, chunk) f32 blocks (~4 GB at the defaults) regardless of corpus or
-# centroid count.
+# Device tile default: 64k rows x 128-d f32 = 32 MB per staged tile; the
+# adaptive centroid chunk (see _ENTRY_BUDGET) bounds per-dispatch HBM
+# scratch regardless of corpus size, centroid count, or caller tile_rows.
 DEFAULT_TILE_ROWS = 65_536
 _CENT_CHUNK = 8_192
+# Per-dispatch scratch guard: the streamed kernels hold a handful of
+# (tile, chunk) f32/s32 temporaries live at once (distances, eligibility,
+# running-k concatenations).  The centroid chunk adapts so tile*chunk stays
+# under this many entries (~0.5 GB per temp, ~3 GB per dispatch worst case)
+# no matter how large a caller's tile_rows is — a 262k-row tile at the
+# fixed 8k chunk built 8 GB temps and OOMed a 16 GB chip at 20M x 96.
+_ENTRY_BUDGET = 1 << 27
 # Host rebalance gathers at most this many member rows per level batch.
 _HOST_SPLIT_BATCH_ROWS = 1 << 22
 
@@ -283,7 +289,8 @@ def _stream_base(
     data, cents_np, metric, tile_rows, wire, timed_put, timed_pull
 ):
     n = data.shape[0]
-    cents_p, chunk = _pad_cents(cents_np, _CENT_CHUNK)
+    chunk_cap = max(512, _ENTRY_BUDGET // max(tile_rows, 1))
+    cents_p, chunk = _pad_cents(cents_np, min(_CENT_CHUNK, chunk_cap))
     C = cents_np.shape[0]
     cents_dev = timed_put(cents_p).astype(ACCUM_DTYPE)
     base = np.empty(n, np.int32)
@@ -443,7 +450,8 @@ def _stream_replicas(
     timed_pull,
 ):
     n = data.shape[0]
-    cents_p, chunk = _pad_cents(cents_np, _CENT_CHUNK)
+    chunk_cap = max(512, _ENTRY_BUDGET // max(tile_rows, 1))
+    cents_p, chunk = _pad_cents(cents_np, min(_CENT_CHUNK, chunk_cap))
     C = cents_np.shape[0]
     cents_dev = timed_put(cents_p).astype(ACCUM_DTYPE)
     bt = np.float32(params.boundary_threshold)

@@ -95,6 +95,25 @@ def test_deterministic_and_memmap(tmp_path):
         assert np.array_equal(a.centroids[c], b.centroids[c])
 
 
+def test_tile_size_does_not_change_results(tmp_path, monkeypatch):
+    """The adaptive centroid chunk (_ENTRY_BUDGET scratch guard) must be
+    output-invariant: a huge caller tile (small chunk) and the default tile
+    produce identical clusters.  Guards the 20M x 96 OOM fix — a 262k-row
+    tile at the fixed 8k chunk built 8 GB per-dispatch temps."""
+    import spfresh_tpu.clustering.outofcore as oc
+
+    data, _ = _corpus(n=6000)
+    a = SpannIndexBuilder(_cfg(tmp_path)).with_data(data).build(save=False)
+    # Force the guard to bite: big tile + tiny budget => minimum chunk.
+    monkeypatch.setattr(oc, "_ENTRY_BUDGET", 1 << 12)
+    big = _cfg(tmp_path, build_tile_rows=6000)
+    b = SpannIndexBuilder(big).with_data(data).build(save=False)
+    assert sorted(a.postings) == sorted(b.postings)
+    for c in a.postings:
+        assert np.array_equal(a.postings[c][0], b.postings[c][0])
+        assert np.array_equal(a.centroids[c], b.centroids[c])
+
+
 def test_upload_bound(tmp_path, monkeypatch):
     """No single host->device transfer exceeds one tile (+ the centroid
     matrix): the corpus never rides to the device whole."""

@@ -50,7 +50,7 @@ def test_sharded_split_level_matches_single_device(rng):
     Xj = jnp.asarray(X)
     a1, s1, c1, d1 = _split_level_multiway(
         Xj, jnp.asarray(point_list), jnp.asarray(cluster_of),
-        jnp.asarray(valid), jnp.asarray(c1_idx), jnp.asarray(seed_valid),
+        jnp.int32(n), jnp.asarray(c1_idx), jnp.asarray(seed_valid),
         "Euclidean", num_segments=S, m_ways=M,
     )
     mesh = _mesh()
@@ -321,7 +321,7 @@ def test_rowsharded_split_level_matches_single_device(rng):
     from spfresh_tpu.clustering.hierarchical import _split_level_multiway
 
     a1, s1, c1, d1 = _split_level_multiway(
-        jnp.asarray(X), jnp.asarray(pl), jnp.asarray(co), jnp.asarray(vl),
+        jnp.asarray(X), jnp.asarray(pl), jnp.asarray(co), jnp.int32(P),
         jnp.asarray(c1_idx), jnp.asarray(seed_valid), "Euclidean",
         num_segments=S, m_ways=M,
     )
