@@ -71,16 +71,73 @@ def _rerank_staged(queries, staged_vecs, staged_ids, staged_lens, inv, cent_d,
     return jnp.where(jnp.isfinite(vals), out_ids, -1), vals
 
 
+def _apply_patches(vecs, ids, lens, pids, patches, pad: int, dim: int):
+    """Overwrite staged base slabs with the live-update overlay: tombstoned
+    entries drop, appended vectors extend the tail, split/merge successor
+    postings (no base rows) replace the whole slab.  Host-side, touches only
+    the batch's patched rows."""
+    if not vecs.flags.writeable:
+        vecs = vecs.copy()
+    if not ids.flags.writeable:
+        ids = ids.copy()
+    if not lens.flags.writeable:
+        lens = lens.copy()
+    for j, pid in enumerate(pids):
+        p = patches.get(int(pid))
+        if p is None:
+            continue
+        mode, payload = p
+        if mode == "replace":
+            nids, nvecs = payload
+            n = min(len(nids), pad)
+            vecs[j] = 0
+            ids[j] = -1
+            if n:
+                vecs[j, :n] = nvecs[:n]
+                ids[j, :n] = nids[:n]
+            lens[j] = n
+        else:  # "patch": dead-base mask + appended tail
+            mask, aids, avecs = payload
+            bl = int(lens[j])
+            bv, bi = vecs[j, :bl], ids[j, :bl]
+            if mask is not None:
+                keep = ~mask[:bl]
+                bv, bi = bv[keep], bi[keep]
+            n = min(len(bi) + len(aids), pad)
+            nb = min(len(bi), n)
+            na = n - nb
+            row_v = np.zeros((pad, vecs.shape[2]), vecs.dtype)
+            row_i = np.full(pad, -1, ids.dtype)
+            row_v[:nb] = bv[:nb]
+            row_i[:nb] = bi[:nb]
+            if na:
+                row_v[nb : nb + na] = avecs[:na]
+                row_i[nb : nb + na] = aids[:na]
+            vecs[j] = row_v
+            ids[j] = row_i
+            lens[j] = n
+    return vecs, ids, lens
+
+
 class LazySpannIndex:
-    """Open a saved packed index without loading posting vectors into memory."""
+    """Open a saved packed index without loading posting vectors into memory.
+
+    With ``overlay=`` (a :class:`~spfresh_tpu.lire.packed_storage.
+    PackedLireStorage`), the search stays live-update-aware: the device
+    centroid matrix refreshes per topology generation (splits/merges grow
+    it in place; rows are padded so C-growth rarely recompiles), and staged
+    slabs are patched against the overlay's appends/tombstones before
+    upload — the disk-backed index serves SPFresh updates without ever
+    materializing the corpus."""
 
     def __init__(self, directory: str, config: Optional[Config] = None, pad: Optional[int] = None,
-                 prefetch_threads: Optional[int] = None):
+                 prefetch_threads: Optional[int] = None, overlay=None):
         if prefetch_threads is None:
             # The pipeline only helps when staging can run on a spare core;
             # on a 1-core host every stage (gather, cast, upload) contends
             # for the same CPU and threading measures ~0.85x.
             prefetch_threads = 2 if (os.cpu_count() or 1) > 1 else 0
+        self._directory = str(directory)
         with open(os.path.join(directory, MANIFEST)) as f:
             manifest = json.load(f)
         if manifest["layout"] != "packed":
@@ -119,17 +176,61 @@ class LazySpannIndex:
         # works on the current one.  prefetch_threads=0 disables the overlap.
         self._pipeline = prefetch_threads > 0
         self._executor = None  # lazy Python-thread fallback when no native lib
+        # Live-update overlay (PackedLireStorage): route rows may diverge
+        # from base CSR rows once splits/merges land.
+        self._overlay = overlay
+        self._overlay_gen = None
+        self._cent_valid = None
+        self._base_pos = {int(c): i for i, c in enumerate(self._cids)}
+        self._route_pids = np.asarray(self._cids, np.int64)
+        self._row_base = np.arange(self.num_clusters, dtype=np.int64)
+        if overlay is not None:
+            self._refresh_overlay()
+
+    def _refresh_overlay(self) -> None:
+        """Sync the device routing tier + staging bounds with the overlay.
+        Topology changes (split/merge/centroid moves) rebuild the padded
+        centroid matrix; plain appends/tombstones only refresh the cheap
+        scalar bounds (pad, dedup hint) — the slab patches themselves are
+        fetched per batch."""
+        ov = self._overlay
+        gen = ov.topology_gen()
+        if gen != self._overlay_gen:
+            _, pids, cents = ov.centroid_matrix()
+            C = len(pids)
+            Cpad = max(8, _round_up(C, 256))
+            centp = np.zeros((Cpad, self.dim), np.float32)
+            centp[:C] = cents
+            self._centroids = jnp.asarray(centp)
+            self._cent_valid = jnp.asarray(np.arange(Cpad) < C)
+            rp = np.full(Cpad, -1, np.int64)  # padded: a masked row maps to
+            rp[:C] = np.asarray(pids, np.int64)  # pid -1 -> empty patch slab
+            self._route_pids = rp
+            rb = np.full(Cpad, -1, np.int64)
+            for i, p in enumerate(pids):
+                rb[i] = self._base_pos.get(int(p), -1)
+            self._row_base = rb
+            self.num_clusters = C
+            self._overlay_gen = gen
+        need = ov.max_live_len()
+        if need > self.pad:
+            self.pad = max(8, _round_up(need, 64))
+        md = ov.mult_hint()
+        if md > self.max_dup:
+            self.max_dup = md
 
     @staticmethod
     @functools.partial(jax.jit, static_argnames=("nprobe", "metric"))
-    def _centroid_topk(qb, centroids, nprobe: int, metric: str):
+    def _centroid_topk(qb, centroids, cent_valid, nprobe: int, metric: str):
         # Chunked past ~32k centroids (DEEP-scale cluster counts) — the
-        # (Q, C) matrix + giant top_k is the wrong shape there.
-        return centroid_topk(qb, centroids, None, nprobe, metric)
+        # (Q, C) matrix + giant top_k is the wrong shape there.  cent_valid
+        # masks the padding rows of an overlay-refreshed matrix (None when
+        # no overlay is attached).
+        return centroid_topk(qb, centroids, cent_valid, nprobe, metric)
 
     # -- staging -----------------------------------------------------------
 
-    def _stage_async(self, rows: np.ndarray, sd_np):
+    def _stage_async(self, rows: np.ndarray, sd_np, patch_info=None):
         """Start staging on a background thread; returns an object whose
         .join() -> DEVICE arrays (vecs, ids, lens) in the wire dtype.
 
@@ -137,9 +238,18 @@ class LazySpannIndex:
         (falling back to a Python thread — the ctypes gather releases the
         GIL), and the dtype cast + host -> device upload run on a worker
         thread too, so the whole stage-cast-upload chain for batch i+1
-        overlaps batch i's rerank instead of serializing with it."""
+        overlaps batch i's rerank instead of serializing with it.
+
+        ``patch_info`` = (pids, patches) applies the live-update overlay to
+        the gathered base slabs before the cast/upload (still on the
+        staging thread, so it hides behind device compute too)."""
 
         def to_device(vecs, ids, lens):
+            if patch_info is not None:
+                vecs, ids, lens = _apply_patches(
+                    vecs, ids, lens, patch_info[0], patch_info[1],
+                    self.pad, self.dim,
+                )
             if vecs.dtype != sd_np:  # storage-dtype wire halves bf16 bytes
                 vecs = vecs.astype(sd_np)
             return jnp.asarray(vecs), jnp.asarray(_ids_i32(ids)), jnp.asarray(lens)
@@ -198,6 +308,8 @@ class LazySpannIndex:
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         if queries.shape[1] != self.dim:
             raise ValueError(f"query dim {queries.shape[1]} != index dim {self.dim}")
+        if self._overlay is not None:
+            self._refresh_overlay()
         nprobe = max(1, min(int(nprobe or self.config.search.nprobe or k), self.num_clusters))
         out_i, out_d = [], []
 
@@ -228,20 +340,67 @@ class LazySpannIndex:
         for s in range(0, queries.shape[0], batch_size):
             qb = queries[s : s + batch_size]
             cent_d, rows = self._centroid_topk(
-                jnp.asarray(qb), self._centroids, nprobe, self.metric
+                jnp.asarray(qb), self._centroids, self._cent_valid,
+                nprobe, self.metric,
             )
             rows_np = np.asarray(rows)
             Q = rows_np.shape[0]
             uniq, inv = np.unique(rows_np.reshape(-1), return_inverse=True)
             Upad = max(8, _round_up(len(uniq), 64))
             uniq = np.concatenate([uniq, np.repeat(uniq[:1], Upad - len(uniq))])
-            job = self._stage_async(uniq, sd_np)
+            patch_info = None
+            stage_rows = uniq
+            if self._overlay is not None:
+                # Route rows -> base CSR rows (-1 = overlay-only posting:
+                # gather row 0, the patch replaces the slab wholesale).
+                uniq_pids = self._route_pids[uniq]
+                base = self._row_base[uniq]
+                stage_rows = np.where(base >= 0, base, 0)
+                patches = self._overlay.stage_patches(uniq_pids.tolist())
+                patch_info = (uniq_pids, patches) if patches else None
+            job = self._stage_async(stage_rows, sd_np, patch_info)
             if pending is not None:
                 finish(*pending)
             pending = (qb, cent_d, inv.reshape(Q, nprobe).astype(np.int32), job)
         if pending is not None:
             finish(*pending)
         return np.concatenate(out_i).astype(np.int64), np.concatenate(out_d)
+
+    def reload_base(self):
+        """Re-open the packed base files (after an overlay ``compact()``
+        swapped them): fresh mmaps, fresh native reader, rebuilt row maps.
+        The overlay's topology generation was bumped by the compaction, so
+        the next search refreshes the routing tier too."""
+        path = os.path.join(self._directory, PACKED_FILE)
+        if self._native is not None:
+            try:
+                self._native.close()
+            except Exception:
+                pass
+            self._native = None
+            try:
+                from spfresh_tpu import native
+
+                if native.available():
+                    self._native = native.NativeCsr(path)
+            except Exception:
+                self._native = None
+        self._cids, self._offsets, self._ids, self._vectors = read_packed_postings(
+            path, mmap=True
+        )
+        lens = np.asarray(self._offsets[1:]) - np.asarray(self._offsets[:-1])
+        self._lens = lens.astype(np.int32)
+        self.num_clusters = len(self._cids)
+        self.pad = max(self.pad, max(8, _round_up(int(lens.max(initial=1)), 8)))
+        from spfresh_tpu.index.spann import _max_multiplicity
+
+        self.max_dup = max(self.max_dup, _max_multiplicity(np.asarray(self._ids)))
+        self._base_pos = {int(c): i for i, c in enumerate(self._cids)}
+        self._route_pids = np.asarray(self._cids, np.int64)
+        self._row_base = np.arange(self.num_clusters, dtype=np.int64)
+        self._overlay_gen = None  # force a routing-tier rebuild
+        if self._overlay is not None:
+            self._refresh_overlay()
 
     def close(self):
         if self._native is not None:

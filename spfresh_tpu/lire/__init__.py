@@ -3,6 +3,8 @@
 quirks 4-5 for what the reference left unfinished)."""
 
 from spfresh_tpu.lire.fresh import SpFreshIndex
+from spfresh_tpu.lire.lazy_fresh import LazySpFreshIndex
+from spfresh_tpu.lire.packed_storage import PackedLireStorage
 from spfresh_tpu.lire.operations import (
     LireContext,
     LireOperationError,
@@ -31,6 +33,8 @@ __all__ = [
     "LireProtocol",
     "LireStorage",
     "LireStorageError",
+    "LazySpFreshIndex",
+    "PackedLireStorage",
     "Merge",
     "MergeError",
     "OperationResult",

@@ -1,0 +1,271 @@
+"""LazySpFreshIndex — SPFresh live updates on a DISK-backed index.
+
+``SpFreshIndex`` mirrors every posting into RAM; this facade serves the
+same insert/delete/search/maintenance surface over the lazy memory
+hierarchy (the SPFresh paper's actual deployment shape — the SSD tier the
+reference left unfinished, SURVEY.md §5 quirks 4-5):
+
+    HBM   — centroid matrix (routing tier)
+    RAM   — delta overlay only (appends, tombstones, split successors)
+    disk  — the packed CSR base, immutable between compactions
+
+Updates flow through the SAME LIRE protocol, two-stage pipeline, and
+Split/Merge/Reassign operations as the in-RAM index — the storage engine
+(:class:`PackedLireStorage`) is the only moving part, and search stays
+live because :class:`LazySpannIndex` patches staged slabs against the
+overlay per batch.  ``compact()`` folds the overlay back into a fresh
+packed base once it has grown past taste.
+"""
+
+from __future__ import annotations
+
+import logging
+import threading
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from spfresh_tpu.index.config import Config
+from spfresh_tpu.index.lazy import LazySpannIndex
+from spfresh_tpu.lire.operations import LireContext, Reassign, Split
+from spfresh_tpu.lire.packed_storage import PackedLireStorage
+from spfresh_tpu.lire.pipeline import TaskOutcome, TwoStagePipeline
+from spfresh_tpu.lire.protocol import LireConfig, LireProtocol
+from spfresh_tpu.lire.storage import LireStorageError
+from spfresh_tpu.utils import metrics
+
+log = logging.getLogger(__name__)
+
+
+class LazySpFreshIndex:
+    """Live insert/delete via LIRE over a disk-resident packed index."""
+
+    def __init__(
+        self,
+        directory: str,
+        config: Optional[Config] = None,
+        lire_config: Optional[LireConfig] = None,
+        start_pipeline: bool = True,
+        reassign_after_split: bool = True,
+        reassign_nearby: int = 8,
+        prefetch_threads: Optional[int] = None,
+    ):
+        self.storage = PackedLireStorage(directory, auto_create_postings=False)
+        self.lazy = LazySpannIndex(
+            directory,
+            config=config,
+            prefetch_threads=prefetch_threads,
+            overlay=self.storage,
+        )
+        self.metric = self.lazy.metric
+        self.dim = self.lazy.dim
+        self.lire_config = lire_config or LireConfig()
+        self.reassign_after_split = reassign_after_split
+        self.reassign_nearby = reassign_nearby
+        self._lock = threading.RLock()
+        ctx = LireContext(
+            storage=self.storage,
+            alloc_posting_id=self.storage.allocate_posting_id,
+            metric=self.metric,
+        )
+        self.pipeline = TwoStagePipeline(ctx, on_complete=self._after_op)
+        self.protocol = LireProtocol(
+            self.storage, self.lire_config, self.pipeline, self.metric
+        )
+        if start_pipeline:
+            self.pipeline.start()
+
+    # -- routing -------------------------------------------------------------
+
+    def _nearest_postings(self, vectors: np.ndarray) -> np.ndarray:
+        """Batch-route vectors to their nearest live posting via the cached
+        device centroid matrix (one dispatch per batch, O(1) host work in
+        steady state — protocol._router holds the per-topology cache)."""
+        import jax.numpy as jnp
+
+        from spfresh_tpu.ops.distances import pairwise_distance
+
+        gen, pids, cents, dev = self.protocol._router()
+        if len(pids) == 0:
+            raise ValueError("no postings exist; build an index first")
+        mat = dev if dev is not None else jnp.asarray(cents)
+        D = np.asarray(pairwise_distance(jnp.asarray(vectors), mat, self.metric))
+        return pids[np.argmin(D, axis=1)]
+
+    # -- updates --------------------------------------------------------------
+
+    def insert(self, vector: np.ndarray, vector_id: int) -> int:
+        """Insert one vector; search-visible immediately (the overlay patch
+        rides the next staged batch).  Returns its version stamp."""
+        vector = np.asarray(vector, np.float32).reshape(-1)
+        res = self.protocol.insert(vector, int(vector_id))
+        return res.version
+
+    def insert_batch(self, vectors: np.ndarray, vector_ids) -> List[int]:
+        """Batched insert: one device routing scan + ONE storage/WAL append
+        for the whole batch."""
+        vectors = np.asarray(vectors, np.float32)
+        vector_ids = np.asarray(vector_ids, np.int64)
+        nearest = self._nearest_postings(vectors)
+        try:
+            versions = self.storage.store_vectors_multi(nearest, vector_ids, vectors)
+        except LireStorageError:
+            # A destination was retired between routing and the append —
+            # re-route each vector to its CURRENT nearest partition.
+            versions = [
+                self.protocol.insert(v, int(vid)).version
+                for v, vid in zip(vectors, vector_ids)
+            ]
+            return versions
+        metrics.inc("lire.insert", len(versions))
+        for pid in np.unique(nearest):
+            if self.protocol.needs_split(int(pid)):
+                self.protocol.schedule_maintenance(Split(int(pid)))
+        return list(versions)
+
+    def delete(self, vector_id: int, posting_id: Optional[int] = None) -> List[int]:
+        """Tombstone a vector everywhere it lives (replicas included)."""
+        vid = int(vector_id)
+        pids = [posting_id] if posting_id is not None else self.storage.postings_of(vid)
+        if not pids:
+            raise KeyError(f"vector {vector_id} not found")
+        versions = []
+        for pid in pids:
+            try:
+                res = self.protocol.delete(vid, int(pid))
+            except LireStorageError:
+                continue
+            versions.append(res.version)
+        if not versions:
+            raise KeyError(f"vector {vector_id} not found in any live posting")
+        return versions
+
+    def delete_batch(self, vector_ids) -> int:
+        """Tombstone many vectors: one storage batch per touched posting.
+        Returns how many of the requested ids had a live copy."""
+        by_pid = {}
+        for vid in vector_ids:
+            vid = int(vid)
+            for pid in self.storage.postings_of(vid):
+                by_pid.setdefault(int(pid), []).append(vid)
+        deleted = set()
+        for pid, vids in sorted(by_pid.items()):
+            try:
+                hit_ids, _ = self.storage.mark_deleted_batch(pid, vids)
+            except LireStorageError:
+                continue
+            deleted.update(hit_ids)
+            metrics.inc("lire.delete", len(hit_ids))
+            if self.protocol.needs_merge(pid):
+                merge = self.protocol._plan_merge(pid)
+                if merge is not None:
+                    self.protocol.schedule_maintenance(merge)
+            if self.storage.needs_garbage_collection(
+                pid, self.lire_config.gc_threshold
+            ):
+                self.storage.collect_garbage(pid)
+        return len(deleted)
+
+    # -- search ----------------------------------------------------------------
+
+    def search(self, queries, k: int, **kw) -> Tuple[np.ndarray, np.ndarray]:
+        return self.lazy.search(queries, k, **kw)
+
+    @property
+    def num_clusters(self) -> int:
+        return len(self.storage.posting_ids())
+
+    # -- background maintenance hooks -----------------------------------------
+
+    def _after_op(self, outcome: TaskOutcome) -> None:
+        if outcome.error is not None or outcome.result is None:
+            return
+        op, result = outcome.op, outcome.result
+        # No search mirror to sync — the lazy index reads storage directly.
+        # After a split, boundary vectors near the new postings may belong
+        # elsewhere now: schedule Reassign (SPFresh semantics).
+        if isinstance(op, Split) and self.reassign_after_split and result.new_postings:
+            candidates: List[int] = list(result.new_postings)
+            for pid in result.new_postings:
+                candidates.extend(
+                    self.protocol.get_nearby_postings(pid, self.reassign_nearby)
+                )
+            candidates = sorted(set(candidates))
+            vectors: List[Tuple[int, int, int]] = []
+            for pid in result.new_postings:
+                if not self.storage.has_posting(pid):
+                    continue
+                ids, _, vers = self.storage.get_posting(pid)
+                vectors.extend((int(i), pid, int(v)) for i, v in zip(ids, vers))
+            if vectors and len(candidates) > 1:
+                self.protocol.schedule_maintenance(Reassign(vectors, candidates))
+
+    # -- maintenance / repair --------------------------------------------------
+
+    def repair(self) -> int:
+        """Re-check partitions stuck in NEEDS_MAINTENANCE (same self-heal
+        loop as :meth:`SpFreshIndex.repair`)."""
+        from spfresh_tpu.lire.pipeline import PartitionStatus
+
+        with self.pipeline._status_lock:
+            flagged = [
+                pid
+                for pid, st in self.pipeline._status.items()
+                if st == PartitionStatus.NEEDS_MAINTENANCE
+            ]
+        for pid in flagged:
+            if not self.storage.has_posting(pid):
+                self.pipeline._set_status(pid, PartitionStatus.READY)
+                continue
+            if self.protocol.needs_split(pid):
+                self.protocol.schedule_maintenance(Split(pid))
+            elif self.protocol.needs_merge(pid):
+                merge = self.protocol._plan_merge(pid)
+                if merge is not None:
+                    self.protocol.schedule_maintenance(merge)
+                else:
+                    self.pipeline._set_status(pid, PartitionStatus.READY)
+            else:
+                self.pipeline._set_status(pid, PartitionStatus.READY)
+        return len(flagged)
+
+    def flush(self, repair_rounds: int = 3) -> None:
+        """Drain background maintenance, self-healing flagged partitions."""
+        if not self.pipeline.is_running:
+            return
+        self.pipeline.drain()
+        from spfresh_tpu.lire.pipeline import PartitionStatus
+
+        for _ in range(max(0, repair_rounds)):
+            with self.pipeline._status_lock:
+                flagged = any(
+                    st == PartitionStatus.NEEDS_MAINTENANCE
+                    for st in self.pipeline._status.values()
+                )
+            if not flagged:
+                break
+            self.repair()
+            self.pipeline.drain()
+
+    def compact(self) -> None:
+        """Fold the overlay into a fresh packed base and re-open the lazy
+        index's mmaps over it.  Call when ``storage.overlay_rows()`` has
+        grown past taste — searches before/after are equivalent."""
+        self.flush()
+        self.storage.compact()
+        self.lazy.reload_base()
+
+    # -- lifecycle -------------------------------------------------------------
+
+    def close(self) -> None:
+        if self.pipeline.is_running:
+            self.flush()
+            self.pipeline.stop()
+        self.lazy.close()
+        self.storage.close()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()

@@ -1,0 +1,359 @@
+"""LazySpFreshIndex + PackedLireStorage: SPFresh live updates on a
+disk-backed packed index (the SSD tier of the memory hierarchy; reference
+left this unfinished — SURVEY.md §5 quirks 4-5)."""
+
+import os
+import struct
+
+import numpy as np
+import pytest
+
+from spfresh_tpu.index import Config, SpannIndexBuilder
+from spfresh_tpu.lire import LireConfig, LireStorage
+from spfresh_tpu.lire.lazy_fresh import LazySpFreshIndex
+from spfresh_tpu.lire.packed_storage import PackedLireStorage
+
+
+def _build_packed(tmp_path, n=240, dim=8, seed=0, name="idx"):
+    rng = np.random.default_rng(seed)
+    data = rng.standard_normal((n, dim)).astype(np.float32)
+    cfg = Config.from_dict(
+        {
+            "clustering_params": {
+                "initial_k": 4,
+                "desired_cluster_size": max(12, n // 8),
+                "rng_seed": 42,
+            },
+            "output_path": str(tmp_path / name),
+        }
+    )
+    index = SpannIndexBuilder(cfg).with_data(data).build()
+    return cfg, index, data, rng
+
+
+def _brute(data_ids, data_vecs, q, k):
+    d = ((data_vecs - q[None, :]) ** 2).sum(axis=1)
+    order = np.argsort(d, kind="stable")[:k]
+    return [int(data_ids[i]) for i in order]
+
+
+def _live_set(storage):
+    """{vid: vec} over every live entry (replicas collapse)."""
+    out = {}
+    for pid in storage.posting_ids():
+        ids, vecs, _ = storage.get_posting(pid)
+        for vid, vec in zip(ids, vecs):
+            out[int(vid)] = vec
+    return out
+
+
+# ---------------------------------------------------------------------------
+# PackedLireStorage engine
+# ---------------------------------------------------------------------------
+
+
+def test_storage_open_matches_build(tmp_path):
+    cfg, index, data, _ = _build_packed(tmp_path)
+    st = PackedLireStorage(cfg.output_path)
+    assert sorted(st.posting_ids()) == sorted(index.postings)
+    for pid in index.postings:
+        ids, vecs = index.postings[pid]
+        sids, svecs, svers = st.get_posting(pid)
+        assert np.array_equal(np.sort(sids), np.sort(ids))
+        assert st.get_vector_count(pid) == len(ids)
+        np.testing.assert_allclose(
+            st.get_posting_centroid(pid), index.centroids[pid], rtol=1e-6
+        )
+        # base entry versions are globally unique
+        assert len(set(svers.tolist())) == len(svers)
+
+
+def test_storage_parity_with_lire_storage(tmp_path):
+    """The same op sequence on both engines leaves the same live content."""
+    cfg, index, data, rng = _build_packed(tmp_path, n=120)
+    packed = PackedLireStorage(cfg.output_path)
+    ram = LireStorage(str(tmp_path / "ram"), index.dim, auto_create_postings=False)
+    for pid in sorted(index.postings):
+        ids, vecs = index.postings[pid]
+        ram.import_posting(pid, ids, vecs, index.centroids[pid])
+
+    pids = sorted(index.postings)
+    p0, p1 = pids[0], pids[1 % len(pids)]
+    add = rng.standard_normal((5, index.dim)).astype(np.float32)
+    for st in (packed, ram):
+        st.store_vectors(p0, [1000, 1001, 1002], add[:3])
+        st.store_vector(p1, 1003, add[3])
+        st.mark_deleted(p0, 1001)
+        st.mark_deleted_batch(p1, [1003, 777777])  # second id: miss, skipped
+    # delete a BASE vector too
+    base_vid = int(index.postings[p0][0][0])
+    for st in (packed, ram):
+        st.mark_deleted(p0, base_vid)
+
+    for st in (packed, ram):
+        assert sorted(st.postings_of(1000)) == [p0]
+        assert st.postings_of(1001) == []
+        # the tombstoned copy is gone; boundary replicas elsewhere survive
+        assert p0 not in st.postings_of(base_vid)
+    assert packed.postings_of(base_vid) == ram.postings_of(base_vid)
+    a, b = _live_set(packed), _live_set(ram)
+    assert set(a) == set(b)
+    for vid in a:
+        np.testing.assert_allclose(a[vid], b[vid], rtol=1e-6)
+    assert packed.get_vector_count(p0) == ram.get_vector_count(p0)
+    assert packed.get_vector_count(p1) == ram.get_vector_count(p1)
+
+
+def test_storage_atomic_replace_and_versions(tmp_path):
+    cfg, index, _, rng = _build_packed(tmp_path, n=120)
+    st = PackedLireStorage(cfg.output_path)
+    pid = sorted(index.postings)[0]
+    ids, vecs, _ = st.get_posting(pid)
+    v = st.get_posting_version(pid)
+    half = len(ids) // 2
+    n1, n2 = st.allocate_posting_id(), st.allocate_posting_id()
+    new = [
+        (n1, ids[:half], vecs[:half], vecs[:half].mean(axis=0)),
+        (n2, ids[half:], vecs[half:], vecs[half:].mean(axis=0)),
+    ]
+    # stale version -> refused
+    assert not st.atomic_replace([pid], [v + 999], new)
+    assert st.has_posting(pid)
+    assert st.atomic_replace([pid], [v], new)
+    assert not st.has_posting(pid)
+    assert st.has_posting(n1) and st.has_posting(n2)
+    got = np.sort(np.concatenate([st.get_posting(n1)[0], st.get_posting(n2)[0]]))
+    assert np.array_equal(got, np.sort(ids))
+    # a base vid moved into an overlay posting resolves through postings_of
+    homes = st.postings_of(int(ids[0]))
+    assert n1 in homes and pid not in homes
+
+
+def test_storage_wal_replay_reopen(tmp_path):
+    cfg, index, _, rng = _build_packed(tmp_path, n=120)
+    st = PackedLireStorage(cfg.output_path)
+    pid = sorted(index.postings)[0]
+    add = rng.standard_normal((3, index.dim)).astype(np.float32)
+    st.store_vectors(pid, [2000, 2001, 2002], add)
+    st.mark_deleted(pid, 2001)
+    base_vid = int(index.postings[pid][0][1])
+    st.mark_deleted(pid, base_vid)
+    before = _live_set(st)
+    count = st.get_vector_count(pid)
+    st.close()
+
+    st2 = PackedLireStorage(cfg.output_path)
+    after = _live_set(st2)
+    assert set(before) == set(after)
+    assert st2.get_vector_count(pid) == count
+    assert st2.postings_of(2001) == []
+    assert st2.postings_of(base_vid) == []
+    # versions keep advancing monotonically after reopen
+    v = st2.store_vector(pid, 2005, add[0])
+    assert v > st2.get_posting_version(pid) - 1
+
+
+def test_storage_torn_transaction_discarded(tmp_path):
+    """A crash mid-atomic_replace (WAL transaction without its END marker)
+    must leave the old generation intact on replay."""
+    cfg, index, _, _ = _build_packed(tmp_path, n=120)
+    st = PackedLireStorage(cfg.output_path)
+    pid = sorted(index.postings)[0]
+    ids, vecs, _ = st.get_posting(pid)
+    v = st.get_posting_version(pid)
+    n1, n2 = st.allocate_posting_id(), st.allocate_posting_id()
+    half = len(ids) // 2
+    assert st.atomic_replace(
+        [pid],
+        [v],
+        [
+            (n1, ids[:half], vecs[:half], vecs[:half].mean(axis=0)),
+            (n2, ids[half:], vecs[half:], vecs[half:].mean(axis=0)),
+        ],
+    )
+    wal = os.path.join(cfg.output_path, "overlay.wal")
+    record = 25 + 4 * index.dim  # <Bqqq + f32 payload
+    size = os.path.getsize(wal)
+    with open(wal, "r+b") as f:  # chop the TXN_END (and a bit more)
+        f.truncate(size - 2 * record)
+    st2 = PackedLireStorage(cfg.output_path)
+    assert st2.has_posting(pid)  # the swap never happened
+    assert not st2.has_posting(n1) and not st2.has_posting(n2)
+    assert np.array_equal(np.sort(st2.get_posting(pid)[0]), np.sort(ids))
+
+
+def test_storage_gc_shadow_roundtrip(tmp_path):
+    cfg, index, _, rng = _build_packed(tmp_path, n=120)
+    st = PackedLireStorage(cfg.output_path)
+    pid = sorted(index.postings)[0]
+    ids, _, _ = st.get_posting(pid)
+    kill = [int(i) for i in ids[: max(1, len(ids) // 2)]]
+    st.mark_deleted_batch(pid, kill)
+    assert st.needs_garbage_collection(pid, 0.3)
+    reclaimed = st.collect_garbage(pid)
+    assert reclaimed == len(kill)
+    live, _, vers = st.get_posting(pid)
+    assert set(live.tolist()) == set(int(i) for i in ids) - set(kill)
+    before = _live_set(st)
+    st.close()
+    st2 = PackedLireStorage(cfg.output_path)  # SHADOW replays deterministically
+    assert _live_set(st2).keys() == before.keys()
+    assert set(st2.get_posting(pid)[0].tolist()) == set(live.tolist())
+
+
+def test_storage_compact_then_reopen(tmp_path):
+    cfg, index, _, rng = _build_packed(tmp_path, n=120)
+    st = PackedLireStorage(cfg.output_path)
+    pids = sorted(index.postings)
+    add = rng.standard_normal((4, index.dim)).astype(np.float32)
+    st.store_vectors(pids[0], [3000, 3001, 3002, 3003], add)
+    st.mark_deleted(pids[0], 3001)
+    ids, vecs, _ = st.get_posting(pids[1])
+    v = st.get_posting_version(pids[1])
+    n1 = st.allocate_posting_id()
+    assert st.atomic_replace([pids[1]], [v], [(n1, ids, vecs, vecs.mean(axis=0))])
+    before = _live_set(st)
+    cents = {p: st.get_posting_centroid(p) for p in st.posting_ids()}
+    st.compact()
+    assert not os.path.exists(os.path.join(cfg.output_path, "overlay.wal"))
+    assert st.overlay_rows() == 0
+    after = _live_set(st)
+    assert before.keys() == after.keys()
+    for vid in before:
+        np.testing.assert_allclose(before[vid], after[vid], rtol=1e-6)
+    for p, c in cents.items():
+        np.testing.assert_allclose(st.get_posting_centroid(p), c, rtol=1e-6)
+    # a fresh open of the compacted directory needs no WAL at all
+    st3 = PackedLireStorage(cfg.output_path)
+    assert _live_set(st3).keys() == before.keys()
+    assert sorted(st3.posting_ids()) == sorted(st.posting_ids())
+
+
+# ---------------------------------------------------------------------------
+# LazySpFreshIndex end to end
+# ---------------------------------------------------------------------------
+
+
+def _lire_small(**kw):
+    return LireConfig(max_partition_size=60, min_partition_size=2, **kw)
+
+
+def test_lazy_insert_then_searchable(tmp_path):
+    cfg, index, data, rng = _build_packed(tmp_path)
+    with LazySpFreshIndex(cfg.output_path, lire_config=_lire_small()) as fresh:
+        v = rng.standard_normal(index.dim).astype(np.float32)
+        fresh.insert(v, 9999)
+        ids, dists = fresh.search(v[None, :], k=1, nprobe=fresh.num_clusters)
+        assert ids[0, 0] == 9999
+        assert dists[0, 0] == pytest.approx(0.0, abs=1e-5)
+
+
+def test_lazy_delete_removes_from_results(tmp_path):
+    cfg, index, data, _ = _build_packed(tmp_path)
+    with LazySpFreshIndex(cfg.output_path, lire_config=_lire_small()) as fresh:
+        target = 7
+        nall = fresh.num_clusters
+        ids, _ = fresh.search(data[target][None, :], k=1, nprobe=nall)
+        assert ids[0, 0] == target
+        fresh.delete(target)
+        ids, _ = fresh.search(data[target][None, :], k=3, nprobe=nall)
+        assert target not in ids[0].tolist()
+
+
+def test_lazy_full_probe_exact_after_update_mix(tmp_path):
+    """The standing invariant: full-probe search == brute force over the
+    live set, after inserts, deletes, and background maintenance."""
+    cfg, index, data, rng = _build_packed(tmp_path, n=200)
+    with LazySpFreshIndex(cfg.output_path, lire_config=_lire_small()) as fresh:
+        add = rng.standard_normal((40, index.dim)).astype(np.float32)
+        fresh.insert_batch(add, np.arange(5000, 5040))
+        fresh.delete_batch(list(range(0, 30)))
+        fresh.flush()
+
+        live = _live_set(fresh.storage)
+        vids = np.array(sorted(live))
+        vmat = np.stack([live[int(i)] for i in vids])
+        queries = rng.standard_normal((8, index.dim)).astype(np.float32)
+        ids, dists = fresh.search(queries, k=5, nprobe=fresh.num_clusters)
+        for qi in range(len(queries)):
+            expect = _brute(vids, vmat, queries[qi], 5)
+            assert ids[qi].tolist() == expect
+
+
+def test_lazy_split_grows_topology_and_stays_searchable(tmp_path):
+    cfg, index, data, rng = _build_packed(tmp_path, n=200)
+    with LazySpFreshIndex(cfg.output_path, lire_config=_lire_small()) as fresh:
+        c0 = fresh.num_clusters
+        # Target one posting until it must split.
+        pid = fresh.storage.posting_ids()[0]
+        cent = fresh.storage.get_posting_centroid(pid)
+        add = cent[None, :] + 0.01 * rng.standard_normal(
+            (100, index.dim)
+        ).astype(np.float32)
+        fresh.insert_batch(add, np.arange(7000, 7100))
+        fresh.flush()
+        assert fresh.num_clusters > c0
+        for p in fresh.storage.posting_ids():
+            assert fresh.storage.get_vector_count(p) <= 60 * 2  # split cap zone
+        # every inserted vector still findable at full probe
+        ids, dists = fresh.search(add[:16], k=1, nprobe=fresh.num_clusters)
+        found = set(ids[:, 0].tolist())
+        assert found <= set(range(7000, 7100))
+        assert np.allclose(np.asarray(dists[:, 0]), 0.0, atol=1e-5)
+
+
+def test_lazy_compact_preserves_results(tmp_path):
+    cfg, index, data, rng = _build_packed(tmp_path, n=200)
+    with LazySpFreshIndex(cfg.output_path, lire_config=_lire_small()) as fresh:
+        add = rng.standard_normal((80, index.dim)).astype(np.float32)
+        fresh.insert_batch(add, np.arange(8000, 8080))
+        fresh.delete_batch(list(range(0, 20)))
+        fresh.flush()
+        queries = rng.standard_normal((8, index.dim)).astype(np.float32)
+        before_i, before_d = fresh.search(queries, k=5, nprobe=fresh.num_clusters)
+        fresh.compact()
+        assert fresh.storage.overlay_rows() == 0
+        after_i, after_d = fresh.search(queries, k=5, nprobe=fresh.num_clusters)
+        assert np.array_equal(before_i, after_i)
+        np.testing.assert_allclose(before_d, after_d, rtol=1e-5)
+    # the compacted artifact reopens cold and serves the same results
+    with LazySpFreshIndex(cfg.output_path, lire_config=_lire_small()) as fresh2:
+        cold_i, _ = fresh2.search(queries, k=5, nprobe=fresh2.num_clusters)
+        assert np.array_equal(before_i, cold_i)
+
+
+def test_lazy_reopen_after_updates(tmp_path):
+    cfg, index, data, rng = _build_packed(tmp_path)
+    v = rng.standard_normal(index.dim).astype(np.float32)
+    with LazySpFreshIndex(cfg.output_path, lire_config=_lire_small()) as fresh:
+        fresh.insert(v, 4242)
+        fresh.delete(3)
+    # no compaction happened: the WAL carries the overlay across reopen
+    with LazySpFreshIndex(cfg.output_path, lire_config=_lire_small()) as fresh:
+        ids, dists = fresh.search(v[None, :], k=1, nprobe=fresh.num_clusters)
+        assert ids[0, 0] == 4242
+        ids, _ = fresh.search(data[3][None, :], k=3, nprobe=fresh.num_clusters)
+        assert 3 not in ids[0].tolist()
+
+
+def test_lazy_pad_growth_past_base_pad(tmp_path):
+    """Appending far past the widest base posting must grow the staging pad
+    (and stay exact) instead of truncating the slab."""
+    cfg, index, data, rng = _build_packed(tmp_path, n=160)
+    with LazySpFreshIndex(
+        cfg.output_path,
+        lire_config=LireConfig(max_partition_size=100_000, min_partition_size=2),
+    ) as fresh:
+        pid = fresh.storage.posting_ids()[0]
+        cent = fresh.storage.get_posting_centroid(pid)
+        base_pad = fresh.lazy.pad
+        m = base_pad + 40
+        add = cent[None, :] + 0.01 * rng.standard_normal((m, index.dim)).astype(
+            np.float32
+        )
+        fresh.insert_batch(add, np.arange(9000, 9000 + m))
+        assert fresh.storage.get_vector_count(pid) > base_pad
+        ids, dists = fresh.search(add[-4:], k=1, nprobe=fresh.num_clusters)
+        assert fresh.lazy.pad > base_pad
+        assert np.allclose(np.asarray(dists[:, 0]), 0.0, atol=1e-5)
+        assert set(ids[:, 0].tolist()) == set(range(9000 + m - 4, 9000 + m))
