@@ -237,6 +237,22 @@ class PackedLireStorage:
                 else:
                     self._apply_locked(*rec)
             # an unterminated transaction is discarded wholesale
+        # Restore the multiplicity bound the live mutators maintained
+        # (replay skips _note_multiplicity_locked): bound each replayed id
+        # by its delta copies + ALL base rows with that id (dead ones too —
+        # an overestimate is a safe dedup bound, an undercount is not).
+        if self._id_delta:
+            vids = np.fromiter(self._id_delta, np.int64, len(self._id_delta))
+            deltas = np.fromiter(
+                (len(s) for s in self._id_delta.values()),
+                np.int64,
+                len(self._id_delta),
+            )
+            self._ensure_base_order()
+            lo = np.searchsorted(self._base_ids_sorted, vids, "left")
+            hi = np.searchsorted(self._base_ids_sorted, vids, "right")
+            m = int((deltas + (hi - lo)).max(initial=1))
+            self._mult_hint = max(self._mult_hint, m)
 
     def _apply_locked(self, op, pid, vid, version, payload) -> None:
         """Apply one WAL record to the in-RAM overlay (replay path — the

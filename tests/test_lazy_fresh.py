@@ -357,3 +357,23 @@ def test_lazy_pad_growth_past_base_pad(tmp_path):
         assert fresh.lazy.pad > base_pad
         assert np.allclose(np.asarray(dists[:, 0]), 0.0, atol=1e-5)
         assert set(ids[:, 0].tolist()) == set(range(9000 + m - 4, 9000 + m))
+
+
+def test_storage_mult_hint_survives_reopen(tmp_path):
+    """The search dedup bound must not UNDERCOUNT after a WAL replay: an id
+    appended to several postings (reassign transients, boundary replicas)
+    keeps its full multiplicity in mult_hint on reopen."""
+    cfg, index, _, rng = _build_packed(tmp_path, n=120)
+    st = PackedLireStorage(cfg.output_path)
+    pids = sorted(index.postings)[:3]
+    vec = rng.standard_normal(index.dim).astype(np.float32)
+    for pid in pids:
+        st.store_vector(pid, 7777, vec)
+    live_mult = len(st.postings_of(7777))
+    assert live_mult == 3
+    assert st.mult_hint() >= live_mult
+    st.close()
+
+    st2 = PackedLireStorage(cfg.output_path)
+    assert len(st2.postings_of(7777)) == live_mult
+    assert st2.mult_hint() >= live_mult
