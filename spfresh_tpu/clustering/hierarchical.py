@@ -218,6 +218,55 @@ def _final_replica_pass(X_tile, base_tile, cents, metric: str, boundary_threshol
     return idx, -vals
 
 
+@functools.partial(
+    jax.jit, static_argnames=("metric", "n_extra", "tile", "n_tiles")
+)
+def _final_replica_pass_fused(
+    X, base, cents, metric: str, boundary_threshold,
+    n_extra: int, tile: int, n_tiles: int,
+):
+    """The whole closure pass as ONE device program: an internal fori_loop
+    walks ``tile``-row windows of the corpus and writes each window's
+    top-``n_extra`` replica (cluster, distance) rows into preallocated
+    (n, n_extra) outputs.  Replaces a host loop of ~n/tile separate
+    dispatch+pull pairs — through the tunnel each round-trip costs ~60 ms,
+    so at 1M x 128 (≈45 tiles) the loop spent seconds on pure link latency
+    for kilobytes of results.  One dispatch + two small pulls instead.
+
+    The last window self-aligns: lax.dynamic_slice and dynamic_update_slice
+    clamp identically to [n - tile, n), and every output row depends only on
+    its own (X[r], base[r]), so the recomputed overlap rewrites identical
+    values — no padding copy of the corpus needed."""
+
+    def body(s, carry):
+        idx_out, d_out = carry
+        start = s * tile
+        Xt = jax.lax.dynamic_slice_in_dim(X, start, tile, 0)
+        bt_ = jax.lax.dynamic_slice_in_dim(base, start, tile, 0)
+        D = pairwise_distance(Xt, cents, metric)
+        db = jnp.take_along_axis(D, bt_[:, None], axis=1)[:, 0]
+        btc = boundary_threshold.astype(ACCUM_DTYPE)
+        onehot = jax.nn.one_hot(bt_, D.shape[1], dtype=bool)
+        cc_base = pairwise_distance(cents[bt_], cents, metric)
+        eligible = (D < (btc * db)[:, None]) & (cc_base >= D) & ~onehot
+        Dm = jnp.where(eligible, D, jnp.inf)
+        vals, idx = jax.lax.top_k(-Dm, n_extra)
+        idx_out = jax.lax.dynamic_update_slice_in_dim(idx_out, idx, start, 0)
+        d_out = jax.lax.dynamic_update_slice_in_dim(d_out, -vals, start, 0)
+        return idx_out, d_out
+
+    n = X.shape[0]
+    return jax.lax.fori_loop(
+        0,
+        n_tiles,
+        body,
+        (
+            jnp.zeros((n, n_extra), jnp.int32),
+            jnp.full((n, n_extra), jnp.inf, ACCUM_DTYPE),
+        ),
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "num_segments", "m_ways"))
 def _split_level_multiway(
     X, point_list, cluster_of, p_count, c1_idx, seed_valid, metric: str,
@@ -750,34 +799,23 @@ class HierarchicalClustering:
             )
             tiles = [(0, timed_pull(idx)[:n], timed_pull(dists)[:n])]
         else:
-            # Tile size balances the two (tile, C) distance matrices (<= ~1 GB
-            # each) against per-dispatch overhead — hundreds of tiny tiles were
-            # dispatch-bound (each tunnel dispatch costs ~60 ms).  Dispatches
-            # run ahead of downloads (window of 4): the device computes tile
-            # s+1 while the host drains tile s over the slow link.
-            tile = max(256, min(n, (1 << 28) // max(1, len(self.clusters))))
+            # Tile size balances the two (tile, C) distance workspaces
+            # (<= ~1 GB each) against top_k width; the tile walk runs as ONE
+            # fused program (fori_loop inside jit), so tile count no longer
+            # costs dispatch round-trips — only workspace HBM.
+            tile = min(n, max(256, (1 << 28) // max(1, len(self.clusters))))
             bt = jnp.float32(self.params.boundary_threshold)
-            pending: List[Tuple[int, jnp.ndarray, jnp.ndarray]] = []
-            tiles = []
-            for s in range(0, n, tile):
-                pending.append(
-                    (
-                        s,
-                        *_final_replica_pass(
-                            self.data[s : s + tile],
-                            jnp.asarray(base[s : s + tile], jnp.int32),
-                            cents,
-                            self.params.metric,
-                            bt,
-                            n_extra,
-                        ),
-                    )
-                )
-                if len(pending) >= 4:
-                    s0, i0, d0 = pending.pop(0)
-                    tiles.append((s0, timed_pull(i0), timed_pull(d0)))
-            for s0, i0, d0 in pending:
-                tiles.append((s0, timed_pull(i0), timed_pull(d0)))
+            idx, dists = _final_replica_pass_fused(
+                self.data,
+                jnp.asarray(base, jnp.int32),
+                cents,
+                self.params.metric,
+                bt,
+                n_extra,
+                tile,
+                -(-n // tile),
+            )
+            tiles = [(0, timed_pull(idx), timed_pull(dists))]
         for s, idx, dists in tiles:
             valid = np.isfinite(dists)
             pts = np.broadcast_to(

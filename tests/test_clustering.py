@@ -164,3 +164,37 @@ def test_initial_k_validation(toy_data):
         ClusteringParams(initial_k=0)
     with pytest.raises(ValueError):
         HierarchicalClustering(_params(initial_k=10), toy_data).fit()
+
+
+def test_fused_replica_pass_matches_tiled_oracle(rng):
+    # The fused fori_loop closure pass must reproduce the per-tile oracle
+    # exactly, including the clamped (overlapping) last window.
+    import jax.numpy as jnp
+
+    from spfresh_tpu.clustering.hierarchical import (
+        _final_replica_pass,
+        _final_replica_pass_fused,
+    )
+
+    n, d, C, n_extra = 333, 16, 37, 3  # n deliberately not a tile multiple
+    X = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    cents = jnp.asarray(rng.standard_normal((C, d)).astype(np.float32))
+    base = jnp.asarray(rng.integers(0, C, n).astype(np.int32))
+    bt = jnp.float32(1.15)
+    for metric in (EUCLIDEAN, MANHATTAN):
+        tile = 128
+        fi, fd = _final_replica_pass_fused(
+            X, base, cents, metric, bt, n_extra, tile, -(-n // tile)
+        )
+        oi_parts, od_parts = [], []
+        for s in range(0, n, tile):
+            oi, od = _final_replica_pass(
+                X[s : s + tile], base[s : s + tile], cents, metric, bt, n_extra
+            )
+            oi_parts.append(np.asarray(oi))
+            od_parts.append(np.asarray(od))
+        oi = np.concatenate(oi_parts)
+        od = np.concatenate(od_parts)
+        valid = np.isfinite(od)
+        np.testing.assert_array_equal(np.asarray(fi)[valid], oi[valid])
+        np.testing.assert_allclose(np.asarray(fd), od, rtol=0, atol=0)
