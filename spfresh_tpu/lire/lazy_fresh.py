@@ -134,6 +134,16 @@ class LazySpFreshIndex:
             try:
                 res = self.protocol.delete(vid, int(pid))
             except LireStorageError:
+                # Stale route: a background split/merge/reassign retired the
+                # posting after we read the reverse index.  Re-resolve the
+                # vector's current homes and tombstone there (fresh.py has
+                # the same fallback for the in-RAM mirror).
+                for other in self.storage.postings_of(vid):
+                    try:
+                        res = self.protocol.delete(vid, int(other))
+                    except LireStorageError:
+                        continue
+                    versions.append(res.version)
                 continue
             versions.append(res.version)
         if not versions:
@@ -153,6 +163,17 @@ class LazySpFreshIndex:
             try:
                 hit_ids, _ = self.storage.mark_deleted_batch(pid, vids)
             except LireStorageError:
+                # Posting retired since the route snapshot (a merge scheduled
+                # earlier in this very loop can land mid-batch): the copies
+                # now live in its successors — the reverse index knows where.
+                for vid in vids:
+                    for other in self.storage.postings_of(vid):
+                        try:
+                            h, _ = self.storage.mark_deleted_batch(other, [vid])
+                        except LireStorageError:
+                            continue
+                        if h:
+                            deleted.add(vid)
                 continue
             deleted.update(hit_ids)
             metrics.inc("lire.delete", len(hit_ids))

@@ -377,3 +377,65 @@ def test_storage_mult_hint_survives_reopen(tmp_path):
     st2 = PackedLireStorage(cfg.output_path)
     assert len(st2.postings_of(7777)) == live_mult
     assert st2.mult_hint() >= live_mult
+
+
+def test_lazy_fresh_randomized_oracle(tmp_path):
+    """Randomized interleaving of insert/delete/flush/compact/reopen against
+    a host oracle of the live set.  After every phase, full-probe search must
+    return the oracle's exact nearest neighbours (recall-1.0 invariant), with
+    no id repeated in a row; reopen and compaction must preserve the set."""
+    cfg, index, data, rng = _build_packed(tmp_path, n=200, dim=8, seed=3)
+    oracle = {}  # vid -> vector
+    for pid in index.postings:
+        ids, vecs = index.postings[pid]
+        for vid, vec in zip(ids, vecs):
+            oracle[int(vid)] = np.asarray(vec, np.float32)
+
+    def check(fresh, nq=4, k=5):
+        live_ids = np.sort(np.fromiter(oracle.keys(), np.int64, len(oracle)))
+        live_vecs = np.stack([oracle[int(v)] for v in live_ids])
+        qs = rng.standard_normal((nq, fresh.dim)).astype(np.float32)
+        ids, dists = fresh.search(qs, k=k, nprobe=fresh.num_clusters)
+        ids = np.asarray(ids)
+        for r in range(nq):
+            row = [int(x) for x in ids[r] if int(x) >= 0]
+            assert len(row) == len(set(row)), f"dup ids in row: {row}"
+            assert set(row) <= set(live_ids.tolist()), "dead/unknown id returned"
+            expect = _brute(live_ids, live_vecs, qs[r], min(k, len(live_ids)))
+            got_d = np.sort(((live_vecs[np.searchsorted(live_ids, row)] - qs[r]) ** 2).sum(1)) if row else []
+            exp_d = np.sort(((live_vecs[np.searchsorted(live_ids, expect)] - qs[r]) ** 2).sum(1))
+            np.testing.assert_allclose(got_d, exp_d[: len(got_d)], rtol=1e-4, atol=1e-5)
+            assert len(row) == len(expect)
+
+    next_id = 10_000
+    fresh = LazySpFreshIndex(str(cfg.output_path), config=cfg)
+    try:
+        for phase in range(6):
+            op = phase % 3
+            if op == 0:  # burst of inserts
+                m = int(rng.integers(8, 40))
+                vecs = rng.standard_normal((m, fresh.dim)).astype(np.float32)
+                vids = list(range(next_id, next_id + m))
+                next_id += m
+                fresh.insert_batch(vecs, vids)
+                for v, vec in zip(vids, vecs):
+                    oracle[v] = vec
+            elif op == 1:  # delete a random subset
+                pool = list(oracle.keys())
+                m = int(rng.integers(4, max(5, len(pool) // 6)))
+                kill = [int(x) for x in rng.choice(pool, size=m, replace=False)]
+                fresh.delete_batch(kill)
+                for v in kill:
+                    oracle.pop(v)
+            else:  # maintenance + compaction
+                fresh.flush()
+                fresh.compact()
+            fresh.flush()
+            check(fresh)
+            if phase == 3:  # crash-free reopen mid-run
+                fresh.close()
+                fresh = LazySpFreshIndex(str(cfg.output_path), config=cfg)
+                assert set(_live_set(fresh.storage).keys()) == set(oracle.keys())
+                check(fresh)
+    finally:
+        fresh.close()
