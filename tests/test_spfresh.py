@@ -189,3 +189,57 @@ def test_flush_self_heals_flagged_partitions(tmp_path):
         assert (
             fresh.pipeline.get_partition_status(99999) == PartitionStatus.READY
         )
+
+
+def test_spfresh_randomized_oracle(tmp_path):
+    """Randomized interleaving of insert/delete/flush against a host oracle
+    of the live set (in-RAM mirror twin of the lazy-path fuzz test): after
+    every phase full-probe search must return the oracle's exact nearest
+    neighbours with no duplicate and no dead ids."""
+    fresh, data, rng = build_fresh(tmp_path, n=200, dim=8, seed=5)
+    oracle = {int(i): data[i] for i in range(len(data))}
+
+    def _brute(live_ids, live_vecs, q, k):
+        d = ((live_vecs - q[None, :]) ** 2).sum(axis=1)
+        return np.sort(d, kind="stable")[:k]
+
+    def check(nq=4, k=5):
+        live_ids = np.sort(np.fromiter(oracle.keys(), np.int64, len(oracle)))
+        live_vecs = np.stack([oracle[int(v)] for v in live_ids])
+        qs = rng.standard_normal((nq, 8)).astype(np.float32)
+        ids, dists = fresh.search(qs, k=k, nprobe=fresh.index.num_clusters)
+        ids = np.asarray(ids)
+        for r in range(nq):
+            row = [int(x) for x in ids[r] if int(x) >= 0]
+            assert len(row) == len(set(row)), f"dup ids in row: {row}"
+            assert set(row) <= set(live_ids.tolist()), "dead/unknown id returned"
+            got_d = np.sort(
+                ((live_vecs[np.searchsorted(live_ids, row)] - qs[r]) ** 2).sum(1)
+            )
+            exp_d = _brute(live_ids, live_vecs, qs[r], min(k, len(live_ids)))
+            np.testing.assert_allclose(got_d, exp_d[: len(got_d)], rtol=1e-4, atol=1e-5)
+            assert len(row) == min(k, len(live_ids))
+
+    next_id = 10_000
+    with fresh:
+        for phase in range(6):
+            op = phase % 3
+            if op == 0:
+                m = int(rng.integers(8, 40))
+                vecs = rng.standard_normal((m, 8)).astype(np.float32)
+                vids = list(range(next_id, next_id + m))
+                next_id += m
+                fresh.insert_batch(vecs, vids)
+                for v, vec in zip(vids, vecs):
+                    oracle[v] = vec
+            elif op == 1:
+                pool = list(oracle.keys())
+                m = int(rng.integers(4, max(5, len(pool) // 6)))
+                kill = [int(x) for x in rng.choice(pool, size=m, replace=False)]
+                fresh.delete_batch(kill)
+                for v in kill:
+                    oracle.pop(v)
+            else:
+                fresh.flush()
+            fresh.flush()
+            check()
