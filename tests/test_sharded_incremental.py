@@ -119,3 +119,64 @@ def test_xla_engine_view_still_rebuilds_correctly(tmp_path, rng):
     ids, vecs = index.postings[c0]
     index.replace_posting(c0, ids[:-1], vecs[:-1])
     _assert_matches_oracle(sharded, index, q)
+
+
+def test_randomized_mutation_interleaving_matches_oracle(tmp_path, rng):
+    """Fuzz the in-place update planner: random interleavings of appends,
+    shrinks, new postings, removals, and overflow-forcing growths must keep
+    the sharded view bit-equal to the single-device xla oracle after every
+    round — including rounds whose planning aborts halfway into a repack
+    (the ADVICE-r2 deferred-snapshot hazard)."""
+    index, data = _build(tmp_path, rng)
+    sharded = ShardedSpannIndex(index, default_mesh(), engine="pallas")
+    q = rng.standard_normal((6, 8)).astype(np.float32)
+    next_id = 100_000
+    for rnd in range(8):
+        cids = sorted(index.postings)
+        op = int(rng.integers(0, 4))
+        if op == 0:  # appends to a few postings
+            for c in rng.choice(cids, size=min(3, len(cids)), replace=False):
+                ids, vecs = index.postings[int(c)]
+                m = int(rng.integers(1, 4))
+                add = rng.standard_normal((m, 8)).astype(np.float32)
+                index.replace_posting(
+                    int(c),
+                    np.concatenate([ids, np.arange(next_id, next_id + m)]),
+                    np.concatenate([vecs, add]),
+                )
+                next_id += m
+        elif op == 1:  # shrink one, grow another in the same dirty set
+            c0, c1 = int(cids[0]), int(cids[-1])
+            ids, vecs = index.postings[c0]
+            if len(ids) > 2:
+                index.replace_posting(c0, ids[:-2], vecs[:-2])
+            ids, vecs = index.postings[c1]
+            add = rng.standard_normal((2, 8)).astype(np.float32)
+            index.replace_posting(
+                c1,
+                np.concatenate([ids, np.arange(next_id, next_id + 2)]),
+                np.concatenate([vecs, add]),
+            )
+            next_id += 2
+        elif op == 2:  # new posting + remove an old one
+            nv = rng.standard_normal((4, 8)).astype(np.float32)
+            index.add_cluster(
+                nv, np.arange(next_id, next_id + 4), nv.mean(axis=0)
+            )
+            next_id += 4
+            if len(cids) > 3:
+                index.remove_cluster(int(cids[1]))
+        else:  # overflow: outgrow the slab width mid-plan
+            view = sharded.padded_view()
+            c0 = int(cids[int(rng.integers(0, len(cids)))])
+            ids, vecs = index.postings[c0]
+            grow = view.pad + 4 - len(ids)
+            if grow > 0:
+                add = rng.standard_normal((grow, 8)).astype(np.float32)
+                index.replace_posting(
+                    c0,
+                    np.concatenate([ids, np.arange(next_id, next_id + grow)]),
+                    np.concatenate([vecs, add]),
+                )
+                next_id += grow
+        _assert_matches_oracle(sharded, index, q)
