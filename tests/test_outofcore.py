@@ -226,3 +226,36 @@ def test_roundtrip_config_dict(tmp_path):
     cfg2 = Config.from_dict(d)
     assert cfg2.build_sample_rows == 3000
     assert cfg2.build_tile_rows == 2048
+
+
+def test_outofcore_artifact_takes_live_updates(tmp_path):
+    """The DEEP-scale pipeline at test scale: out-of-core build -> packed
+    save -> LazySpFreshIndex live inserts/deletes -> compaction, with the
+    full-probe oracle holding at every step (the exact chain the 20M demo
+    runs; the reference can neither build nor update out of core)."""
+    from spfresh_tpu.lire.lazy_fresh import LazySpFreshIndex
+
+    data, q = _corpus(n=6000)
+    cfg = _cfg(tmp_path, build_sample_rows=2000)
+    SpannIndexBuilder(cfg).with_data(data).build(save=True)
+
+    fresh = LazySpFreshIndex(cfg.output_path, config=cfg)
+    try:
+        rng = np.random.default_rng(11)
+        add = (data[:64] + 0.01 * rng.standard_normal((64, data.shape[1]))).astype(
+            np.float32
+        )
+        vids = list(range(500_000, 500_064))
+        fresh.insert_batch(add, vids)
+        ids, dists = fresh.search(add, k=1, nprobe=fresh.num_clusters)
+        assert set(np.asarray(ids)[:, 0].tolist()) == set(vids)
+        fresh.delete_batch(vids[:32])
+        fresh.flush()
+        ids, _ = fresh.search(add[:32], k=3, nprobe=fresh.num_clusters)
+        assert not (set(np.asarray(ids).ravel().tolist()) & set(vids[:32]))
+        fresh.compact()
+        ids, dists = fresh.search(add[32:], k=1, nprobe=fresh.num_clusters)
+        assert set(np.asarray(ids)[:, 0].tolist()) == set(vids[32:])
+        assert np.allclose(np.asarray(dists)[:, 0], 0.0, atol=1e-4)
+    finally:
+        fresh.close()
