@@ -163,10 +163,50 @@ def write_packed_postings(
     with open(path, "wb") as f:
         f.write(PACKED_MAGIC)
         f.write(struct.pack("<iqi", C, P, dim))
-        f.write(cids.tobytes())
-        f.write(offsets.tobytes())
-        f.write(ids.tobytes())
-        f.write(vectors.tobytes())
+        # tofile, not tobytes: no whole-array byte copies (the vector block
+        # is the corpus-scale one).
+        cids.tofile(f)
+        offsets.tofile(f)
+        ids.tofile(f)
+        vectors.tofile(f)
+
+
+def write_packed_postings_streaming(
+    path: str,
+    cluster_ids: Sequence[int],
+    offsets: np.ndarray,
+    ids: np.ndarray,
+    vec_blocks,
+    dim: int,
+) -> None:
+    """Same layout as :func:`write_packed_postings`, but the vector region
+    streams from an iterable of (m_i, dim) float32 blocks in cluster order —
+    the full (P, dim) array never exists in RAM.  This is how a lazily
+    materialized index (posting vectors backed by the build corpus) saves at
+    corpus scale: peak memory is one posting's block, not
+    replication x corpus."""
+    cids = np.ascontiguousarray(cluster_ids, dtype="<i8")
+    offsets = np.ascontiguousarray(offsets, dtype="<i8")
+    ids = np.ascontiguousarray(ids, dtype="<i8")
+    C = cids.shape[0]
+    P = ids.shape[0]
+    if offsets.shape[0] != C + 1 or int(offsets[-1]) != P:
+        raise ValueError("inconsistent CSR arrays")
+    with open(path, "wb") as f:
+        f.write(PACKED_MAGIC)
+        f.write(struct.pack("<iqi", C, P, dim))
+        cids.tofile(f)
+        offsets.tofile(f)
+        ids.tofile(f)
+        written = 0
+        for blk in vec_blocks:
+            blk = np.ascontiguousarray(blk, dtype="<f4")
+            if blk.ndim != 2 or blk.shape[1] != dim:
+                raise ValueError(f"vector block shape {blk.shape} != (*, {dim})")
+            blk.tofile(f)
+            written += blk.shape[0]
+        if written != P:
+            raise ValueError(f"streamed {written} vector rows, expected {P}")
 
 
 def read_packed_postings(path: str, mmap: bool = True):

@@ -42,6 +42,7 @@ from spfresh_tpu.index.posting_store import (
     PointData,
     read_packed_postings,
     write_packed_postings,
+    write_packed_postings_streaming,
 )
 from spfresh_tpu.ops.distances import canonical_metric, pairwise_distance, rowwise_distance
 from spfresh_tpu.ops.topk import centroid_topk, smallest_k, smallest_k_unique
@@ -613,6 +614,12 @@ class _LazyMemberVecs:
         if self._mat is None:
             self._mat = self._corpus[self._ids]
         return self._mat
+
+    def peek(self) -> np.ndarray:
+        """Materialize WITHOUT caching — for streaming consumers (save)
+        that touch every posting once: caching there would accumulate the
+        whole replicated corpus in RAM."""
+        return self._mat if self._mat is not None else self._corpus[self._ids]
 
     def __array__(self, dtype=None, copy=None):
         m = self._m()
@@ -1398,12 +1405,27 @@ class SpannIndex:
                 if cids
                 else np.empty(0, np.int64)
             )
-            vecs = (
-                np.concatenate([self.postings[c][1] for c in cids])
-                if cids
-                else np.empty((0, self.dim or 0), np.float32)
+
+            # Stream the vector region posting by posting: a fresh build's
+            # member vectors are lazy views over the corpus, and a packed
+            # save must not materialize replication x corpus in RAM (a 20M
+            # DEEP-shape save needs ~16 GB live + as much again in
+            # concatenate/tobytes copies the old path made).
+            def _vec_blocks():
+                for c in cids:
+                    v = self.postings[c][1]
+                    yield v.peek() if isinstance(v, _LazyMemberVecs) else np.asarray(
+                        v, np.float32
+                    )
+
+            write_packed_postings_streaming(
+                os.path.join(directory, PACKED_FILE),
+                cids,
+                offsets,
+                ids,
+                _vec_blocks(),
+                self.dim or 0,
             )
-            write_packed_postings(os.path.join(directory, PACKED_FILE), cids, offsets, ids, vecs)
         elif format == "per_cluster":
             store = FileBasedPostingListStore(directory)
             for c in cids:

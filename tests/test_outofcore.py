@@ -259,3 +259,41 @@ def test_outofcore_artifact_takes_live_updates(tmp_path):
         assert np.allclose(np.asarray(dists)[:, 0], 0.0, atol=1e-4)
     finally:
         fresh.close()
+
+
+def test_streaming_packed_save_identical_and_no_cache(tmp_path):
+    """The streaming packed writer must produce byte-identical files to the
+    eager writer, and a save of a lazily-materialized index must not cache
+    posting vectors (RAM = one block, not replication x corpus)."""
+    from spfresh_tpu.index.posting_store import (
+        write_packed_postings,
+        write_packed_postings_streaming,
+    )
+    from spfresh_tpu.index.spann import _LazyMemberVecs
+
+    data, _ = _corpus(n=4000)
+    cfg = _cfg(tmp_path, build_sample_rows=1500)
+    idx = SpannIndexBuilder(cfg).with_data(data).build(save=True)
+
+    # No posting cached its materialized block during save.
+    lazies = [
+        v for _, (i, v) in idx.postings.items() if isinstance(v, _LazyMemberVecs)
+    ]
+    assert lazies, "fresh build should hold lazy member views"
+    assert all(v._mat is None for v in lazies), "save cached posting vectors"
+
+    # Byte equality of the two writers on the same CSR arrays.
+    cids = sorted(idx.postings)
+    lens = np.array([len(idx.postings[c][0]) for c in cids], np.int64)
+    offsets = np.zeros(len(cids) + 1, np.int64)
+    np.cumsum(lens, out=offsets[1:])
+    ids = np.concatenate([idx.postings[c][0] for c in cids])
+    vecs = np.concatenate([np.asarray(idx.postings[c][1], np.float32) for c in cids])
+    pa, pb = str(tmp_path / "a.bin"), str(tmp_path / "b.bin")
+    write_packed_postings(pa, cids, offsets, ids, vecs)
+    write_packed_postings_streaming(
+        pb, cids, offsets, ids,
+        (np.asarray(idx.postings[c][1], np.float32) for c in cids),
+        data.shape[1],
+    )
+    assert open(pa, "rb").read() == open(pb, "rb").read()
