@@ -218,6 +218,22 @@ def _final_replica_pass(X_tile, base_tile, cents, metric: str, boundary_threshol
     return idx, -vals
 
 
+def _use_pallas_replica(metric: str, n_extra: int) -> bool:
+    """Route the closure pass through the Pallas streaming kernel: squared-L2
+    only (L1/Linf have no matmul factorization — they keep the XLA route) and
+    n_extra <= 8 (the kernel's top-k state rides an 8-sublane block).  On
+    TPU it is the default; elsewhere it runs only when forced
+    (SPF_REPLICA_ENGINE=pallas runs it in interpret mode — CI's route)."""
+    import os
+
+    eng = os.environ.get("SPF_REPLICA_ENGINE", "")
+    if eng == "xla":
+        return False
+    if metric != "Euclidean" or n_extra > 8:
+        return False  # structural limits: XLA route
+    return eng == "pallas" or jax.devices()[0].platform == "tpu"
+
+
 @functools.partial(
     jax.jit, static_argnames=("metric", "n_extra", "tile", "n_tiles")
 )
@@ -798,6 +814,22 @@ class HierarchicalClustering:
                 n_extra,
             )
             tiles = [(0, timed_pull(idx)[:n], timed_pull(dists)[:n])]
+        elif _use_pallas_replica(self.params.metric, n_extra):
+            # Pallas streaming scan: the (n, C) distance space never touches
+            # HBM and there is no C-wide top_k — the XLA fused pass below
+            # measured 12.8 s at 1M x 12.5k where the MXU floor is < 1 s
+            # (see ops/pallas/replica.py).
+            from spfresh_tpu.ops.pallas.replica import pallas_replica_topk
+
+            idx, dists = pallas_replica_topk(
+                self.data,
+                jnp.asarray(base, jnp.int32),
+                cents,
+                jnp.float32(self.params.boundary_threshold),
+                n_extra,
+                interpret=jax.devices()[0].platform != "tpu",
+            )
+            tiles = [(0, timed_pull(idx), timed_pull(dists))]
         else:
             # Tile size balances the two (tile, C) distance workspaces
             # (<= ~1 GB each) against top_k width; the tile walk runs as ONE

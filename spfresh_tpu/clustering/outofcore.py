@@ -470,6 +470,13 @@ def _stream_replicas(
         cls_l.append(idx[valid].astype(np.int64))
         d_l.append(dists[valid])
 
+    from spfresh_tpu.clustering.hierarchical import _use_pallas_replica
+
+    use_pallas = _use_pallas_replica(params.metric, n_extra)
+    if use_pallas:
+        from spfresh_tpu.ops.pallas.replica import pallas_replica_topk
+
+        interp = jax.devices()[0].platform != "tpu"
     for s in range(0, n, tile_rows):
         e = min(s + tile_rows, n)
         Xt = _stage_tile(data, s, e, tile_rows, wire)
@@ -482,16 +489,30 @@ def _stream_replicas(
             thresh_t = np.concatenate(
                 [thresh_t, np.full(padr, -np.inf, np.float32)]
             )
-        d0, i0 = _oc_replica_tile(
-            timed_put(Xt).astype(ACCUM_DTYPE),
-            timed_put(base_t),
-            timed_put(thresh_t),
-            cents_dev,
-            params.metric,
-            chunk,
-            C,
-            n_extra,
-        )
+        if use_pallas:
+            # Streaming Pallas scan: no (t, C) workspaces, no C-wide top_k
+            # (ops/pallas/replica.py) — the dominant phase of the measured
+            # 20M out-of-core build was this loop's XLA form.
+            i0, d0 = pallas_replica_topk(
+                timed_put(Xt).astype(ACCUM_DTYPE),
+                timed_put(base_t),
+                cents_dev[:C],  # the chunk padding rows must NOT be admitted
+                jnp.float32(0.0),
+                n_extra,
+                thresh=timed_put(thresh_t),
+                interpret=interp,
+            )
+        else:
+            d0, i0 = _oc_replica_tile(
+                timed_put(Xt).astype(ACCUM_DTYPE),
+                timed_put(base_t),
+                timed_put(thresh_t),
+                cents_dev,
+                params.metric,
+                chunk,
+                C,
+                n_extra,
+            )
         pending.append((s, e, i0, d0))
         if len(pending) >= 4:
             _drain(pending.pop(0))

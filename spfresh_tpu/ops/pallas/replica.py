@@ -1,0 +1,222 @@
+"""Pallas TPU kernel: the SPANN closure-replica pass as one streaming scan.
+
+For every corpus point p with base cluster b, the closure rule
+(/root/reference/src/clustering/hierarchical.rs:328-346) admits cluster j as
+a replica when
+
+    dist(p, c_j) < bt * dist(p, c_b)   AND   dist(c_b, c_j) >= dist(p, c_j)
+
+and the pass keeps the ``n_extra`` nearest admitted clusters per point.  The
+XLA formulation (``_final_replica_pass_fused``) materializes (tile, C)
+distance and centroid-centroid workspaces in HBM and runs ``lax.top_k`` over
+C columns — at 1M x 12.5k that is ~100 GB of HBM traffic and a C-wide sort
+per row for ~3 TFLOP of actual matmul work, measured at 12.8 s where the
+MXU-bound floor is well under a second.
+
+This kernel streams centroid chunks through VMEM instead and keeps a running
+top-``n_extra`` per point, so the (n, C) distance space never touches HBM:
+
+  grid (Npad/BR, Cpad/CT), centroid axis minor.  Per step two MXU dots
+  produce the transposed (CT, BR) point-centroid and basecentroid-centroid
+  distance tiles via the |x|^2+|y|^2-2xy expansion (norms are precomputed
+  1-lane vectors — in-kernel lane-axis add-reduces are the slow VPU path,
+  see pairwise.py); eligibility is elementwise; the running top-``n_extra``
+  (values AND centroid ids) lives in the revisited (8, BR) output block and
+  merges with each chunk's selection by ``n_extra`` sublane-axis min rounds.
+
+Tie semantics match ``lax.top_k`` on the negated distances: ascending
+distance, equal distances resolve to the lower centroid id (chunks are
+scanned in ascending id order and every min round breaks ties by id).
+
+Euclidean only: L1/Linf have no matmul factorization, so their replica pass
+keeps the XLA route (pairwise.py's elementwise kernel serves their search
+path).  Missing replicas (fewer than ``n_extra`` eligible clusters) carry
+distance +inf and an arbitrary id — callers filter by ``isfinite`` exactly
+as with the XLA pass.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_BR = 256   # corpus rows per block (lane axis of every elementwise tile)
+_CT = 512   # centroid rows per step (sublane axis)
+_NE8 = 8    # output sublane rows (top-n_extra state, n_extra <= 8)
+_IBIG = 2**31 - 1  # python int: jnp constants would be captured by the kernel
+
+
+def _select_rounds(d, i, ne: int):
+    """``ne`` rounds of (sublane-min, tie-break by lower id) selection over
+    (rows, BR) value/id tiles.  Returns ((ne, BR) values, (ne, BR) ids),
+    ascending; exhausted lanes yield (+inf, whatever id survived)."""
+    outs_d, outs_i = [], []
+    for _ in range(ne):
+        v = jnp.min(d, axis=0, keepdims=True)                      # (1, BR)
+        at = d == v
+        sel = jnp.min(jnp.where(at, i, _IBIG), axis=0, keepdims=True)
+        outs_d.append(v)
+        outs_i.append(sel)
+        d = jnp.where(at & (i == sel), jnp.inf, d)
+    return jnp.concatenate(outs_d, axis=0), jnp.concatenate(outs_i, axis=0)
+
+
+def _make_kernel(C: int, ne: int, highest: bool):
+    prec = jax.lax.Precision.HIGHEST if highest else None
+
+    def kernel(bt_ref, x_ref, cb_ref, x2_ref, cb2_ref, db_ref, base_ref,
+               c_ref, od_ref, oi_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            od_ref[...] = jnp.full((_NE8, _BR), jnp.inf, jnp.float32)
+            oi_ref[...] = jnp.full((_NE8, _BR), -1, jnp.int32)
+
+        c = c_ref[...]                    # (CT, d') storage dtype
+        x = x_ref[...]                    # (BR, d')
+        cb = cb_ref[...]                  # (BR, d') base-centroid rows
+        x2 = x2_ref[...]                  # (1, BR) f32 |p|^2
+        cb2 = cb2_ref[...]                # (1, BR) f32 |c_b|^2
+        db = db_ref[...]                  # (1, BR) f32 dist(p, c_b)
+        base = base_ref[...]              # (1, BR) int32
+        bt = bt_ref[0, 0]
+
+        # Transposed tiles: BR on lanes, CT on sublanes — every reduce below
+        # runs down sublanes (the fast VPU direction).  |c_j|^2 is the one
+        # lane-axis reduce (slow direction) but it is (CT, d') once per step,
+        # and the keepdims form lands it directly in the (CT, 1) layout the
+        # broadcast needs — no relayout.
+        cf = c.astype(jnp.float32)
+        cn2 = jnp.sum(cf * cf, axis=1, keepdims=True)   # (CT, 1)
+        dims = (((1,), (1,)), ((), ()))
+        dxc = jax.lax.dot_general(
+            c, x, dimension_numbers=dims,
+            preferred_element_type=jnp.float32, precision=prec,
+        )                                  # (CT, BR)  c_j . p
+        dcc = jax.lax.dot_general(
+            c, cb, dimension_numbers=dims,
+            preferred_element_type=jnp.float32, precision=prec,
+        )                                  # (CT, BR)  c_j . c_b
+        D = jnp.maximum(cn2 + x2 - 2.0 * dxc, 0.0)
+        CC = jnp.maximum(cn2 + cb2 - 2.0 * dcc, 0.0)
+
+        cols = j * _CT + jax.lax.broadcasted_iota(jnp.int32, (_CT, _BR), 0)
+        eligible = (D < bt * db) & (CC >= D) & (cols != base) & (cols < C)
+        Dm = jnp.where(eligible, D, jnp.inf)
+
+        cd, ci = _select_rounds(Dm, cols, ne)          # chunk top-ne
+        pd, pi = od_ref[...], oi_ref[...]
+        md, mi = _select_rounds(                        # merge with running
+            jnp.concatenate([pd[:ne], cd], axis=0),
+            jnp.concatenate([pi[:ne], ci], axis=0),
+            ne,
+        )
+        od_ref[...] = jnp.concatenate(
+            [md, jnp.full((_NE8 - ne, _BR), jnp.inf, jnp.float32)], axis=0
+        )
+        oi_ref[...] = jnp.concatenate(
+            [mi, jnp.full((_NE8 - ne, _BR), -1, jnp.int32)], axis=0
+        )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_extra", "interpret", "has_thresh")
+)
+def _replica_topk_impl(
+    X, base, cents, bt, thresh, n_extra: int, interpret: bool,
+    has_thresh: bool,
+):
+    n, d = X.shape
+    C = cents.shape[0]
+    d_pad = ((d + 127) // 128) * 128
+    n_pad = ((n + _BR - 1) // _BR) * _BR
+    c_pad = ((C + _CT - 1) // _CT) * _CT
+
+    Xp = jnp.zeros((n_pad, d_pad), X.dtype).at[:n, :d].set(X)
+    Cp = jnp.zeros((c_pad, d_pad), cents.dtype).at[:C, :d].set(cents)
+    bp = jnp.zeros((1, n_pad), jnp.int32).at[0, :n].set(base.astype(jnp.int32))
+    Cb = jnp.take(Cp[:C], bp[0, :], axis=0)            # (n_pad, d') base rows
+
+    xf = Xp.astype(jnp.float32)
+    cbf = Cb.astype(jnp.float32)
+    x2 = jnp.sum(xf * xf, axis=1)[None, :]              # (1, n_pad)
+    cb2 = jnp.sum(cbf * cbf, axis=1)[None, :]           # (1, n_pad)
+    prec = None if X.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    if has_thresh:
+        # Caller supplies the admission threshold directly (bt folded in);
+        # padding rows admit nothing.
+        db = jnp.full((1, n_pad), -jnp.inf, jnp.float32).at[0, :n].set(
+            thresh.astype(jnp.float32)
+        )
+        btq = jnp.ones((1, 1), jnp.float32)
+    else:
+        # dist(p, c_b) in the same expansion arithmetic the tiles use.
+        dxb = jax.lax.dot_general(
+            Xp, Cb, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32, precision=prec,
+        )[None, :]                                      # (1, n_pad) p . c_b
+        db = jnp.maximum(x2 + cb2 - 2.0 * dxb, 0.0)
+        btq = jnp.asarray(bt, jnp.float32).reshape(1, 1)
+
+    od, oi = pl.pallas_call(
+        _make_kernel(C, n_extra, highest=prec is not None),
+        grid=(n_pad // _BR, c_pad // _CT),  # centroid axis minor: streams C
+        in_specs=[
+            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((_BR, d_pad), lambda i, j: (i, 0)),
+            pl.BlockSpec((_BR, d_pad), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, _BR), lambda i, j: (0, i)),
+            pl.BlockSpec((1, _BR), lambda i, j: (0, i)),
+            pl.BlockSpec((1, _BR), lambda i, j: (0, i)),
+            pl.BlockSpec((1, _BR), lambda i, j: (0, i)),
+            pl.BlockSpec((_CT, d_pad), lambda i, j: (j, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((_NE8, _BR), lambda i, j: (0, i)),
+            pl.BlockSpec((_NE8, _BR), lambda i, j: (0, i)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((_NE8, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((_NE8, n_pad), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * n_pad * c_pad * d_pad,
+            bytes_accessed=2 * n_pad * d_pad * X.dtype.itemsize
+            + (n_pad // _BR) * c_pad * d_pad * cents.dtype.itemsize
+            + 2 * _NE8 * n_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(btq, Xp, Cb, x2, cb2, db, bp, Cp)
+    return oi[:n_extra, :n].T, od[:n_extra, :n].T
+
+
+def pallas_replica_topk(
+    X: jax.Array,       # (n, d) storage dtype (f32 or bf16)
+    base: jax.Array,    # (n,) int32 base cluster per point
+    cents: jax.Array,   # (C, d) storage dtype
+    bt,                 # boundary_threshold (scalar; ignored with thresh=)
+    n_extra: int,
+    thresh: jax.Array | None = None,  # (n,) f32 bt*d_base, overrides bt*db
+    interpret: bool = False,
+):
+    """Top-``n_extra`` closure replicas per point (squared-L2 metric).
+    Returns (idx (n, n_extra) int32, dists (n, n_extra) f32 ascending);
+    missing replicas are (arbitrary id, +inf) — filter by ``isfinite``.
+    ``thresh`` (the out-of-core contract, outofcore._oc_replica_tile)
+    supplies the admission bound directly instead of bt * dist(p, c_base)."""
+    assert 1 <= n_extra <= _NE8, n_extra
+    z = jnp.zeros((X.shape[0],), jnp.float32)
+    return _replica_topk_impl(
+        X, base, cents,
+        jnp.float32(0.0) if thresh is not None else bt,
+        thresh if thresh is not None else z,
+        n_extra, interpret, thresh is not None,
+    )

@@ -1,0 +1,167 @@
+"""Pallas closure-replica kernel (ops/pallas/replica.py) vs the XLA oracle.
+
+The kernel is the TPU default for the Euclidean replica pass (both the
+in-core `_finalize_replication` and the out-of-core `_stream_replicas`); the
+XLA fused pass stays the oracle and the route for L1/Linf.  CI runs the real
+kernel body through interpret mode, like the other Pallas kernels here.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from spfresh_tpu.clustering.hierarchical import (
+    _final_replica_pass,
+    _use_pallas_replica,
+)
+from spfresh_tpu.ops.pallas.replica import pallas_replica_topk
+
+
+def _case(seed, n, C, d, dtype):
+    rng = np.random.default_rng(seed)
+    X = rng.standard_normal((n, d)).astype(np.float32)
+    cents = X[rng.integers(0, n, C)] + 0.1 * rng.standard_normal(
+        (C, d)
+    ).astype(np.float32)
+    base = rng.integers(0, C, n).astype(np.int32)
+    if dtype == "bfloat16":
+        import ml_dtypes
+
+        X = X.astype(ml_dtypes.bfloat16)
+        cents = cents.astype(ml_dtypes.bfloat16)
+    return jnp.asarray(X), jnp.asarray(base), jnp.asarray(cents)
+
+
+@pytest.mark.parametrize(
+    "n,C,d,ne,dtype",
+    [
+        (500, 37, 19, 3, "float32"),      # nothing aligned to BR/CT/128
+        (300, 130, 64, 7, "float32"),
+        (700, 600, 33, 1, "float32"),     # C spans >1 centroid chunk
+        (256, 512, 128, 8, "float32"),    # exactly one block each
+        (400, 50, 128, 3, "bfloat16"),
+        (513, 700, 96, 4, "bfloat16"),
+    ],
+)
+def test_matches_xla_oracle(n, C, d, ne, dtype):
+    X, base, cents = _case(42, n, C, d, dtype)
+    bt = 1.3
+    oi, od = _final_replica_pass(
+        X, base, cents, "Euclidean", jnp.float32(bt), ne
+    )
+    ki, kd = pallas_replica_topk(X, base, cents, bt, ne, interpret=True)
+    oi, od, ki, kd = map(np.asarray, (oi, od, ki, kd))
+    fin = np.isfinite(od)
+    assert np.array_equal(fin, np.isfinite(kd))
+    # Summation-tree differences (padded-width dots) allow rounding-grade
+    # distance deviation; ids may legitimately swap only on such near-ties.
+    idx_eq = oi[fin] == ki[fin]
+    if not idx_eq.all():
+        assert np.allclose(od[fin][~idx_eq], kd[fin][~idx_eq], rtol=1e-4)
+        assert idx_eq.mean() > 0.999
+    np.testing.assert_allclose(od[fin], kd[fin], rtol=3e-4, atol=1e-5)
+
+
+def test_thresh_contract_matches_internal_db():
+    """thresh = bt * dist(p, c_base) computed with the same expansion must
+    reproduce the internal-db route exactly (the out-of-core caller's
+    contract)."""
+    X, base, cents = _case(7, 400, 64, 48, "float32")
+    bt = 1.25
+    xf, cf = jnp.float32, X.astype(jnp.float32)
+    cb = cents.astype(jnp.float32)[base]
+    db = jnp.maximum(
+        jnp.sum(cf * cf, axis=1)
+        + jnp.sum(cb * cb, axis=1)
+        - 2.0
+        * jax.lax.dot_general(
+            X, cents[base],
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        ),
+        0.0,
+    )
+    i1, d1 = pallas_replica_topk(X, base, cents, bt, 3, interpret=True)
+    i2, d2 = pallas_replica_topk(
+        X, base, cents, 0.0, 3, thresh=bt * db, interpret=True
+    )
+    fin = np.isfinite(np.asarray(d1))
+    assert np.array_equal(fin, np.isfinite(np.asarray(d2)))
+    assert np.array_equal(np.asarray(i1)[fin], np.asarray(i2)[fin])
+    np.testing.assert_allclose(
+        np.asarray(d1)[fin], np.asarray(d2)[fin], rtol=1e-6
+    )
+
+
+def test_duplicate_heavy_invariants():
+    """Ties everywhere (8 distinct rows repeated): the kernel must stay a
+    valid closure pass — ascending distances, no duplicate ids per row,
+    never the base id, eligibility holds in f64 up to f32 tie tolerance."""
+    rng = np.random.default_rng(3)
+    protos = rng.standard_normal((8, 24)).astype(np.float32)
+    X = protos[rng.integers(0, 8, 320)]
+    cents = protos[rng.integers(0, 8, 40)] * 1.01
+    base = rng.integers(0, 40, 320).astype(np.int32)
+    bt = 1.5
+    ki, kd = pallas_replica_topk(
+        jnp.asarray(X), jnp.asarray(base), jnp.asarray(cents), bt, 4,
+        interpret=True,
+    )
+    ki, kd = np.asarray(ki), np.asarray(kd)
+    fin = np.isfinite(kd)
+    # Ascending, finite-prefix rows.
+    with np.errstate(invalid="ignore"):
+        assert np.all(np.diff(kd, axis=1)[fin[:, 1:]] >= 0)
+    assert np.all(fin[:, :-1] | ~fin[:, 1:])  # inf only as a suffix
+    Xd, Cd = X.astype(np.float64), np.asarray(cents, np.float64)
+    for r in np.nonzero(fin.any(axis=1))[0][:64]:
+        ids = ki[r][fin[r]]
+        assert len(set(ids.tolist())) == len(ids)
+        assert base[r] not in ids
+        db = ((Xd[r] - Cd[base[r]]) ** 2).sum()
+        for j, dv in zip(ids, kd[r][fin[r]]):
+            dj = ((Xd[r] - Cd[j]) ** 2).sum()
+            cc = ((Cd[base[r]] - Cd[j]) ** 2).sum()
+            assert dj < bt * db * (1 + 1e-4)
+            assert cc >= dj * (1 - 1e-4)
+            assert abs(dj - dv) <= 1e-3 * max(1.0, dj)
+
+
+def test_engine_selection(monkeypatch):
+    monkeypatch.delenv("SPF_REPLICA_ENGINE", raising=False)
+    on_tpu = jax.devices()[0].platform == "tpu"
+    assert _use_pallas_replica("Euclidean", 3) == on_tpu
+    assert not _use_pallas_replica("Manhattan", 3)
+    assert not _use_pallas_replica("Euclidean", 9)
+    monkeypatch.setenv("SPF_REPLICA_ENGINE", "pallas")
+    assert _use_pallas_replica("Euclidean", 3)
+    monkeypatch.setenv("SPF_REPLICA_ENGINE", "xla")
+    assert not _use_pallas_replica("Euclidean", 3)
+
+
+def test_build_with_pallas_replica_pass(monkeypatch, tmp_path):
+    """End-to-end: a build routed through the kernel (interpret mode on CPU)
+    yields a valid index — full-probe recall exactly 1.0, dedup invariant."""
+    monkeypatch.setenv("SPF_REPLICA_ENGINE", "pallas")
+    from spfresh_tpu.index.builder import SpannIndexBuilder
+    from spfresh_tpu.index.config import Config
+
+    rng = np.random.default_rng(11)
+    data = rng.standard_normal((800, 24)).astype(np.float32)
+    cfg = Config.from_dict(
+        {
+            "index_directory": str(tmp_path / "idx"),
+            "clustering": {"desired_cluster_size": 40, "rng_seed": 5},
+        }
+    )
+    idx = SpannIndexBuilder(cfg).with_data(data).build(save=False)
+    q = data[:32]
+    ids, dists = idx.search(q, 10, nprobe=idx.num_clusters, engine="xla")
+    ids = np.asarray(ids)
+    assert np.all(ids[:, 0] == np.arange(32))
+    assert np.allclose(np.asarray(dists)[:, 0], 0.0, atol=1e-5)
+    for row in ids:
+        real = row[row >= 0]
+        assert len(set(real.tolist())) == len(real)
