@@ -231,6 +231,10 @@ def _use_pallas_replica(metric: str, n_extra: int) -> bool:
         return False
     if metric != "Euclidean" or n_extra > 8:
         return False  # structural limits: XLA route
+    from spfresh_tpu.ops.pallas import replica as _rk
+
+    if not _rk.available():  # a real-device compile failure was recorded
+        return False
     return eng == "pallas" or jax.devices()[0].platform == "tpu"
 
 
@@ -767,6 +771,29 @@ class HierarchicalClustering:
             if 0 <= rows[j] < n:
                 c.centroid_idx = int(rows[j])
 
+    def _replica_pass_xla(self, base, cents, n_extra: int):
+        """The XLA fused closure pass (oracle + L1/Linf + fallback route).
+        Tile size balances the two (tile, C) distance workspaces (<= ~1 GB
+        each) against top_k width; the tile walk runs as ONE fused program
+        (fori_loop inside jit), so tile count costs only workspace HBM, not
+        dispatch round-trips."""
+        from spfresh_tpu.utils.xfer import timed_pull
+
+        n = self._n
+        tile = min(n, max(256, (1 << 28) // max(1, len(self.clusters))))
+        bt = jnp.float32(self.params.boundary_threshold)
+        idx, dists = _final_replica_pass_fused(
+            self.data,
+            jnp.asarray(base, jnp.int32),
+            cents,
+            self.params.metric,
+            bt,
+            n_extra,
+            tile,
+            -(-n // tile),
+        )
+        return [(0, timed_pull(idx), timed_pull(dists))]
+
     def _finalize_replication(self) -> None:
         """SPANN multi-replica assignment: one global closure pass adding at
         most max_replicas - 1 replicas per point on top of its base cluster."""
@@ -819,35 +846,25 @@ class HierarchicalClustering:
             # HBM and there is no C-wide top_k — the XLA fused pass below
             # measured 12.8 s at 1M x 12.5k where the MXU floor is < 1 s
             # (see ops/pallas/replica.py).
-            from spfresh_tpu.ops.pallas.replica import pallas_replica_topk
+            from spfresh_tpu.ops.pallas import replica as _rk
 
-            idx, dists = pallas_replica_topk(
-                self.data,
-                jnp.asarray(base, jnp.int32),
-                cents,
-                jnp.float32(self.params.boundary_threshold),
-                n_extra,
-                interpret=jax.devices()[0].platform != "tpu",
-            )
-            tiles = [(0, timed_pull(idx), timed_pull(dists))]
+            try:
+                idx, dists = _rk.pallas_replica_topk(
+                    self.data,
+                    jnp.asarray(base, jnp.int32),
+                    cents,
+                    jnp.float32(self.params.boundary_threshold),
+                    n_extra,
+                    interpret=jax.devices()[0].platform != "tpu",
+                )
+                tiles = [(0, timed_pull(idx), timed_pull(dists))]
+            except Exception:  # Mosaic compile failure: XLA route instead
+                _rk.mark_unavailable()
+                tiles = None
+            if tiles is None:
+                tiles = self._replica_pass_xla(base, cents, n_extra)
         else:
-            # Tile size balances the two (tile, C) distance workspaces
-            # (<= ~1 GB each) against top_k width; the tile walk runs as ONE
-            # fused program (fori_loop inside jit), so tile count no longer
-            # costs dispatch round-trips — only workspace HBM.
-            tile = min(n, max(256, (1 << 28) // max(1, len(self.clusters))))
-            bt = jnp.float32(self.params.boundary_threshold)
-            idx, dists = _final_replica_pass_fused(
-                self.data,
-                jnp.asarray(base, jnp.int32),
-                cents,
-                self.params.metric,
-                bt,
-                n_extra,
-                tile,
-                -(-n // tile),
-            )
-            tiles = [(0, timed_pull(idx), timed_pull(dists))]
+            tiles = self._replica_pass_xla(base, cents, n_extra)
         for s, idx, dists in tiles:
             valid = np.isfinite(dists)
             pts = np.broadcast_to(

@@ -302,14 +302,38 @@ def _stream_base(
         base[s0:e0] = timed_pull(b0)[: e0 - s0]
         db[s0:e0] = timed_pull(d0)[: e0 - s0]
 
+    from spfresh_tpu.clustering.hierarchical import _use_pallas_replica
+
+    use_pallas = _use_pallas_replica(metric, 1)
+    if use_pallas:
+        from spfresh_tpu.ops.pallas.replica import pallas_nearest_centroid
+
+        interp = jax.devices()[0].platform != "tpu"
     # Uniform tile shapes: pad the ragged last tile so every dispatch hits
     # the same compiled program; dispatches run ahead of pulls (window 4).
     for s in range(0, n, tile_rows):
         e = min(s + tile_rows, n)
         Xt = _stage_tile(data, s, e, tile_rows, wire)
-        b_i, d_i = _oc_base_tile(
-            timed_put(Xt).astype(ACCUM_DTYPE), cents_dev, metric, chunk, C
-        )
+        if use_pallas:
+            # Streaming Pallas argmin (ops/pallas/replica.py): the XLA tile
+            # below materializes (tile, chunk) distance workspaces in HBM
+            # per chunk — at 20M x 233k that phase measured 298 s for ~10 s
+            # of MXU work.
+            try:
+                b_i, d_i = pallas_nearest_centroid(
+                    timed_put(Xt).astype(ACCUM_DTYPE),
+                    cents_dev[:C],
+                    interpret=interp,
+                )
+            except Exception:  # Mosaic compile failure: XLA route instead
+                from spfresh_tpu.ops.pallas import replica as _rk
+
+                _rk.mark_unavailable()
+                use_pallas = False
+        if not use_pallas:
+            b_i, d_i = _oc_base_tile(
+                timed_put(Xt).astype(ACCUM_DTYPE), cents_dev, metric, chunk, C
+            )
         pending.append((s, e, b_i, d_i))
         if len(pending) >= 4:
             _drain(pending.pop(0))
@@ -493,16 +517,22 @@ def _stream_replicas(
             # Streaming Pallas scan: no (t, C) workspaces, no C-wide top_k
             # (ops/pallas/replica.py) — the dominant phase of the measured
             # 20M out-of-core build was this loop's XLA form.
-            i0, d0 = pallas_replica_topk(
-                timed_put(Xt).astype(ACCUM_DTYPE),
-                timed_put(base_t),
-                cents_dev[:C],  # the chunk padding rows must NOT be admitted
-                jnp.float32(0.0),
-                n_extra,
-                thresh=timed_put(thresh_t),
-                interpret=interp,
-            )
-        else:
+            try:
+                i0, d0 = pallas_replica_topk(
+                    timed_put(Xt).astype(ACCUM_DTYPE),
+                    timed_put(base_t),
+                    cents_dev[:C],  # chunk padding rows must NOT be admitted
+                    jnp.float32(0.0),
+                    n_extra,
+                    thresh=timed_put(thresh_t),
+                    interpret=interp,
+                )
+            except Exception:  # Mosaic compile failure: XLA route instead
+                from spfresh_tpu.ops.pallas import replica as _rk
+
+                _rk.mark_unavailable()
+                use_pallas = False
+        if not use_pallas:
             d0, i0 = _oc_replica_tile(
                 timed_put(Xt).astype(ACCUM_DTYPE),
                 timed_put(base_t),

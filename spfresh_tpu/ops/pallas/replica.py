@@ -49,6 +49,20 @@ _CT = 512   # centroid rows per step (sublane axis)
 _NE8 = 8    # output sublane rows (top-n_extra state, n_extra <= 8)
 _IBIG = 2**31 - 1  # python int: jnp constants would be captured by the kernel
 
+# Set by mark_unavailable() after a real-device compile failure: callers
+# fall back to the XLA route for the rest of the process instead of
+# crashing every subsequent tile/build on the same Mosaic error.
+_UNAVAILABLE = False
+
+
+def mark_unavailable() -> None:
+    global _UNAVAILABLE
+    _UNAVAILABLE = True
+
+
+def available() -> bool:
+    return not _UNAVAILABLE
+
 
 def _select_rounds(d, i, ne: int):
     """``ne`` rounds of (sublane-min, tie-break by lower id) selection over
@@ -196,6 +210,95 @@ def _replica_topk_impl(
         interpret=interpret,
     )(btq, Xp, Cb, x2, cb2, db, bp, Cp)
     return oi[:n_extra, :n].T, od[:n_extra, :n].T
+
+
+def _make_assign_kernel(C: int, highest: bool):
+    prec = jax.lax.Precision.HIGHEST if highest else None
+
+    def kernel(x_ref, x2_ref, c_ref, od_ref, oi_ref):
+        j = pl.program_id(1)
+
+        @pl.when(j == 0)
+        def _():
+            od_ref[...] = jnp.full((_NE8, _BR), jnp.inf, jnp.float32)
+            oi_ref[...] = jnp.full((_NE8, _BR), -1, jnp.int32)
+
+        c = c_ref[...]
+        x = x_ref[...]
+        x2 = x2_ref[...]
+        cf = c.astype(jnp.float32)
+        cn2 = jnp.sum(cf * cf, axis=1, keepdims=True)   # (CT, 1)
+        dxc = jax.lax.dot_general(
+            c, x, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )                                                # (CT, BR)
+        D = jnp.maximum(cn2 + x2 - 2.0 * dxc, 0.0)
+        cols = j * _CT + jax.lax.broadcasted_iota(jnp.int32, (_CT, _BR), 0)
+        Dm = jnp.where(cols < C, D, jnp.inf)
+        cd, ci = _select_rounds(Dm, cols, 1)
+        pd, pi = od_ref[...], oi_ref[...]
+        md, mi = _select_rounds(
+            jnp.concatenate([pd[:1], cd], axis=0),
+            jnp.concatenate([pi[:1], ci], axis=0),
+            1,
+        )
+        od_ref[...] = jnp.concatenate(
+            [md, jnp.full((_NE8 - 1, _BR), jnp.inf, jnp.float32)], axis=0
+        )
+        oi_ref[...] = jnp.concatenate(
+            [mi, jnp.full((_NE8 - 1, _BR), -1, jnp.int32)], axis=0
+        )
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def pallas_nearest_centroid(
+    X: jax.Array,       # (n, d) storage dtype (f32 or bf16)
+    cents: jax.Array,   # (C, d) storage dtype
+    interpret: bool = False,
+):
+    """Nearest centroid per row (squared-L2): (base (n,) int32, db (n,) f32).
+    The streaming-argmin sibling of the replica kernel — the out-of-core
+    base-assignment (`outofcore._oc_base_tile`) materializes (tile, chunk)
+    distance workspaces in HBM per chunk; this never leaves VMEM.  Ties
+    break to the lowest centroid id (the `_oc_base_tile` contract)."""
+    n, d = X.shape
+    C = cents.shape[0]
+    d_pad = ((d + 127) // 128) * 128
+    n_pad = ((n + _BR - 1) // _BR) * _BR
+    c_pad = ((C + _CT - 1) // _CT) * _CT
+    Xp = jnp.zeros((n_pad, d_pad), X.dtype).at[:n, :d].set(X)
+    Cp = jnp.zeros((c_pad, d_pad), cents.dtype).at[:C, :d].set(cents)
+    xf = Xp.astype(jnp.float32)
+    x2 = jnp.sum(xf * xf, axis=1)[None, :]
+    prec = None if X.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
+    od, oi = pl.pallas_call(
+        _make_assign_kernel(C, highest=prec is not None),
+        grid=(n_pad // _BR, c_pad // _CT),
+        in_specs=[
+            pl.BlockSpec((_BR, d_pad), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, _BR), lambda i, j: (0, i)),
+            pl.BlockSpec((_CT, d_pad), lambda i, j: (j, 0)),
+        ],
+        out_specs=(
+            pl.BlockSpec((_NE8, _BR), lambda i, j: (0, i)),
+            pl.BlockSpec((_NE8, _BR), lambda i, j: (0, i)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((_NE8, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct((_NE8, n_pad), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * n_pad * c_pad * d_pad,
+            bytes_accessed=n_pad * d_pad * X.dtype.itemsize
+            + (n_pad // _BR) * c_pad * d_pad * cents.dtype.itemsize
+            + 2 * _NE8 * n_pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(Xp, x2, Cp)
+    return oi[0, :n], od[0, :n]
 
 
 def pallas_replica_topk(

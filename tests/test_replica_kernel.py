@@ -129,6 +129,34 @@ def test_duplicate_heavy_invariants():
             assert abs(dj - dv) <= 1e-3 * max(1.0, dj)
 
 
+@pytest.mark.parametrize(
+    "n,C,d,dtype",
+    [(500, 37, 19, "float32"), (300, 1100, 64, "float32"),
+     (700, 90, 48, "bfloat16")],
+)
+def test_nearest_centroid_matches_oc_tile(n, C, d, dtype):
+    """The streaming-argmin kernel vs the out-of-core base-assign oracle
+    (`_oc_base_tile`): same nearest ids (ties to lowest id), same distances
+    up to summation-tree rounding."""
+    from spfresh_tpu.clustering.outofcore import _oc_base_tile, _pad_cents
+    from spfresh_tpu.ops.pallas.replica import pallas_nearest_centroid
+
+    X, _, cents = _case(9, n, C, d, dtype)
+    Xf = X.astype(jnp.float32)
+    cents_p, chunk = _pad_cents(np.asarray(cents, np.float32), 512)
+    ob, od = _oc_base_tile(
+        Xf, jnp.asarray(cents_p), "Euclidean", chunk, C
+    )
+    kb, kd = pallas_nearest_centroid(Xf, cents.astype(jnp.float32),
+                                     interpret=True)
+    ob, od, kb, kd = map(np.asarray, (ob, od, kb, kd))
+    idx_eq = ob == kb
+    if not idx_eq.all():  # only near-tie rounding may swap winners
+        assert np.allclose(od[~idx_eq], kd[~idx_eq], rtol=1e-4)
+        assert idx_eq.mean() > 0.999
+    np.testing.assert_allclose(od, kd, rtol=3e-4, atol=1e-5)
+
+
 def test_engine_selection(monkeypatch):
     monkeypatch.delenv("SPF_REPLICA_ENGINE", raising=False)
     on_tpu = jax.devices()[0].platform == "tpu"
@@ -139,6 +167,36 @@ def test_engine_selection(monkeypatch):
     assert _use_pallas_replica("Euclidean", 3)
     monkeypatch.setenv("SPF_REPLICA_ENGINE", "xla")
     assert not _use_pallas_replica("Euclidean", 3)
+
+
+def test_compile_failure_falls_back_to_xla(monkeypatch, tmp_path):
+    """A Mosaic compile failure on the real device must not crash the build:
+    the call site records it and reroutes to the XLA pass."""
+    import spfresh_tpu.ops.pallas.replica as rk
+
+    monkeypatch.setenv("SPF_REPLICA_ENGINE", "pallas")
+    monkeypatch.setattr(rk, "_UNAVAILABLE", False)
+
+    def boom(*a, **k):
+        raise RuntimeError("Mosaic says no")
+
+    monkeypatch.setattr(rk, "pallas_replica_topk", boom)
+    from spfresh_tpu.index.builder import SpannIndexBuilder
+    from spfresh_tpu.index.config import Config
+
+    rng = np.random.default_rng(13)
+    data = rng.standard_normal((600, 16)).astype(np.float32)
+    cfg = Config.from_dict(
+        {
+            "index_directory": str(tmp_path / "idx"),
+            "clustering": {"desired_cluster_size": 50, "rng_seed": 2},
+        }
+    )
+    idx = SpannIndexBuilder(cfg).with_data(data).build(save=False)
+    assert not rk.available()  # failure recorded -> future calls skip pallas
+    ids, _ = idx.search(data[:8], 5, nprobe=idx.num_clusters, engine="xla")
+    assert np.all(np.asarray(ids)[:, 0] == np.arange(8))
+    monkeypatch.setattr(rk, "_UNAVAILABLE", False)
 
 
 def test_build_with_pallas_replica_pass(monkeypatch, tmp_path):
