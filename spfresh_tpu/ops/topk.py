@@ -95,6 +95,35 @@ def smallest_k(dists: jnp.ndarray, k: int):
     return -neg, idx
 
 
+@functools.partial(jax.jit, static_argnames=("k",))
+def smallest_k_rounds(dists: jnp.ndarray, k: int):
+    """Exact ``smallest_k`` via k masked argmin rounds instead of a sort.
+
+    Identical contract and tie semantics (equal values resolve to the lower
+    index — argmin's first occurrence matches ``lax.top_k``); 2 reduce
+    passes + 1 select over the row per round, so it wins when k is small
+    relative to n (the stage-1 probe shape: nprobe <= ~16 over C ~ 10^4
+    columns, where a sort-based top_k pays O(n log n) compare passes).
+    benchmarks/topk_bench.py measures the crossover on the attached device.
+    """
+    n = dists.shape[-1]
+    col = jax.lax.broadcasted_iota(jnp.int32, dists.shape, dists.ndim - 1)
+    inf = jnp.asarray(jnp.inf, dists.dtype)
+    taken = jnp.zeros(dists.shape, bool)
+    vals, idxs = [], []
+    for _ in range(k):
+        d = jnp.where(taken, inf, dists)
+        v = jnp.min(d, axis=-1)
+        # Lowest untaken index at the min — the explicit taken mask (not
+        # inf-masking) keeps +inf rows advancing 0, 1, 2, ... like top_k.
+        at = (d == v[..., None]) & ~taken
+        i = jnp.min(jnp.where(at, col, n), axis=-1).astype(jnp.int32)
+        taken = taken | (col == i[..., None])
+        vals.append(v)
+        idxs.append(i)
+    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
+
+
 @functools.partial(jax.jit, static_argnames=("k", "max_dup"))
 def smallest_k_unique(dists: jnp.ndarray, ids: jnp.ndarray, k: int, max_dup: int = 8):
     """k smallest entries with distinct ``ids`` per row — exact given a
