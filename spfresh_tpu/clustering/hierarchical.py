@@ -111,6 +111,14 @@ class ClusteringParams:
     # accumulates in f32 over bf16-rounded coordinates — the same rounding
     # class the bf16 STORAGE index serves from anyway.  None = float32.
     wire_dtype: Optional[str] = None
+    # SOAR replica ranking (spilled, orthogonality-amplified residuals —
+    # the ScaNN-style secondary-assignment rule): admitted closure
+    # candidates are ranked by D + lambda (r_j.r_1)^2/|r_1|^2 instead of
+    # plain distance, preferring replicas whose quantization residual is
+    # orthogonal to the primary's — better recall per stored replica when
+    # routing misses the base cluster.  None/0 = reference closure ranking.
+    # Euclidean only (residual dots are an inner-product construction).
+    soar_lambda: Optional[float] = None
 
     def __post_init__(self):
         self.metric = canonical_metric(self.metric)
@@ -123,6 +131,11 @@ class ClusteringParams:
             raise ValueError("max_replicas must be >= 1")
         if self.max_split_ways < 2:
             raise ValueError("max_split_ways must be >= 2")
+        if self.soar_lambda is not None:
+            if self.soar_lambda < 0:
+                raise ValueError("soar_lambda must be >= 0")
+            if self.soar_lambda and self.metric != "Euclidean":
+                raise ValueError("soar_lambda requires the Euclidean metric")
 
 
 @dataclasses.dataclass
@@ -198,22 +211,33 @@ def _kmeanspp_init(key, X, k: int, metric: str):
     return chosen
 
 
-@functools.partial(jax.jit, static_argnames=("metric", "n_extra"))
-def _final_replica_pass(X_tile, base_tile, cents, metric: str, boundary_threshold, n_extra: int):
+@functools.partial(
+    jax.jit, static_argnames=("metric", "n_extra", "soar_lambda")
+)
+def _final_replica_pass(X_tile, base_tile, cents, metric: str, boundary_threshold, n_extra: int,
+                        soar_lambda: float = 0.0):
     """Global closure pass (``replication='final'``): for each point, the
     n_extra nearest non-base clusters j with
     dist(p, c_j) < bt * dist(p, c_base) AND dist(c_base, c_j) >= dist(p, c_j)
     (the reference's closure rule, hierarchical.rs:328-346, applied once
     against the full centroid set).  The centroid-centroid rows are computed
     per tile — a full (C, C) matrix is 16 GB at 5M-scale cluster counts.
-    Returns (idx (t, n_extra), distances)."""
+    ``soar_lambda`` > 0 ranks admitted candidates by the SOAR score
+    D + lambda (r_j.r_1)^2/|r_1|^2 instead of plain distance (Euclidean
+    only; the residual dot comes by polarization, 2 r_j.r_1 = db + D - cc).
+    Returns (idx (t, n_extra), distances — SOAR scores when ranked so)."""
     D = pairwise_distance(X_tile, cents, metric)  # (t, C)
     db = jnp.take_along_axis(D, base_tile[:, None], axis=1)[:, 0]
     bt = boundary_threshold.astype(ACCUM_DTYPE)
     onehot = jax.nn.one_hot(base_tile, D.shape[1], dtype=bool)
     cc_base = pairwise_distance(cents[base_tile], cents, metric)  # (t, C)
     eligible = (D < (bt * db)[:, None]) & (cc_base >= D) & ~onehot
-    Dm = jnp.where(eligible, D, jnp.inf)
+    if soar_lambda:
+        rdot = 0.5 * (db[:, None] + D - cc_base)
+        rank = D + soar_lambda * rdot * rdot / jnp.maximum(db[:, None], 1e-30)
+    else:
+        rank = D
+    Dm = jnp.where(eligible, rank, jnp.inf)
     vals, idx = jax.lax.top_k(-Dm, n_extra)
     return idx, -vals
 
@@ -239,11 +263,12 @@ def _use_pallas_replica(metric: str, n_extra: int) -> bool:
 
 
 @functools.partial(
-    jax.jit, static_argnames=("metric", "n_extra", "tile", "n_tiles")
+    jax.jit,
+    static_argnames=("metric", "n_extra", "tile", "n_tiles", "soar_lambda"),
 )
 def _final_replica_pass_fused(
     X, base, cents, metric: str, boundary_threshold,
-    n_extra: int, tile: int, n_tiles: int,
+    n_extra: int, tile: int, n_tiles: int, soar_lambda: float = 0.0,
 ):
     """The whole closure pass as ONE device program: an internal fori_loop
     walks ``tile``-row windows of the corpus and writes each window's
@@ -269,7 +294,14 @@ def _final_replica_pass_fused(
         onehot = jax.nn.one_hot(bt_, D.shape[1], dtype=bool)
         cc_base = pairwise_distance(cents[bt_], cents, metric)
         eligible = (D < (btc * db)[:, None]) & (cc_base >= D) & ~onehot
-        Dm = jnp.where(eligible, D, jnp.inf)
+        if soar_lambda:
+            rdot = 0.5 * (db[:, None] + D - cc_base)
+            rank = D + soar_lambda * rdot * rdot / jnp.maximum(
+                db[:, None], 1e-30
+            )
+        else:
+            rank = D
+        Dm = jnp.where(eligible, rank, jnp.inf)
         vals, idx = jax.lax.top_k(-Dm, n_extra)
         idx_out = jax.lax.dynamic_update_slice_in_dim(idx_out, idx, start, 0)
         d_out = jax.lax.dynamic_update_slice_in_dim(d_out, -vals, start, 0)
@@ -791,6 +823,7 @@ class HierarchicalClustering:
             n_extra,
             tile,
             -(-n // tile),
+            soar_lambda=float(self.params.soar_lambda or 0.0),
         )
         return [(0, timed_pull(idx), timed_pull(dists))]
 
@@ -839,6 +872,7 @@ class HierarchicalClustering:
                 self.params.metric,
                 self.params.boundary_threshold,
                 n_extra,
+                soar_lambda=float(self.params.soar_lambda or 0.0),
             )
             tiles = [(0, timed_pull(idx)[:n], timed_pull(dists)[:n])]
         elif _use_pallas_replica(self.params.metric, n_extra):
@@ -855,6 +889,7 @@ class HierarchicalClustering:
                     cents,
                     jnp.float32(self.params.boundary_threshold),
                     n_extra,
+                    soar_lambda=float(self.params.soar_lambda or 0.0),
                     interpret=jax.devices()[0].platform != "tpu",
                 )
                 tiles = [(0, timed_pull(idx), timed_pull(dists))]

@@ -100,17 +100,20 @@ def _oc_base_tile(Xt, cents_p, metric: str, chunk: int, n_cents: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("metric", "chunk", "n_cents", "n_extra")
+    jax.jit,
+    static_argnames=("metric", "chunk", "n_cents", "n_extra", "soar_lambda"),
 )
 def _oc_replica_tile(
-    Xt, base, thresh, cents_p, metric: str, chunk: int, n_cents: int,
-    n_extra: int,
+    Xt, base, thresh, db, cents_p, metric: str, chunk: int, n_cents: int,
+    n_extra: int, soar_lambda: float = 0.0,
 ):
     """Chunked closure-replica scan with the in-core admission rule
     (hierarchical._final_replica_pass): eligible j satisfies
     D_j < thresh AND d(c_base, c_j) >= D_j AND j != base; returns the
     running ``n_extra`` closest eligible (dists, idx) per row.  ``thresh``
-    arrives pre-multiplied by the boundary threshold (bt * d_base)."""
+    arrives pre-multiplied by the boundary threshold (bt * d_base); ``db``
+    is the raw d_base (used only by the SOAR ranking — see
+    hierarchical._final_replica_pass)."""
     t, d = Xt.shape
     n_chunks = cents_p.shape[0] // chunk
     cb = cents_p[base]  # (t, d) base-centroid rows
@@ -128,7 +131,14 @@ def _oc_replica_tile(
             & (col != base[:, None])
             & (col < n_cents)
         )
-        Dm = jnp.where(eligible, D, jnp.inf)
+        if soar_lambda:
+            rdot = 0.5 * (db[:, None] + D - cc)
+            rank = D + soar_lambda * rdot * rdot / jnp.maximum(
+                db[:, None], 1e-30
+            )
+        else:
+            rank = D
+        Dm = jnp.where(eligible, rank, jnp.inf)
         cat_d = jnp.concatenate([best_d, Dm], axis=1)
         cat_i = jnp.concatenate([best_i, col], axis=1)
         vals, idx = smallest_k(cat_d, n_extra)
@@ -497,6 +507,7 @@ def _stream_replicas(
     from spfresh_tpu.clustering.hierarchical import _use_pallas_replica
 
     use_pallas = _use_pallas_replica(params.metric, n_extra)
+    soar = float(params.soar_lambda or 0.0)
     if use_pallas:
         from spfresh_tpu.ops.pallas.replica import pallas_replica_topk
 
@@ -506,6 +517,7 @@ def _stream_replicas(
         Xt = _stage_tile(data, s, e, tile_rows, wire)
         base_t = base[s:e].astype(np.int32)
         thresh_t = (db[s:e] * bt).astype(np.float32)
+        db_t = db[s:e].astype(np.float32)
         if e - s < tile_rows:
             padr = tile_rows - (e - s)
             base_t = np.concatenate([base_t, np.zeros(padr, np.int32)])
@@ -513,6 +525,7 @@ def _stream_replicas(
             thresh_t = np.concatenate(
                 [thresh_t, np.full(padr, -np.inf, np.float32)]
             )
+            db_t = np.concatenate([db_t, np.zeros(padr, np.float32)])
         if use_pallas:
             # Streaming Pallas scan: no (t, C) workspaces, no C-wide top_k
             # (ops/pallas/replica.py) — the dominant phase of the measured
@@ -522,9 +535,10 @@ def _stream_replicas(
                     timed_put(Xt).astype(ACCUM_DTYPE),
                     timed_put(base_t),
                     cents_dev[:C],  # chunk padding rows must NOT be admitted
-                    jnp.float32(0.0),
+                    bt,
                     n_extra,
-                    thresh=timed_put(thresh_t),
+                    db=timed_put(db_t),
+                    soar_lambda=soar,
                     interpret=interp,
                 )
             except Exception:  # Mosaic compile failure: XLA route instead
@@ -537,11 +551,13 @@ def _stream_replicas(
                 timed_put(Xt).astype(ACCUM_DTYPE),
                 timed_put(base_t),
                 timed_put(thresh_t),
+                timed_put(db_t),
                 cents_dev,
                 params.metric,
                 chunk,
                 C,
                 n_extra,
+                soar_lambda=soar,
             )
         pending.append((s, e, i0, d0))
         if len(pending) >= 4:

@@ -79,6 +79,12 @@ class Config:
     boundary_threshold: float = 1.1
     replica_overflow: float = 1.25
     max_split_ways: int = 8  # children per subdivision round (2 = binary parity)
+    # SOAR replica ranking (ScaNN's spilled orthogonality-amplified
+    # residuals): > 0 ranks admitted closure candidates by
+    # D + lambda (r_j.r_1)^2/|r_1|^2 — replicas whose residual is orthogonal
+    # to the primary's recover more recall per stored copy.  Euclidean only;
+    # None keeps the reference's distance ranking.
+    soar_lambda: Optional[float] = None
     storage_dtype: str = "float32"  # or "bfloat16" for HBM-lean indexes
     # Out-of-core build (clustering/outofcore.py): when set, the corpus
     # stays host-resident (ndarray/np.memmap) — centroids are learned on a
@@ -109,6 +115,11 @@ class Config:
             boundary_threshold=float(cp.get("boundary_threshold", 1.1)),
             replica_overflow=float(cp.get("replica_overflow", 1.25)),
             max_split_ways=int(cp.get("max_split_ways", 8)),
+            soar_lambda=(
+                float(cp["soar_lambda"])
+                if cp.get("soar_lambda") is not None
+                else None
+            ),
             storage_dtype=raw.get("storage_dtype", "float32"),
             build_sample_rows=(
                 int(raw["build_sample_rows"])
@@ -151,6 +162,11 @@ class Config:
             raise ValueError("desired_cluster_size must be greater than 0")
         if self.storage_dtype not in ("float32", "bfloat16"):
             raise ValueError("storage_dtype must be 'float32' or 'bfloat16'")
+        if self.soar_lambda is not None:
+            if self.soar_lambda < 0:
+                raise ValueError("soar_lambda must be >= 0")
+            if self.soar_lambda and canonical_metric(self.distance_metric) != "Euclidean":
+                raise ValueError("soar_lambda requires the Euclidean metric")
         if self.build_sample_rows is not None and self.build_sample_rows <= 0:
             raise ValueError("build_sample_rows must be greater than 0")
         if self.build_tile_rows is not None and self.build_tile_rows <= 0:
@@ -170,6 +186,7 @@ class Config:
             boundary_threshold=self.boundary_threshold,
             replica_overflow=self.replica_overflow,
             max_split_ways=self.max_split_ways,
+            soar_lambda=self.soar_lambda,
             # bf16-storage indexes also ship the BUILD corpus over the wire
             # in bf16 (the index serves bf16-rounded vectors either way);
             # halves the dominant one-time upload of large builds.
@@ -191,6 +208,7 @@ class Config:
                 "boundary_threshold": self.boundary_threshold,
                 "replica_overflow": self.replica_overflow,
                 "max_split_ways": self.max_split_ways,
+                "soar_lambda": self.soar_lambda,
             },
             "output_path": self.output_path,
             "data_file": self.data_file,

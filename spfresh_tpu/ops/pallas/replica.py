@@ -79,10 +79,10 @@ def _select_rounds(d, i, ne: int):
     return jnp.concatenate(outs_d, axis=0), jnp.concatenate(outs_i, axis=0)
 
 
-def _make_kernel(C: int, ne: int, highest: bool):
+def _make_kernel(C: int, ne: int, highest: bool, soar_lambda: float):
     prec = jax.lax.Precision.HIGHEST if highest else None
 
-    def kernel(bt_ref, x_ref, cb_ref, x2_ref, cb2_ref, db_ref, base_ref,
+    def kernel(x_ref, cb_ref, x2_ref, cb2_ref, thr_ref, db_ref, base_ref,
                c_ref, od_ref, oi_ref):
         j = pl.program_id(1)
 
@@ -96,9 +96,9 @@ def _make_kernel(C: int, ne: int, highest: bool):
         cb = cb_ref[...]                  # (BR, d') base-centroid rows
         x2 = x2_ref[...]                  # (1, BR) f32 |p|^2
         cb2 = cb2_ref[...]                # (1, BR) f32 |c_b|^2
+        thr = thr_ref[...]                # (1, BR) f32 admission bound bt*db
         db = db_ref[...]                  # (1, BR) f32 dist(p, c_b)
         base = base_ref[...]              # (1, BR) int32
-        bt = bt_ref[0, 0]
 
         # Transposed tiles: BR on lanes, CT on sublanes — every reduce below
         # runs down sublanes (the fast VPU direction).  |c_j|^2 is the one
@@ -120,8 +120,17 @@ def _make_kernel(C: int, ne: int, highest: bool):
         CC = jnp.maximum(cn2 + cb2 - 2.0 * dcc, 0.0)
 
         cols = j * _CT + jax.lax.broadcasted_iota(jnp.int32, (_CT, _BR), 0)
-        eligible = (D < bt * db) & (CC >= D) & (cols != base) & (cols < C)
-        Dm = jnp.where(eligible, D, jnp.inf)
+        eligible = (D < thr) & (CC >= D) & (cols != base) & (cols < C)
+        if soar_lambda:
+            # SOAR ranking (spilled, orthogonality-amplified residuals):
+            # admitted candidates are ranked by D + lambda * (r_j.r_1)^2 /
+            # |r_1|^2, where the residual dot comes free by polarization:
+            # r_1 - r_j = c_j - c_b, so 2 r_j.r_1 = db + D - CC.
+            rdot = 0.5 * (db + D - CC)
+            rank = D + soar_lambda * rdot * rdot / jnp.maximum(db, 1e-30)
+        else:
+            rank = D
+        Dm = jnp.where(eligible, rank, jnp.inf)
 
         cd, ci = _select_rounds(Dm, cols, ne)          # chunk top-ne
         pd, pi = od_ref[...], oi_ref[...]
@@ -141,11 +150,12 @@ def _make_kernel(C: int, ne: int, highest: bool):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_extra", "interpret", "has_thresh")
+    jax.jit,
+    static_argnames=("n_extra", "interpret", "has_db", "soar_lambda"),
 )
 def _replica_topk_impl(
-    X, base, cents, bt, thresh, n_extra: int, interpret: bool,
-    has_thresh: bool,
+    X, base, cents, bt, db_in, n_extra: int, interpret: bool,
+    has_db: bool, soar_lambda: float,
 ):
     n, d = X.shape
     C = cents.shape[0]
@@ -163,13 +173,12 @@ def _replica_topk_impl(
     x2 = jnp.sum(xf * xf, axis=1)[None, :]              # (1, n_pad)
     cb2 = jnp.sum(cbf * cbf, axis=1)[None, :]           # (1, n_pad)
     prec = None if X.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
-    if has_thresh:
-        # Caller supplies the admission threshold directly (bt folded in);
-        # padding rows admit nothing.
-        db = jnp.full((1, n_pad), -jnp.inf, jnp.float32).at[0, :n].set(
-            thresh.astype(jnp.float32)
+    if has_db:
+        # Caller supplies dist(p, c_base) — the out-of-core contract, where
+        # the streamed assignment already measured it.
+        db = jnp.zeros((1, n_pad), jnp.float32).at[0, :n].set(
+            db_in.astype(jnp.float32)
         )
-        btq = jnp.ones((1, 1), jnp.float32)
     else:
         # dist(p, c_b) in the same expansion arithmetic the tiles use.
         dxb = jax.lax.dot_general(
@@ -177,15 +186,22 @@ def _replica_topk_impl(
             preferred_element_type=jnp.float32, precision=prec,
         )[None, :]                                      # (1, n_pad) p . c_b
         db = jnp.maximum(x2 + cb2 - 2.0 * dxb, 0.0)
-        btq = jnp.asarray(bt, jnp.float32).reshape(1, 1)
+    # Admission bound bt * db, precomputed exactly like the XLA routes
+    # (f32 multiply is the same either way); padding rows admit nothing.
+    thr = jnp.full((1, n_pad), -jnp.inf, jnp.float32).at[0, :n].set(
+        jnp.asarray(bt, jnp.float32) * db[0, :n]
+    )
 
     od, oi = pl.pallas_call(
-        _make_kernel(C, n_extra, highest=prec is not None),
+        _make_kernel(
+            C, n_extra, highest=prec is not None,
+            soar_lambda=float(soar_lambda),
+        ),
         grid=(n_pad // _BR, c_pad // _CT),  # centroid axis minor: streams C
         in_specs=[
-            pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
             pl.BlockSpec((_BR, d_pad), lambda i, j: (i, 0)),
             pl.BlockSpec((_BR, d_pad), lambda i, j: (i, 0)),
+            pl.BlockSpec((1, _BR), lambda i, j: (0, i)),
             pl.BlockSpec((1, _BR), lambda i, j: (0, i)),
             pl.BlockSpec((1, _BR), lambda i, j: (0, i)),
             pl.BlockSpec((1, _BR), lambda i, j: (0, i)),
@@ -208,7 +224,7 @@ def _replica_topk_impl(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(btq, Xp, Cb, x2, cb2, db, bp, Cp)
+    )(Xp, Cb, x2, cb2, thr, db, bp, Cp)
     return oi[:n_extra, :n].T, od[:n_extra, :n].T
 
 
@@ -305,21 +321,25 @@ def pallas_replica_topk(
     X: jax.Array,       # (n, d) storage dtype (f32 or bf16)
     base: jax.Array,    # (n,) int32 base cluster per point
     cents: jax.Array,   # (C, d) storage dtype
-    bt,                 # boundary_threshold (scalar; ignored with thresh=)
+    bt,                 # boundary_threshold scalar
     n_extra: int,
-    thresh: jax.Array | None = None,  # (n,) f32 bt*d_base, overrides bt*db
+    db: jax.Array | None = None,  # (n,) f32 dist(p, c_base); None = computed
+    soar_lambda: float = 0.0,
     interpret: bool = False,
 ):
     """Top-``n_extra`` closure replicas per point (squared-L2 metric).
-    Returns (idx (n, n_extra) int32, dists (n, n_extra) f32 ascending);
+    Returns (idx (n, n_extra) int32, ranks (n, n_extra) f32 ascending);
     missing replicas are (arbitrary id, +inf) — filter by ``isfinite``.
-    ``thresh`` (the out-of-core contract, outofcore._oc_replica_tile)
-    supplies the admission bound directly instead of bt * dist(p, c_base)."""
+
+    ``db`` supplies dist(p, c_base) when the caller already measured it
+    (the out-of-core contract); otherwise it is computed here with the same
+    expansion arithmetic the distance tiles use.  ``soar_lambda`` > 0 ranks
+    admitted candidates by the SOAR score D + lambda (r_j.r_1)^2/|r_1|^2
+    instead of plain distance (returned values are then scores)."""
     assert 1 <= n_extra <= _NE8, n_extra
     z = jnp.zeros((X.shape[0],), jnp.float32)
     return _replica_topk_impl(
-        X, base, cents,
-        jnp.float32(0.0) if thresh is not None else bt,
-        thresh if thresh is not None else z,
-        n_extra, interpret, thresh is not None,
+        X, base, cents, bt,
+        db if db is not None else z,
+        n_extra, interpret, db is not None, float(soar_lambda or 0.0),
     )

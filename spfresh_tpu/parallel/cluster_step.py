@@ -137,6 +137,7 @@ def sharded_replica_pass(
     boundary_threshold: float = 1.1,
     n_extra: int = 7,
     axis: Optional[str] = None,
+    soar_lambda: float = 0.0,
 ):
     """Final closure-replication pass, data-sharded over the mesh.
 
@@ -161,7 +162,10 @@ def sharded_replica_pass(
     bt = np.float32(boundary_threshold)
 
     def step(x_local, base_local, cents):
-        return _final_replica_pass(x_local, base_local, cents, metric, bt, n_extra)
+        return _final_replica_pass(
+            x_local, base_local, cents, metric, bt, n_extra,
+            soar_lambda=soar_lambda,
+        )
 
     return jax.shard_map(
         step,

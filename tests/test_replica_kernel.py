@@ -63,13 +63,13 @@ def test_matches_xla_oracle(n, C, d, ne, dtype):
     np.testing.assert_allclose(od[fin], kd[fin], rtol=3e-4, atol=1e-5)
 
 
-def test_thresh_contract_matches_internal_db():
-    """thresh = bt * dist(p, c_base) computed with the same expansion must
-    reproduce the internal-db route exactly (the out-of-core caller's
+def test_db_contract_matches_internal_db():
+    """A caller-supplied dist(p, c_base) computed with the same expansion
+    must reproduce the internal-db route exactly (the out-of-core caller's
     contract)."""
     X, base, cents = _case(7, 400, 64, 48, "float32")
     bt = 1.25
-    xf, cf = jnp.float32, X.astype(jnp.float32)
+    cf = X.astype(jnp.float32)
     cb = cents.astype(jnp.float32)[base]
     db = jnp.maximum(
         jnp.sum(cf * cf, axis=1)
@@ -85,7 +85,7 @@ def test_thresh_contract_matches_internal_db():
     )
     i1, d1 = pallas_replica_topk(X, base, cents, bt, 3, interpret=True)
     i2, d2 = pallas_replica_topk(
-        X, base, cents, 0.0, 3, thresh=bt * db, interpret=True
+        X, base, cents, bt, 3, db=db, interpret=True
     )
     fin = np.isfinite(np.asarray(d1))
     assert np.array_equal(fin, np.isfinite(np.asarray(d2)))
@@ -93,6 +93,60 @@ def test_thresh_contract_matches_internal_db():
     np.testing.assert_allclose(
         np.asarray(d1)[fin], np.asarray(d2)[fin], rtol=1e-6
     )
+
+
+@pytest.mark.parametrize("lam", [0.5, 1.5])
+def test_soar_matches_xla_oracle(lam):
+    """SOAR ranking parity: the kernel and the XLA oracle agree on the
+    selected replicas and scores for lambda > 0; lambda = 0 degenerates to
+    the plain path bit-for-bit."""
+    X, base, cents = _case(21, 450, 80, 32, "float32")
+    bt = 1.4
+    oi, od = _final_replica_pass(
+        X, base, cents, "Euclidean", jnp.float32(bt), 3, soar_lambda=lam
+    )
+    ki, kd = pallas_replica_topk(
+        X, base, cents, bt, 3, soar_lambda=lam, interpret=True
+    )
+    oi, od, ki, kd = map(np.asarray, (oi, od, ki, kd))
+    fin = np.isfinite(od)
+    assert np.array_equal(fin, np.isfinite(kd))
+    idx_eq = oi[fin] == ki[fin]
+    if not idx_eq.all():
+        assert np.allclose(od[fin][~idx_eq], kd[fin][~idx_eq], rtol=1e-4)
+        assert idx_eq.mean() > 0.999
+    np.testing.assert_allclose(od[fin], kd[fin], rtol=3e-4, atol=1e-5)
+    # lambda = 0 == plain path, exactly.
+    i0, d0 = pallas_replica_topk(X, base, cents, bt, 3, interpret=True)
+    iz, dz = pallas_replica_topk(
+        X, base, cents, bt, 3, soar_lambda=0.0, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(iz))
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(dz))
+
+
+def test_soar_prefers_orthogonal_residual():
+    """Two admitted candidates at EQUAL distance: plain ranking ties to the
+    lower id; SOAR must pick the one whose residual is orthogonal to the
+    primary residual regardless of id order."""
+    d = 8
+    x = np.zeros((1, d), np.float32)
+    cents = np.zeros((3, d), np.float32)
+    cents[0, 0] = 1.0                     # base: r1 = -e0, db = 1
+    cents[1, 0] = -2.0                    # collinear candidate (id 1): D = 4
+    cents[2, 1] = 2.0                     # orthogonal candidate (id 2): D = 4
+    base = np.zeros(1, np.int32)
+    kw = dict(interpret=True)
+    # bt admits both (D=4 < 10*1); closure holds: cc = 9 and 5, both >= 4.
+    i_plain, _ = pallas_replica_topk(
+        jnp.asarray(x), jnp.asarray(base), jnp.asarray(cents), 10.0, 1, **kw
+    )
+    i_soar, _ = pallas_replica_topk(
+        jnp.asarray(x), jnp.asarray(base), jnp.asarray(cents), 10.0, 1,
+        soar_lambda=1.0, **kw
+    )
+    assert int(np.asarray(i_plain)[0, 0]) == 1   # tie -> lower id
+    assert int(np.asarray(i_soar)[0, 0]) == 2    # orthogonality wins
 
 
 def test_duplicate_heavy_invariants():
