@@ -199,12 +199,20 @@ def fit_outofcore(
     sample_rows: int,
     tile_rows: int = DEFAULT_TILE_ROWS,
     timer=None,
+    devices=None,
 ) -> OutOfCoreResult:
     """Build SPANN clusters for a host-resident corpus.
 
     ``data``: any 2-d float32 array-like supporting row slicing and fancy
     row indexing — an ndarray, an ``np.memmap`` over a corpus file, etc.
     It is read in bounded slices and never uploaded whole.
+
+    ``devices``: optional list of jax devices — the streamed assign and
+    replica passes round-robin their tiles across them (pure data
+    parallelism over rows; each device holds its own centroid copy).
+    Results are identical for any device count: tiles are independent and
+    row-partitioned the same way.  The sample fit and host rebalance are
+    small and stay single-device/host.
 
     Deterministic for a fixed ``params.rng_seed`` (sample draw, sample fit,
     tie-breaks, and host splits all derive from it)."""
@@ -260,7 +268,7 @@ def fit_outofcore(
     with _p("oc/assign"):
         base, db = _stream_base(
             data, cents_np, params.metric, tile_rows, wire, timed_put,
-            timed_pull,
+            timed_pull, devices=devices,
         )
 
     # -- 3. host rebalance of overfilled clusters --------------------------
@@ -276,7 +284,7 @@ def fit_outofcore(
         with _p("oc/replica"):
             extras = _stream_replicas(
                 data, cents_np, base, db, params, n_extra, tile_rows, wire,
-                timed_put, timed_pull,
+                timed_put, timed_pull, devices=devices,
             )
     else:
         extras = (
@@ -296,16 +304,24 @@ def fit_outofcore(
 
 
 def _stream_base(
-    data, cents_np, metric, tile_rows, wire, timed_put, timed_pull
+    data, cents_np, metric, tile_rows, wire, timed_put, timed_pull,
+    devices=None,
 ):
     n = data.shape[0]
     chunk_cap = max(512, _ENTRY_BUDGET // max(tile_rows, 1))
     cents_p, chunk = _pad_cents(cents_np, min(_CENT_CHUNK, chunk_cap))
     C = cents_np.shape[0]
-    cents_dev = timed_put(cents_p).astype(ACCUM_DTYPE)
+    devs = list(devices) if devices else [None]
+    # One centroid copy per device: tiles round-robin across the mesh (the
+    # passes are embarrassingly parallel over rows, so multi-chip
+    # out-of-core is plain data parallelism — no collectives).
+    cents_devs = [
+        timed_put(cents_p, dv).astype(ACCUM_DTYPE) for dv in devs
+    ]
     base = np.empty(n, np.int32)
     db = np.empty(n, np.float32)
     pending = []
+    window = max(4, 2 * len(devs))
 
     def _drain(item):
         s0, e0, b0, d0 = item
@@ -318,12 +334,16 @@ def _stream_base(
     if use_pallas:
         from spfresh_tpu.ops.pallas.replica import pallas_nearest_centroid
 
-        interp = jax.devices()[0].platform != "tpu"
+        plat = (devs[0] or jax.devices()[0]).platform
+        interp = plat != "tpu"
     # Uniform tile shapes: pad the ragged last tile so every dispatch hits
-    # the same compiled program; dispatches run ahead of pulls (window 4).
-    for s in range(0, n, tile_rows):
+    # the same compiled program; dispatches run ahead of pulls (window
+    # scales with device count so every chip stays busy).
+    for ti, s in enumerate(range(0, n, tile_rows)):
         e = min(s + tile_rows, n)
         Xt = _stage_tile(data, s, e, tile_rows, wire)
+        dv = devs[ti % len(devs)]
+        cents_dev = cents_devs[ti % len(devs)]
         if use_pallas:
             # Streaming Pallas argmin (ops/pallas/replica.py): the XLA tile
             # below materializes (tile, chunk) distance workspaces in HBM
@@ -331,7 +351,7 @@ def _stream_base(
             # of MXU work.
             try:
                 b_i, d_i = pallas_nearest_centroid(
-                    timed_put(Xt).astype(ACCUM_DTYPE),
+                    timed_put(Xt, dv).astype(ACCUM_DTYPE),
                     cents_dev[:C],
                     interpret=interp,
                 )
@@ -342,10 +362,11 @@ def _stream_base(
                 use_pallas = False
         if not use_pallas:
             b_i, d_i = _oc_base_tile(
-                timed_put(Xt).astype(ACCUM_DTYPE), cents_dev, metric, chunk, C
+                timed_put(Xt, dv).astype(ACCUM_DTYPE), cents_dev, metric,
+                chunk, C,
             )
         pending.append((s, e, b_i, d_i))
-        if len(pending) >= 4:
+        if len(pending) >= window:
             _drain(pending.pop(0))
     for item in pending:
         _drain(item)
@@ -481,13 +502,16 @@ def _host_rebalance(data, cent_rows, cents_np, base, db, cap, params, wire, seed
 
 def _stream_replicas(
     data, cents_np, base, db, params, n_extra, tile_rows, wire, timed_put,
-    timed_pull,
+    timed_pull, devices=None,
 ):
     n = data.shape[0]
     chunk_cap = max(512, _ENTRY_BUDGET // max(tile_rows, 1))
     cents_p, chunk = _pad_cents(cents_np, min(_CENT_CHUNK, chunk_cap))
     C = cents_np.shape[0]
-    cents_dev = timed_put(cents_p).astype(ACCUM_DTYPE)
+    devs = list(devices) if devices else [None]
+    cents_devs = [
+        timed_put(cents_p, dv).astype(ACCUM_DTYPE) for dv in devs
+    ]
     bt = np.float32(params.boundary_threshold)
     pts_l: List[np.ndarray] = []
     cls_l: List[np.ndarray] = []
@@ -511,10 +535,14 @@ def _stream_replicas(
     if use_pallas:
         from spfresh_tpu.ops.pallas.replica import pallas_replica_topk
 
-        interp = jax.devices()[0].platform != "tpu"
-    for s in range(0, n, tile_rows):
+        plat = (devs[0] or jax.devices()[0]).platform
+        interp = plat != "tpu"
+    window = max(4, 2 * len(devs))
+    for ti, s in enumerate(range(0, n, tile_rows)):
         e = min(s + tile_rows, n)
         Xt = _stage_tile(data, s, e, tile_rows, wire)
+        dv = devs[ti % len(devs)]
+        cents_dev = cents_devs[ti % len(devs)]
         base_t = base[s:e].astype(np.int32)
         thresh_t = (db[s:e] * bt).astype(np.float32)
         db_t = db[s:e].astype(np.float32)
@@ -532,12 +560,12 @@ def _stream_replicas(
             # 20M out-of-core build was this loop's XLA form.
             try:
                 i0, d0 = pallas_replica_topk(
-                    timed_put(Xt).astype(ACCUM_DTYPE),
-                    timed_put(base_t),
+                    timed_put(Xt, dv).astype(ACCUM_DTYPE),
+                    timed_put(base_t, dv),
                     cents_dev[:C],  # chunk padding rows must NOT be admitted
                     bt,
                     n_extra,
-                    db=timed_put(db_t),
+                    db=timed_put(db_t, dv),
                     soar_lambda=soar,
                     interpret=interp,
                 )
@@ -548,10 +576,10 @@ def _stream_replicas(
                 use_pallas = False
         if not use_pallas:
             d0, i0 = _oc_replica_tile(
-                timed_put(Xt).astype(ACCUM_DTYPE),
-                timed_put(base_t),
-                timed_put(thresh_t),
-                timed_put(db_t),
+                timed_put(Xt, dv).astype(ACCUM_DTYPE),
+                timed_put(base_t, dv),
+                timed_put(thresh_t, dv),
+                timed_put(db_t, dv),
                 cents_dev,
                 params.metric,
                 chunk,
@@ -560,7 +588,7 @@ def _stream_replicas(
                 soar_lambda=soar,
             )
         pending.append((s, e, i0, d0))
-        if len(pending) >= 4:
+        if len(pending) >= window:
             _drain(pending.pop(0))
     for item in pending:
         _drain(item)

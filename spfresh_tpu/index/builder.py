@@ -126,26 +126,28 @@ class SpannIndexBuilder:
 
     def _build_outofcore(self, params, save: bool) -> SpannIndex:
         """Out-of-core build: host-resident corpus, streamed device tiles
-        (clustering/outofcore.py).  Single-device by design — the mesh build
-        already shards the corpus n/S per chip; out-of-core is the
-        one-chip/corpus-larger-than-HBM axis."""
-        if self.mesh is not None:
-            raise ValueError(
-                "build_sample_rows (out-of-core) and mesh builds are "
-                "mutually exclusive; the mesh build already row-shards the "
-                "corpus across chips"
-            )
+        (clustering/outofcore.py).  With a mesh, the streamed assign and
+        replica passes round-robin their tiles across the mesh's devices —
+        pure data parallelism over rows (no collectives; the in-core mesh
+        build's shard_map path needs a device-resident corpus, exactly what
+        out-of-core exists to avoid).  Results are identical for any device
+        count.  This is the DEEP-100M shape: corpus > total HBM, built on
+        however many chips are attached."""
         from spfresh_tpu.clustering.outofcore import (
             DEFAULT_TILE_ROWS,
             fit_outofcore,
         )
         from spfresh_tpu.utils import PhaseTimer
 
+        devices = (
+            list(self.mesh.devices.flatten()) if self.mesh is not None else None
+        )
         n, d = self.data.shape
         log.info(
-            "building SPANN index OUT-OF-CORE: n=%d d=%d sample=%d tile=%d",
+            "building SPANN index OUT-OF-CORE: n=%d d=%d sample=%d tile=%d devices=%d",
             n, d, self.config.build_sample_rows,
             self.config.build_tile_rows or DEFAULT_TILE_ROWS,
+            len(devices) if devices else 1,
         )
         timer = PhaseTimer()
         result = fit_outofcore(
@@ -154,6 +156,7 @@ class SpannIndexBuilder:
             self.config.build_sample_rows,
             tile_rows=self.config.build_tile_rows or DEFAULT_TILE_ROWS,
             timer=timer,
+            devices=devices,
         )
         index = SpannIndex(self.config)
         index.build_profile = {

@@ -217,24 +217,40 @@ def test_save_load_and_lazy_open(tmp_path):
     assert np.array_equal(ids0[:32], ids2)
 
 
-def test_config_validation_and_mesh_exclusion(tmp_path):
+def test_config_validation(tmp_path):
     with pytest.raises(ValueError, match="build_sample_rows"):
         Config.from_dict({"build_sample_rows": 0})
     with pytest.raises(ValueError, match="build_tile_rows"):
         Config.from_dict({"build_tile_rows": -1})
 
     data, _ = _corpus(n=2000)
-    cfg = _cfg(tmp_path)
-    import jax
-    from jax.sharding import Mesh
-
-    mesh = Mesh(np.array(jax.devices("cpu")[:2]), ("shard",))
-    with pytest.raises(ValueError, match="mutually exclusive"):
-        SpannIndexBuilder(cfg, mesh=mesh).with_data(data).build(save=False)
-
     params = ClusteringParams(initial_k=64, rng_seed=0)
     with pytest.raises(ValueError, match="sample_rows"):
         fit_outofcore(params, data, sample_rows=32)
+
+
+def test_mesh_outofcore_build_identical(tmp_path):
+    """Out-of-core build over a device mesh: tiles round-robin across the
+    devices (data parallelism), and the result is bit-identical to the
+    single-device out-of-core build — same postings, same centroids."""
+    import jax
+    from jax.sharding import Mesh
+
+    data, q = _corpus(n=9000)
+    a = SpannIndexBuilder(_cfg(tmp_path)).with_data(data).build(save=False)
+    mesh = Mesh(np.array(jax.devices("cpu")[:4]), ("shard",))
+    b = (
+        SpannIndexBuilder(_cfg(tmp_path, output_path=str(tmp_path / "m")), mesh=mesh)
+        .with_data(data)
+        .build(save=False)
+    )
+    assert sorted(a.postings) == sorted(b.postings)
+    for c in a.postings:
+        assert np.array_equal(a.postings[c][0], b.postings[c][0])
+        assert np.array_equal(a.centroids[c], b.centroids[c])
+    _, gt = brute_force_search(data, q, 10)
+    ids, _ = b.search(q, 10, nprobe=b.num_clusters)
+    assert recall_at_k(ids, gt, 10) == 1.0
 
 
 def test_roundtrip_config_dict(tmp_path):
