@@ -42,7 +42,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 _BR = 256   # corpus rows per block (lane axis of every elementwise tile)
 _CT = 512   # centroid rows per step (sublane axis)
