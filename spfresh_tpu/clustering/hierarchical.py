@@ -131,6 +131,12 @@ class ClusteringParams:
             raise ValueError("max_replicas must be >= 1")
         if self.max_split_ways < 2:
             raise ValueError("max_split_ways must be >= 2")
+        if self.max_split_ways > 128:
+            # The split kernels return child indices as int8 (quarters the
+            # per-level pull); 128-way levels already collapse any realistic
+            # depth, so the wire dtype bounds the knob rather than a
+            # silently-overflowing assignment.
+            raise ValueError("max_split_ways must be <= 128")
         if self.soar_lambda is not None:
             if self.soar_lambda < 0:
                 raise ValueError("soar_lambda must be >= 0")
@@ -680,9 +686,12 @@ class HierarchicalClustering:
             cls.append(np.full(len(c.points), ci, dtype=np.int64))
         pts = np.concatenate(pts)
         cls = np.concatenate(cls)
-        if self._corpus_layout == "sharded":
-            # No full corpus on any device: label on the host mirror (same
-            # rounded coordinates as the device rows).
+        if self._host_data is not None:
+            # Tie-deciding distances from the host mirror for EVERY layout:
+            # numpy and XLA reductions round differently at near-ties, so
+            # mixing them (host for sharded, device otherwise) could flip a
+            # replica's label between layouts and break the advertised
+            # mesh <-> single-device bit-equality.
             d = _np_rowdist(
                 self._host_data[pts],
                 np.asarray(cent_vecs, np.float32)[cls],

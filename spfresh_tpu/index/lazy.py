@@ -181,6 +181,7 @@ class LazySpannIndex:
         self._overlay = overlay
         self._overlay_gen = None
         self._cent_valid = None
+        self._cent_host = None  # host mirror enabling incremental refresh
         self._base_pos = {int(c): i for i, c in enumerate(self._cids)}
         self._route_pids = np.asarray(self._cids, np.int64)
         self._row_base = np.arange(self.num_clusters, dtype=np.int64)
@@ -189,28 +190,36 @@ class LazySpannIndex:
 
     def _refresh_overlay(self) -> None:
         """Sync the device routing tier + staging bounds with the overlay.
-        Topology changes (split/merge/centroid moves) rebuild the padded
-        centroid matrix; plain appends/tombstones only refresh the cheap
-        scalar bounds (pad, dedup hint) — the slab patches themselves are
-        fetched per batch."""
+        Topology changes (split/merge/centroid moves) update the padded
+        centroid matrix — INCREMENTALLY when possible (a split touches a
+        handful of rows; re-uploading the whole matrix per background op is
+        a ~C*d upload + O(C) host loop stall on the serving path, ~51 MB at
+        100k x 128 through a slow link), falling back to a full rebuild on
+        first sync, growth past the pad, or bulk churn.  Plain appends/
+        tombstones only refresh the cheap scalar bounds (pad, dedup hint) —
+        the slab patches themselves are fetched per batch."""
         ov = self._overlay
         gen = ov.topology_gen()
         if gen != self._overlay_gen:
             _, pids, cents = ov.centroid_matrix()
-            C = len(pids)
-            Cpad = max(8, _round_up(C, 256))
-            centp = np.zeros((Cpad, self.dim), np.float32)
-            centp[:C] = cents
-            self._centroids = jnp.asarray(centp)
-            self._cent_valid = jnp.asarray(np.arange(Cpad) < C)
-            rp = np.full(Cpad, -1, np.int64)  # padded: a masked row maps to
-            rp[:C] = np.asarray(pids, np.int64)  # pid -1 -> empty patch slab
-            self._route_pids = rp
-            rb = np.full(Cpad, -1, np.int64)
-            for i, p in enumerate(pids):
-                rb[i] = self._base_pos.get(int(p), -1)
-            self._row_base = rb
-            self.num_clusters = C
+            pids = np.asarray(pids, np.int64)
+            cents = np.asarray(cents, np.float32)
+            if not self._refresh_routing_incremental(pids, cents):
+                C = len(pids)
+                Cpad = max(8, _round_up(C, 256))
+                centp = np.zeros((Cpad, self.dim), np.float32)
+                centp[:C] = cents
+                self._centroids = jnp.asarray(centp)
+                self._cent_valid = jnp.asarray(np.arange(Cpad) < C)
+                self._cent_host = centp
+                rp = np.full(Cpad, -1, np.int64)  # padded: a masked row maps
+                rp[:C] = pids                     # to pid -1 -> empty patch
+                self._route_pids = rp
+                rb = np.full(Cpad, -1, np.int64)
+                for i, p in enumerate(pids):
+                    rb[i] = self._base_pos.get(int(p), -1)
+                self._row_base = rb
+                self.num_clusters = C
             self._overlay_gen = gen
         need = ov.max_live_len()
         if need > self.pad:
@@ -218,6 +227,75 @@ class LazySpannIndex:
         md = ov.mult_hint()
         if md > self.max_dup:
             self.max_dup = md
+
+    def _refresh_routing_incremental(self, pids, cents) -> bool:
+        """Scatter only the changed routing rows into the device matrix.
+
+        Slots are STABLE across refreshes: retired pids free their row, new
+        pids take free rows — so a background split touches ~3 rows, not C.
+        Returns False (caller rebuilds) on first sync, when new pids exceed
+        the free rows, or when churn approaches the rebuild cost anyway."""
+        cent_host = getattr(self, "_cent_host", None)
+        if cent_host is None or self._cent_valid is None:
+            return False
+        slot_pids = self._route_pids
+        Cpad = len(slot_pids)
+        order = np.argsort(slot_pids, kind="stable")
+        sp_sorted = slot_pids[order]
+        pos = np.minimum(np.searchsorted(sp_sorted, pids), Cpad - 1)
+        has = sp_sorted[pos] == pids
+        slot_for = order[pos]
+        alive = np.zeros(Cpad, bool)
+        alive[slot_for[has]] = True
+        removed = np.flatnonzero((slot_pids >= 0) & ~alive)
+        new_idx = np.flatnonzero(~has)
+        free = np.concatenate([removed, np.flatnonzero(slot_pids < 0)])
+        if len(new_idx) > len(free):
+            return False  # grew past the pad: rebuild with a bigger Cpad
+        ex_slots = slot_for[has]
+        changed = np.any(cent_host[ex_slots] != cents[has], axis=1)
+        upd_slots = ex_slots[changed]
+        if (len(upd_slots) + len(new_idx) + len(removed)) * 4 > Cpad:
+            return False  # bulk churn: one upload beats many scatters
+        assign = free[: len(new_idx)]
+        # A freed slot reassigned in the SAME refresh must get the new
+        # centroid, not the zeroing write — duplicate scatter indices with
+        # different values are undefined.
+        zero_slots = np.setdiff1d(removed, assign, assume_unique=True)
+        rows = np.concatenate([upd_slots, assign, zero_slots])
+        if len(rows) == 0:
+            self.num_clusters = len(pids)
+            return True
+        vals = np.concatenate(
+            [
+                cents[has][changed],
+                cents[new_idx],
+                np.zeros((len(zero_slots), self.dim), np.float32),
+            ]
+        )
+        slot_pids = slot_pids.copy()
+        slot_pids[removed] = -1
+        slot_pids[assign] = pids[new_idx]
+        cent_host[rows] = vals
+        rb = self._row_base.copy()
+        rb[removed] = -1
+        rb[assign] = [self._base_pos.get(int(p), -1) for p in pids[new_idx]]
+        # Pad the scatter to a small bucket (repeat row 0 with its own
+        # value — duplicate .set indices are safe when the values agree) so
+        # steady-state refreshes reuse a handful of compiled scatters.
+        bucket = max(8, _round_up(len(rows), 8))
+        rep_r = np.concatenate([rows, np.repeat(rows[:1], bucket - len(rows))])
+        rep_v = np.concatenate(
+            [vals, np.repeat(vals[:1], bucket - len(rows), axis=0)]
+        )
+        self._centroids = self._centroids.at[jnp.asarray(rep_r)].set(
+            jnp.asarray(rep_v)
+        )
+        self._cent_valid = jnp.asarray(slot_pids >= 0)
+        self._route_pids = slot_pids
+        self._row_base = rb
+        self.num_clusters = len(pids)
+        return True
 
     @staticmethod
     @functools.partial(jax.jit, static_argnames=("nprobe", "metric"))
@@ -398,7 +476,10 @@ class LazySpannIndex:
         self._base_pos = {int(c): i for i, c in enumerate(self._cids)}
         self._route_pids = np.asarray(self._cids, np.int64)
         self._row_base = np.arange(self.num_clusters, dtype=np.int64)
-        self._overlay_gen = None  # force a routing-tier rebuild
+        # Stale slot state maps to the OLD base rows — force a FULL
+        # routing-tier rebuild, not an incremental scatter.
+        self._cent_host = None
+        self._overlay_gen = None
         if self._overlay is not None:
             self._refresh_overlay()
 

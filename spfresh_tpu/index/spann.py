@@ -1006,6 +1006,15 @@ class SpannIndex:
             16,
             _round_up(max(1, max_len) + self.config.search.slab_growth_slots, 16),
         )
+        if self._padded_view is not None:
+            # A stale-but-updatable view keeps ITS pad after in-place
+            # updates (rewrites must fit it), so after deletes shrink the
+            # largest posting the recomputed pad can UNDERSTATE the slab the
+            # engine will actually run with — the guard must size for the
+            # worst of both (the view repacks to the smaller pad only when
+            # updates don't fit).
+            v = self._padded_view
+            return max(Cpad, int(v.centroids.shape[0])), max(pad, v.pad), max(d_pad, v.d_pad)
         return Cpad, pad, d_pad
 
     def _hbm_guard(self, view_bytes: int, budget: int = 8 << 30) -> None:

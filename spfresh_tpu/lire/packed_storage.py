@@ -31,8 +31,11 @@ journal + tmp-rename file swaps).
 ``compact()`` folds base + overlay into a fresh packed CSR (streamed one
 posting at a time — peak RAM stays O(posting), not O(corpus)), swaps the
 three index files via an intent journal + tmp-rename, and truncates the
-WAL.  Until then the WAL is the durable form of the overlay; ``flush()`` is
-a no-op by design (appends are already on disk when the call returns).
+WAL.  Until then the WAL is the durable form of the overlay.  Durability
+contract: mutators flush to the OS page cache before returning (process-
+crash durable); ``flush()`` fsyncs the WAL and ``compact()`` fsyncs its
+tmp files BEFORE the intent journal becomes durable, so power loss never
+rolls forward incomplete files (group-commit semantics).
 """
 
 from __future__ import annotations
@@ -46,7 +49,11 @@ from typing import Dict, Iterable, List, Optional, Set, Tuple
 
 import numpy as np
 
-from spfresh_tpu.lire.storage import LireStorageError, PostingMetadata
+from spfresh_tpu.lire.storage import (
+    LireStorageError,
+    PostingMetadata,
+    RoutingTierMixin,
+)
 
 _WAL_MAGIC = b"SPFPWAL1"
 _OP_ADD = 1
@@ -78,7 +85,7 @@ class _Delta:
         self.shadowed = shadowed
 
 
-class PackedLireStorage:
+class PackedLireStorage(RoutingTierMixin):
     """LIRE storage over a packed CSR base + RAM delta overlay + WAL."""
 
     def __init__(self, directory: str, auto_create_postings: bool = False):
@@ -107,6 +114,11 @@ class PackedLireStorage:
         with gzip.open(self._cent_path, "rb") as f:
             cent = np.load(f)
         self._overlay: Dict[int, _Delta] = {}
+        # Retired postings' last live content: a concurrent search whose
+        # routing snapshot predates a split/merge commit must see the OLD
+        # posting's vectors, not emptiness (its successors are not in that
+        # search's centroid matrix).  Freed at compaction.
+        self._retired_snaps: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
         self._live: Set[int] = set(self._base_idx)
         self._meta: Dict[int, PostingMetadata] = {}
         for pid, i in self._base_idx.items():
@@ -149,31 +161,13 @@ class PackedLireStorage:
             self._next_pid += 1
             return pid
 
-    # -- topology / routing tier --------------------------------------------
+    # -- topology / routing tier (RoutingTierMixin) ---------------------------
 
-    def _bump_topology_locked(self) -> None:
-        self._topology_gen += 1
-        self._cent_matrix_cache = None
+    def _live_pids_locked(self):
+        return self._live
 
-    def topology_gen(self) -> int:
-        with self._lock:
-            return self._topology_gen
-
-    def centroid_matrix(self):
-        """(gen, pids (C,) i64, centroids (C, d) f32), cached per topology
-        generation — same contract as ``LireStorage.centroid_matrix``."""
-        with self._lock:
-            cm = self._cent_matrix_cache
-            if cm is None or cm[0] != self._topology_gen:
-                pids = np.array(sorted(self._live), np.int64)
-                cents = (
-                    np.stack([self._meta[int(p)].centroid for p in pids])
-                    if len(pids)
-                    else np.empty((0, self.dim), np.float32)
-                )
-                cm = (self._topology_gen, pids, cents.astype(np.float32, copy=False))
-                self._cent_matrix_cache = cm
-            return cm
+    def _centroid_of_locked(self, pid: int) -> np.ndarray:
+        return self._meta[pid].centroid
 
     # -- WAL -----------------------------------------------------------------
 
@@ -189,6 +183,7 @@ class PackedLireStorage:
             self._wal_records += 1
         with open(self._wal_path, "ab") as f:
             f.write(bytes(buf))
+            f.flush()  # page cache before return; fsync policy: flush()
 
     def _vec_payload(self, vec: np.ndarray) -> bytes:
         return np.ascontiguousarray(vec, "<f4").tobytes()
@@ -293,7 +288,9 @@ class PackedLireStorage:
             self._live.add(pid)
             self._bump_topology_locked()
         elif op == _OP_RETIRE:
-            self._retire_locked(pid)
+            # Replay runs at open: no concurrent search can hold a pre-open
+            # routing snapshot, so skip the serving snapshot.
+            self._retire_locked(pid, snapshot=False)
         elif op == _OP_CENT:
             m = self._meta.get(pid)
             if m is not None:
@@ -331,9 +328,12 @@ class PackedLireStorage:
             d.dead_base = np.zeros(e - s, bool)
         return d.dead_base
 
-    def _retire_locked(self, pid: int) -> None:
+    def _retire_locked(self, pid: int, snapshot: bool = True) -> None:
         if pid not in self._live:
             return
+        if snapshot:
+            ids, vecs, _ = self._live_entries_locked(pid)
+            self._retired_snaps[pid] = (ids, vecs)
         d = self._overlay.pop(pid, None)
         if d is not None:
             for vid in d.add_ids:
@@ -657,6 +657,11 @@ class PackedLireStorage:
         """
         with self._lock:
             if posting_id not in self._live:
+                snap = self._retired_snaps.get(int(posting_id))
+                if snap is not None:
+                    # Retired mid-search: serve the pre-retire snapshot
+                    # (successors are invisible to this search's routing).
+                    return ("replace", snap)
                 return ("replace", (np.empty(0, np.int64),
                                     np.empty((0, self.dim), np.float32)))
             d = self._overlay.get(posting_id)
@@ -753,6 +758,7 @@ class PackedLireStorage:
             self._overlay[pid] = _Delta(shadowed=True)
             self._meta[pid] = PostingMetadata(version, 0, centroid.copy())
             self._live.add(pid)
+            self._retired_snaps.pop(pid, None)
             self._next_pid = max(self._next_pid, pid + 1)
             for vid, vec in zip(ids, vectors):
                 self._append_locked(pid, int(vid), vec, records)
@@ -831,9 +837,17 @@ class PackedLireStorage:
     # -- flush / compaction --------------------------------------------------
 
     def flush(self) -> None:
-        """No-op by design: the WAL *is* the durable overlay (every mutator
-        appends before returning).  Use :meth:`compact` to fold it into a
-        fresh packed base."""
+        """fsync the WAL.  Mutators append + flush to the OS page cache
+        before returning (durable against PROCESS crash); power-loss
+        durability is at flush()/compact() boundaries — the same contract
+        as a group-commit database.  Per-append fsync would serialize every
+        insert behind a disk barrier; callers that need sync-per-op can
+        call flush() per op."""
+        with self._lock:
+            if os.path.exists(self._wal_path):
+                with open(self._wal_path, "ab") as f:
+                    f.flush()
+                    os.fsync(f.fileno())
 
     def overlay_rows(self) -> int:
         """Live rows resident in the RAM overlay (compaction heuristic)."""
@@ -880,6 +894,8 @@ class PackedLireStorage:
                     f.write(np.ascontiguousarray(ids, "<i8").tobytes())
                     f.seek(vec_off + 4 * self.dim * int(offsets[i]))
                     f.write(np.ascontiguousarray(vecs, "<f4").tobytes())
+                f.flush()
+                os.fsync(f.fileno())
             cent_tmp = self._cent_path + ".tmp"
             cents = (
                 np.stack([self._meta[p].centroid for p in pids])
@@ -888,6 +904,9 @@ class PackedLireStorage:
             )
             with gzip.open(cent_tmp, "wb") as f:
                 np.save(f, cents.astype(np.float32))
+            # gzip writes its trailer at close — sync the finished file.
+            with open(cent_tmp, "rb") as f:
+                os.fsync(f.fileno())
             manifest = dict(self._manifest)
             manifest.update(
                 num_clusters=len(pids),
@@ -897,10 +916,18 @@ class PackedLireStorage:
             man_tmp = self._manifest_path + ".tmp"
             with open(man_tmp, "w") as f:
                 json.dump(manifest, f)
+                f.flush()
+                os.fsync(f.fileno())
             journal = os.path.join(self.directory, _JOURNAL)
             jtmp = journal + ".tmp"
+            # The recovery contract 'journal present => tmps complete' must
+            # hold across POWER loss, not just process crash: every tmp is
+            # fsynced above, and the journal itself is fsynced before the
+            # rename, so its durability ordering is after the data's.
             with open(jtmp, "w") as f:
                 json.dump({"swap": True}, f)
+                f.flush()
+                os.fsync(f.fileno())
             os.replace(jtmp, journal)
             os.replace(packed_tmp, self._packed_path)
             os.replace(cent_tmp, self._cent_path)
@@ -948,6 +975,7 @@ class PackedLireStorage:
         with gzip.open(self._cent_path, "rb") as f:
             cent = np.load(f)
         self._overlay.clear()
+        self._retired_snaps.clear()
         self._live = set(self._base_idx)
         self._meta = {}
         for pid, i in self._base_idx.items():

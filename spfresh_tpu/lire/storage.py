@@ -40,6 +40,51 @@ _OP_DEL = 2
 _WAL_COMPACT_RECORDS = 200_000
 
 
+class RoutingTierMixin:
+    """Topology-generation centroid cache shared by the storage engines.
+
+    The router contract (`protocol._router`, `LazySpannIndex._refresh_overlay`)
+    depends on both engines behaving identically; subclasses provide
+    ``_lock``, ``dim``, ``_topology_gen``/``_cent_matrix_cache`` attributes
+    and the two hooks below."""
+
+    def _live_pids_locked(self):
+        raise NotImplementedError
+
+    def _centroid_of_locked(self, pid: int) -> np.ndarray:
+        raise NotImplementedError
+
+    def _bump_topology_locked(self) -> None:
+        self._topology_gen += 1
+        self._cent_matrix_cache = None
+
+    def topology_gen(self) -> int:
+        with self._lock:
+            return self._topology_gen
+
+    def centroid_matrix(self):
+        """(gen, pids (C,) int64, centroids (C, d) f32) — the packed router
+        view, cached per topology generation.  Rebuilt (one vectorized stack
+        under the lock) only when a posting was created/retired or a centroid
+        moved; every steady-state op reads the cache.  Callers must treat the
+        arrays as immutable."""
+        with self._lock:
+            cm = self._cent_matrix_cache
+            if cm is None or cm[0] != self._topology_gen:
+                pids = np.array(sorted(self._live_pids_locked()), np.int64)
+                cents = (
+                    np.stack([self._centroid_of_locked(int(p)) for p in pids])
+                    if len(pids)
+                    else np.empty((0, self.dim), np.float32)
+                )
+                cm = (
+                    self._topology_gen, pids,
+                    cents.astype(np.float32, copy=False),
+                )
+                self._cent_matrix_cache = cm
+            return cm
+
+
 class LireStorageError(Exception):
     """Storage-phase error (LireError::Storage parity, lire/mod.rs:19-30)."""
 
@@ -68,7 +113,7 @@ class _Posting:
         return sum(not d for d in self.deleted)
 
 
-class LireStorage:
+class LireStorage(RoutingTierMixin):
     """Mirror of LireStorage (storage.rs:33-37) with a working format.
 
     ``auto_create_postings`` controls whether an append to an unknown posting
@@ -114,32 +159,11 @@ class LireStorage:
         self._recover_journal()
         self._load_all()
 
-    def _bump_topology_locked(self) -> None:
-        self._topology_gen += 1
-        self._cent_matrix_cache = None
+    def _live_pids_locked(self):
+        return self._postings
 
-    def topology_gen(self) -> int:
-        with self._lock:
-            return self._topology_gen
-
-    def centroid_matrix(self):
-        """(gen, pids (C,) int64, centroids (C, d) f32) — the packed router
-        view, cached per topology generation.  Rebuilt (one vectorized stack
-        under the lock) only when a posting was created/retired or a centroid
-        moved; every steady-state op reads the cache.  Callers must treat the
-        arrays as immutable."""
-        with self._lock:
-            cm = self._cent_matrix_cache
-            if cm is None or cm[0] != self._topology_gen:
-                pids = np.array(sorted(self._postings), np.int64)
-                cents = (
-                    np.stack([self._metadata[int(p)].centroid for p in pids])
-                    if len(pids)
-                    else np.empty((0, self.dim), np.float32)
-                )
-                cm = (self._topology_gen, pids, cents.astype(np.float32, copy=False))
-                self._cent_matrix_cache = cm
-            return cm
+    def _centroid_of_locked(self, pid: int) -> np.ndarray:
+        return self._metadata[pid].centroid
 
     # -- paths -------------------------------------------------------------
 

@@ -439,3 +439,84 @@ def test_lazy_fresh_randomized_oracle(tmp_path):
                 check(fresh)
     finally:
         fresh.close()
+
+
+def test_stage_patch_serves_retired_snapshot(tmp_path):
+    """A search whose routing snapshot predates a split commit probes the
+    RETIRED pid: stage_patch must serve its pre-retire content (those
+    vectors are invisible via the successors, which aren't in that search's
+    centroid matrix) — not an empty slab.  After compaction the snapshot is
+    gone (no routing snapshot can predate a compaction reload)."""
+    cfg, index, _, rng = _build_packed(tmp_path, n=120)
+    st = PackedLireStorage(cfg.output_path)
+    pid = sorted(index.postings)[0]
+    ids, vecs, _ = st.get_posting(pid)
+    # Mutate first so the snapshot must reflect overlay state too.
+    extra = rng.standard_normal(vecs.shape[1]).astype(np.float32)
+    st.store_vector(pid, 99_999, extra)
+    ids2, vecs2, _ = st.get_posting(pid)
+    v = st.get_posting_version(pid)
+    half = len(ids2) // 2
+    n1, n2 = st.allocate_posting_id(), st.allocate_posting_id()
+    assert st.atomic_replace(
+        [pid], [v],
+        [(n1, ids2[:half], vecs2[:half], vecs2[:half].mean(axis=0)),
+         (n2, ids2[half:], vecs2[half:], vecs2[half:].mean(axis=0))],
+    )
+    mode, (sids, svecs) = st.stage_patch(pid)
+    assert mode == "replace"
+    assert np.array_equal(np.sort(sids), np.sort(ids2))
+    order = np.argsort(sids)
+    order2 = np.argsort(ids2)
+    assert np.allclose(svecs[order], vecs2[order2])
+    st.compact()
+    mode, (sids, _) = st.stage_patch(pid)
+    assert mode == "replace" and len(sids) == 0
+
+
+def test_incremental_routing_refresh_matches_rebuild(tmp_path):
+    """Background splits bump the topology; the serving index must sync its
+    routing tier by scattering only the changed rows — and the slot state
+    must stay EQUIVALENT to a full rebuild: every live pid routed to a row
+    holding its centroid, retired rows invalidated, searches exact."""
+    cfg, index, data, rng = _build_packed(tmp_path, n=240)
+    fresh = LazySpFreshIndex(cfg.output_path, lire_config=LireConfig())
+    try:
+        lazy = fresh.lazy
+        st = fresh.storage
+        assert lazy._cent_host is not None  # initial full rebuild happened
+        cent_dev0 = lazy._centroids
+        for round_ in range(3):
+            # Force a split: overfill one posting.
+            pid = max(st.posting_ids(), key=lambda p: st.get_posting(p)[0].size)
+            ids0, vecs0, _ = st.get_posting(pid)
+            v = st.get_posting_version(pid)
+            half = len(ids0) // 2
+            n1, n2 = st.allocate_posting_id(), st.allocate_posting_id()
+            assert st.atomic_replace(
+                [pid], [v],
+                [(n1, ids0[:half], vecs0[:half], vecs0[:half].mean(axis=0)),
+                 (n2, ids0[half:], vecs0[half:], vecs0[half:].mean(axis=0))],
+            )
+            q = data[:16]
+            ids, dists = lazy.search(q, 5, nprobe=lazy.num_clusters)
+            assert np.all(np.asarray(ids)[:, 0] == np.arange(16))
+            assert np.allclose(np.asarray(dists)[:, 0], 0.0, atol=1e-4)
+        # Incremental path actually ran: the device matrix object was
+        # updated in place (scatter), not re-created from a host rebuild
+        # with a different Cpad.
+        assert lazy._centroids.shape == cent_dev0.shape
+        # Slot state == storage state.
+        _, pids, cents = st.centroid_matrix()
+        hm = lazy._cent_host
+        for p, c in zip(pids, cents):
+            slot = int(np.flatnonzero(lazy._route_pids == p)[0])
+            assert np.allclose(hm[slot], c)
+            assert bool(np.asarray(lazy._cent_valid)[slot])
+        live = set(int(p) for p in pids)
+        for slot, sp in enumerate(lazy._route_pids):
+            if int(sp) not in live:
+                assert not bool(np.asarray(lazy._cent_valid)[slot])
+        np.testing.assert_allclose(np.asarray(lazy._centroids), hm, atol=0)
+    finally:
+        fresh.close()
