@@ -498,3 +498,28 @@ def test_vmem_guard_does_not_materialize_padded_view(tmp_path, rng):
     assert index2._padded_view is None
     index2._padded_geometry()
     assert index2._padded_view is None
+
+
+def test_padded_geometry_covers_stale_updatable_view(tmp_path, rng):
+    """After deletes shrink the largest posting, a stale-but-updatable view
+    keeps ITS pad — the guard geometry must size for the worst of the
+    served view and the recomputed metadata, or the engine picks pallas for
+    a slab bigger than it budgeted."""
+    data = rng.standard_normal((400, 16)).astype(np.float32)
+    cfg = Config.from_dict(
+        {
+            "clustering_params": {"desired_cluster_size": 40, "rng_seed": 3},
+            "output_path": str(tmp_path / "idx"),
+        }
+    )
+    index = SpannIndexBuilder(cfg).with_data(data).build(save=False)
+    view = index.padded_view()
+    # Shrink the fattest posting hard (in-place update keeps the old pad).
+    c = max(index.postings, key=lambda c: len(index.postings[c][0]))
+    ids, vecs = index.postings[c]
+    index.replace_posting(c, ids[:2], vecs[:2])
+    served = index.padded_view()
+    Cpad, pad, d_pad = index._padded_geometry()
+    assert pad >= served.pad
+    assert Cpad >= int(served.centroids.shape[0])
+    assert d_pad >= served.d_pad
