@@ -520,3 +520,48 @@ def test_incremental_routing_refresh_matches_rebuild(tmp_path):
         np.testing.assert_allclose(np.asarray(lazy._centroids), hm, atol=0)
     finally:
         fresh.close()
+
+
+def test_search_survives_split_commit_mid_search(tmp_path):
+    """End-to-end version of the retired-snapshot guarantee: a split that
+    commits BETWEEN a search's routing refresh and its slab staging (the
+    background-pipeline interleaving) must not lose the split posting's
+    vectors from that search's results."""
+    cfg, index, data, rng = _build_packed(tmp_path, n=240)
+    fresh = LazySpFreshIndex(cfg.output_path, lire_config=LireConfig())
+    try:
+        lazy, st = fresh.lazy, fresh.storage
+        orig = st.stage_patches
+        fired = {"done": False}
+
+        def racy_stage_patches(pids):
+            if not fired["done"]:
+                fired["done"] = True
+                # Commit a split of the largest probed posting NOW — after
+                # the routing refresh, before staging (the background
+                # pipeline's interleaving).
+                victims = [p for p in pids if st.has_posting(p)]
+                if victims:
+                    pid = max(victims, key=lambda p: st.get_posting(p)[0].size)
+                    ids0, vecs0, _ = st.get_posting(pid)
+                    if len(ids0) >= 2:
+                        v = st.get_posting_version(pid)
+                        h = len(ids0) // 2
+                        n1, n2 = (st.allocate_posting_id(),
+                                  st.allocate_posting_id())
+                        assert st.atomic_replace(
+                            [pid], [v],
+                            [(n1, ids0[:h], vecs0[:h], vecs0[:h].mean(axis=0)),
+                             (n2, ids0[h:], vecs0[h:], vecs0[h:].mean(axis=0))],
+                        )
+            return orig(pids)
+
+        st.stage_patches = racy_stage_patches
+        q = data[:32]
+        ids, dists = lazy.search(q, 1, nprobe=lazy.num_clusters)
+        assert fired["done"]
+        # Full probe + self queries: every query must find itself exactly.
+        assert np.all(np.asarray(ids)[:, 0] == np.arange(32))
+        assert np.allclose(np.asarray(dists)[:, 0], 0.0, atol=1e-4)
+    finally:
+        fresh.close()
