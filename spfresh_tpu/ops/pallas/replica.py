@@ -91,8 +91,8 @@ def _make_kernel(C: int, ne: int, highest: bool, soar_lambda: float):
             oi_ref[...] = jnp.full((_NE8, _BR), -1, jnp.int32)
 
         c = c_ref[...]                    # (CT, d') storage dtype
-        x = x_ref[...]                    # (BR, d')
-        cb = cb_ref[...]                  # (BR, d') base-centroid rows
+        xT = x_ref[...]                   # (d', BR) — pre-transposed rows
+        cbT = cb_ref[...]                 # (d', BR) base-centroid rows^T
         x2 = x2_ref[...]                  # (1, BR) f32 |p|^2
         cb2 = cb2_ref[...]                # (1, BR) f32 |c_b|^2
         thr = thr_ref[...]                # (1, BR) f32 admission bound bt*db
@@ -100,20 +100,19 @@ def _make_kernel(C: int, ne: int, highest: bool, soar_lambda: float):
         base = base_ref[...]              # (1, BR) int32
 
         # Transposed tiles: BR on lanes, CT on sublanes — every reduce below
-        # runs down sublanes (the fast VPU direction).  |c_j|^2 is the one
+        # runs down sublanes (the fast VPU direction), and the row operands
+        # arrive pre-transposed so both dots are the standard (M, K) @ (K, N)
+        # contraction Mosaic is guaranteed to lower.  |c_j|^2 is the one
         # lane-axis reduce (slow direction) but it is (CT, d') once per step,
         # and the keepdims form lands it directly in the (CT, 1) layout the
         # broadcast needs — no relayout.
         cf = c.astype(jnp.float32)
         cn2 = jnp.sum(cf * cf, axis=1, keepdims=True)   # (CT, 1)
-        dims = (((1,), (1,)), ((), ()))
-        dxc = jax.lax.dot_general(
-            c, x, dimension_numbers=dims,
-            preferred_element_type=jnp.float32, precision=prec,
+        dxc = jnp.dot(
+            c, xT, preferred_element_type=jnp.float32, precision=prec
         )                                  # (CT, BR)  c_j . p
-        dcc = jax.lax.dot_general(
-            c, cb, dimension_numbers=dims,
-            preferred_element_type=jnp.float32, precision=prec,
+        dcc = jnp.dot(
+            c, cbT, preferred_element_type=jnp.float32, precision=prec
         )                                  # (CT, BR)  c_j . c_b
         D = jnp.maximum(cn2 + x2 - 2.0 * dxc, 0.0)
         CC = jnp.maximum(cn2 + cb2 - 2.0 * dcc, 0.0)
@@ -198,8 +197,8 @@ def _replica_topk_impl(
         ),
         grid=(n_pad // _BR, c_pad // _CT),  # centroid axis minor: streams C
         in_specs=[
-            pl.BlockSpec((_BR, d_pad), lambda i, j: (i, 0)),
-            pl.BlockSpec((_BR, d_pad), lambda i, j: (i, 0)),
+            pl.BlockSpec((d_pad, _BR), lambda i, j: (0, i)),
+            pl.BlockSpec((d_pad, _BR), lambda i, j: (0, i)),
             pl.BlockSpec((1, _BR), lambda i, j: (0, i)),
             pl.BlockSpec((1, _BR), lambda i, j: (0, i)),
             pl.BlockSpec((1, _BR), lambda i, j: (0, i)),
@@ -223,7 +222,7 @@ def _replica_topk_impl(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(Xp, Cb, x2, cb2, thr, db, bp, Cp)
+    )(Xp.T, Cb.T, x2, cb2, thr, db, bp, Cp)
     return oi[:n_extra, :n].T, od[:n_extra, :n].T
 
 
@@ -239,13 +238,12 @@ def _make_assign_kernel(C: int, highest: bool):
             oi_ref[...] = jnp.full((_NE8, _BR), -1, jnp.int32)
 
         c = c_ref[...]
-        x = x_ref[...]
+        xT = x_ref[...]                                  # (d', BR)
         x2 = x2_ref[...]
         cf = c.astype(jnp.float32)
         cn2 = jnp.sum(cf * cf, axis=1, keepdims=True)   # (CT, 1)
-        dxc = jax.lax.dot_general(
-            c, x, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec,
+        dxc = jnp.dot(
+            c, xT, preferred_element_type=jnp.float32, precision=prec
         )                                                # (CT, BR)
         D = jnp.maximum(cn2 + x2 - 2.0 * dxc, 0.0)
         cols = j * _CT + jax.lax.broadcasted_iota(jnp.int32, (_CT, _BR), 0)
@@ -292,7 +290,7 @@ def pallas_nearest_centroid(
         _make_assign_kernel(C, highest=prec is not None),
         grid=(n_pad // _BR, c_pad // _CT),
         in_specs=[
-            pl.BlockSpec((_BR, d_pad), lambda i, j: (i, 0)),
+            pl.BlockSpec((d_pad, _BR), lambda i, j: (0, i)),
             pl.BlockSpec((1, _BR), lambda i, j: (0, i)),
             pl.BlockSpec((_CT, d_pad), lambda i, j: (j, 0)),
         ],
@@ -312,7 +310,7 @@ def pallas_nearest_centroid(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(Xp, x2, Cp)
+    )(Xp.T, x2, Cp)
     return oi[0, :n], od[0, :n]
 
 
