@@ -1438,7 +1438,13 @@ class SpannIndex:
         elif format == "per_cluster":
             store = FileBasedPostingListStore(directory)
             for c in cids:
-                store.insert_posting_list(c, *self.postings[c])
+                pids_, pvecs_ = self.postings[c]
+                # Lazy member views stream WITHOUT caching (peek), same as
+                # the packed writer: caching here would accumulate
+                # replication x corpus in RAM over the loop.
+                if isinstance(pvecs_, _LazyMemberVecs):
+                    pvecs_ = pvecs_.peek()
+                store.insert_posting_list(c, pids_, pvecs_)
         else:
             raise ValueError(f"unknown save format {format!r}")
         manifest = {

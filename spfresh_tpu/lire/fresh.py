@@ -67,6 +67,14 @@ class SpFreshIndex:
         elif self.storage.posting_ids():
             # Storage is the durable truth on reopen: rebuild the mirror.
             self._sync_mirror(self.storage.posting_ids(), retired=set(index.postings) - set(self.storage.posting_ids()))
+        # The id allocator must clear every pid storage knows (background
+        # splits minted ids past the saved manifest's next_cluster_id): a
+        # colliding allocation would let atomic_replace silently overwrite
+        # a live posting.
+        index._next_cluster_id = max(
+            index._next_cluster_id,
+            max(self.storage.posting_ids(), default=-1) + 1,
+        )
 
         # id -> set of postings holding it (replicas from the initial build).
         self._id_map: Dict[int, Set[int]] = {}
@@ -120,9 +128,19 @@ class SpFreshIndex:
 
     def _on_posting_retired(self, pid: int) -> None:
         with self._lock:
+            entry = self.index.postings.get(pid)
             self.index.remove_cluster(pid)
-            for s in self._id_map.values():
-                s.discard(pid)
+            if entry is not None:
+                # O(posting) not O(total ids): sweep only the ids the
+                # retired posting held (a per-split full-map sweep burned
+                # the 1-core host at scale).
+                for i in entry[0]:
+                    s = self._id_map.get(int(i))
+                    if s is not None:
+                        s.discard(pid)
+            else:  # mirror entry already gone: conservative full sweep
+                for s in self._id_map.values():
+                    s.discard(pid)
 
     def _sync_mirror(self, pids, retired: Set[int] = frozenset()) -> None:
         with self._lock:
@@ -177,13 +195,19 @@ class SpFreshIndex:
             # routing and the append: fall back to per-vector protocol
             # inserts, which re-route to the CURRENT nearest partition.
             versions = []
+            affected: Set[int] = set()
             with self._lock:
                 for v, vid in zip(vectors, vector_ids):
                     res = self.protocol.insert(v, int(vid))
                     versions.append(res.version)
+                    affected.update(res.partitions_affected)
                     for p in res.partitions_affected:
                         self._map_add(int(vid), p)
-            self._sync_mirror(set(nearest.tolist()) & set(self.storage.posting_ids()))
+            # Sync where the re-routes LANDED (a retired original re-routes
+            # to a successor that is not in ``nearest``), plus any original
+            # that is still live.
+            affected.update(nearest.tolist())
+            self._sync_mirror(affected & set(self.storage.posting_ids()))
             return versions
         # Mirror the appends group-by-group (no storage re-read).
         order = np.argsort(nearest, kind="stable")
@@ -196,11 +220,18 @@ class SpFreshIndex:
             with self._lock:
                 entry = self.index.postings.get(pid)
                 if entry is not None:
-                    self.index.replace_posting(
-                        pid,
-                        np.concatenate([entry[0], vector_ids[grp]]),
-                        np.concatenate([entry[1], vectors[grp]]),
-                    )
+                    # Same guard single insert() has: a background op's
+                    # mirror sync may already include these vids (it reads
+                    # storage, where the batch append landed first) —
+                    # appending again would duplicate them in the mirror.
+                    fresh_m = ~np.isin(vector_ids[grp], entry[0])
+                    g2 = grp[fresh_m]
+                    if len(g2):
+                        self.index.replace_posting(
+                            pid,
+                            np.concatenate([entry[0], vector_ids[g2]]),
+                            np.concatenate([entry[1], vectors[g2]]),
+                        )
                 for vid in vector_ids[grp]:
                     self._map_add(int(vid), pid)
             if self.protocol.needs_split(pid):
@@ -228,28 +259,29 @@ class SpFreshIndex:
             except LireStorageError:
                 # Stale map entry: a background split/merge/reassign moved the
                 # vector after we read the map.  The storage's reverse index
-                # knows its current homes — O(1), not a full-store scan.
-                found = False
+                # knows its current homes — tombstone EVERY live copy (a
+                # split's boundary closure can replicate the vector into
+                # more than one successor).
                 for other in self.storage.postings_of(int(vector_id)):
                     try:
                         res = self.protocol.delete(int(vector_id), other)
                     except LireStorageError:
                         continue
                     versions.append(res.version)
-                    pid = other
-                    found = True
-                    break
-                if not found:
-                    continue
-            with self._lock:
-                if pid in self.index.postings:
-                    ids, vecs = self.index.postings[pid]
-                    keep = ids != int(vector_id)
-                    self.index.replace_posting(pid, ids[keep], vecs[keep])
-                self._id_map.get(int(vector_id), set()).discard(pid)
+                    self._mirror_remove(int(vector_id), other)
+                continue
+            self._mirror_remove(int(vector_id), pid)
         if not versions:
             raise KeyError(f"vector {vector_id} not found in any live posting")
         return versions
+
+    def _mirror_remove(self, vector_id: int, pid: int) -> None:
+        with self._lock:
+            if pid in self.index.postings:
+                ids, vecs = self.index.postings[pid]
+                keep = ids != int(vector_id)
+                self.index.replace_posting(pid, ids[keep], vecs[keep])
+            self._id_map.get(int(vector_id), set()).discard(pid)
 
     def delete_batch(self, vector_ids) -> int:
         """Tombstone many vectors (replicas included): one storage batch and
@@ -269,8 +301,9 @@ class SpFreshIndex:
             try:
                 hit_ids, _ = self.storage.mark_deleted_batch(pid, vids)
             except LireStorageError:
-                # Posting retired since the map snapshot: its successors were
-                # re-routed through the reverse index below.
+                # Posting retired since the map snapshot: re-route through
+                # the reverse index — and keep the MIRROR in step, or the
+                # deleted vector stays searchable indefinitely.
                 for vid in vids:
                     for other in self.storage.postings_of(vid):
                         try:
@@ -279,6 +312,8 @@ class SpFreshIndex:
                             continue
                         if h:
                             deleted.add(vid)
+                            metrics.inc("lire.delete", 1)
+                            self._mirror_remove(vid, other)
                 continue
             deleted.update(hit_ids)
             metrics.inc("lire.delete", len(hit_ids))

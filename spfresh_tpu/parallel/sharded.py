@@ -193,7 +193,11 @@ class ShardedSpannIndex:
         # scratch row per shard (the write sink for batch-padding dummies).
         occ = max(len(g) for g in per_shard)
         Cs = max(8, _round_up(occ + max(8, occ // 4) + 1, 8))
-        pad = max(16, _round_up(max(1, max_len), 16))
+        # Slot headroom like the single-device view (slab_growth_slots):
+        # zero spare slots would force a full repack + re-upload of the
+        # whole sharded view on the FIRST append to the largest posting.
+        growth = int(self.index.config.search.slab_growth_slots)
+        pad = max(16, _round_up(max(1, max_len) + growth, 16))
         cent = np.zeros((S, Cs, d_pad), np.float32)
         valid = np.zeros((S, Cs), bool)
         lens = np.zeros((S, Cs), np.int32)
