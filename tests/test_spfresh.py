@@ -243,3 +243,47 @@ def test_spfresh_randomized_oracle(tmp_path):
                 fresh.flush()
             fresh.flush()
             check()
+
+
+def test_reopen_allocator_clears_storage_pids(tmp_path):
+    """Background splits mint posting ids past the saved index's
+    next_cluster_id; reopening on the same storage must advance the
+    allocator past every pid storage knows — a colliding allocation lets
+    atomic_replace silently overwrite a live posting (data loss)."""
+    fresh, data, rng = build_fresh(tmp_path, n=160)
+    # Force splits: hot-spot inserts into one posting.
+    cent = fresh.storage.get_posting_centroid(fresh.storage.posting_ids()[0])
+    hot = cent[None, :] + 0.01 * rng.standard_normal((120, data.shape[1])).astype(
+        np.float32
+    )
+    fresh.insert_batch(hot, np.arange(50_000, 50_120))
+    fresh.flush()
+    max_pid = max(fresh.storage.posting_ids())
+    assert max_pid >= fresh.index._next_cluster_id - 1
+    # Save the ORIGINAL (pre-split) index to disk, as a crash would leave it.
+    fresh.close()
+
+    cfg = Config.from_dict(
+        {
+            "clustering_params": {
+                "initial_k": 3,
+                "desired_cluster_size": 26,
+                "rng_seed": 42,
+            },
+            "output_path": str(tmp_path / "idx2"),
+        }
+    )
+    stale = SpannIndexBuilder(cfg).with_data(data).build(save=False)
+    assert stale._next_cluster_id <= max_pid  # the stale manifest's view
+    reopened = SpFreshIndex(
+        stale, str(tmp_path / "lire"),
+        LireConfig(max_partition_size=52, min_partition_size=2),
+        start_pipeline=False,
+    )
+    try:
+        assert reopened.index._next_cluster_id > max_pid
+        assert reopened._alloc_posting_id() not in set(
+            reopened.storage.posting_ids()
+        )
+    finally:
+        reopened.close()
