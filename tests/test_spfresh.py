@@ -287,3 +287,46 @@ def test_reopen_allocator_clears_storage_pids(tmp_path):
         )
     finally:
         reopened.close()
+
+
+def test_delete_batch_retired_fallback_updates_mirror(tmp_path):
+    """A posting retired between delete_batch's map snapshot and its storage
+    call: the fallback must tombstone the vector in its successor AND purge
+    it from the search mirror — it previously stayed searchable forever."""
+    fresh, data, rng = build_fresh(tmp_path, n=160)
+    try:
+        st = fresh.storage
+        victim_pid = max(st.posting_ids(), key=lambda p: st.get_posting(p)[0].size)
+        vids0, vecs0, _ = st.get_posting(victim_pid)
+        target = int(vids0[0])
+        orig = st.mark_deleted_batch
+        fired = {}
+
+        def racy(pid, vids):
+            if pid == victim_pid and not fired:
+                fired["x"] = True
+                v = st.get_posting_version(victim_pid)
+                h = len(vids0) // 2
+                n1, n2 = fresh._alloc_posting_id(), fresh._alloc_posting_id()
+                assert st.atomic_replace(
+                    [victim_pid], [v],
+                    [(n1, vids0[:h], vecs0[:h], vecs0[:h].mean(axis=0)),
+                     (n2, vids0[h:], vecs0[h:], vecs0[h:].mean(axis=0))],
+                )
+                # Mirror the successors like the background pipeline would.
+                fresh._on_posting_created(n1, vecs0[:h].mean(axis=0))
+                fresh._on_posting_created(n2, vecs0[h:].mean(axis=0))
+                fresh._on_posting_retired(victim_pid)
+            return orig(pid, vids)
+
+        st.mark_deleted_batch = racy
+        n_del = fresh.delete_batch([target])
+        assert fired and n_del == 1
+        # The tombstone must be mirror-visible: a full-probe search for the
+        # deleted vector's own coordinates must NOT return its id.
+        qv = data[target] if target < len(data) else vecs0[0]
+        ids, _ = fresh.search(qv[None, :], 5,
+                              nprobe=fresh.index.num_clusters, engine="xla")
+        assert target not in set(np.asarray(ids)[0].tolist())
+    finally:
+        fresh.close()
