@@ -330,3 +330,49 @@ def test_delete_batch_retired_fallback_updates_mirror(tmp_path):
         assert target not in set(np.asarray(ids)[0].tolist())
     finally:
         fresh.close()
+
+
+def test_insert_batch_reroute_fallback_visible_in_search(tmp_path):
+    """A routing destination retired between insert_batch's centroid scan
+    and its storage append: the per-vector re-route fallback must leave the
+    vectors SEARCHABLE (mirror synced where the re-routes landed, not where
+    the stale routing pointed)."""
+    from spfresh_tpu.lire.storage import LireStorageError
+
+    fresh, data, rng = build_fresh(tmp_path, n=160)
+    try:
+        st = fresh.storage
+        orig = st.store_vectors_multi
+        fired = {}
+
+        def racy(nearest, vids, vecs):
+            if not fired:
+                fired["x"] = True
+                # Retire the most common destination (split it), mirroring
+                # like the background pipeline would.
+                pid = int(np.bincount(nearest).argmax())
+                ids0, vecs0, _ = st.get_posting(pid)
+                v = st.get_posting_version(pid)
+                h = max(1, len(ids0) // 2)
+                n1, n2 = fresh._alloc_posting_id(), fresh._alloc_posting_id()
+                assert st.atomic_replace(
+                    [pid], [v],
+                    [(n1, ids0[:h], vecs0[:h], vecs0[:h].mean(axis=0)),
+                     (n2, ids0[h:], vecs0[h:], vecs0[h:].mean(axis=0))],
+                )
+                fresh._on_posting_created(n1, vecs0[:h].mean(axis=0))
+                fresh._on_posting_created(n2, vecs0[h:].mean(axis=0))
+                fresh._on_posting_retired(pid)
+            return orig(nearest, vids, vecs)
+
+        st.store_vectors_multi = racy
+        add = data[:24] + 0.001
+        fresh.insert_batch(add, np.arange(90_000, 90_024))
+        assert fired
+        ids, dists = fresh.search(add, 1, nprobe=fresh.index.num_clusters,
+                                  engine="xla")
+        got = set(np.asarray(ids)[:, 0].tolist())
+        assert got == set(range(90_000, 90_024)), got
+        assert np.allclose(np.asarray(dists)[:, 0], 0.0, atol=1e-5)
+    finally:
+        fresh.close()
