@@ -386,6 +386,8 @@ class LazySpannIndex:
         queries = np.atleast_2d(np.asarray(queries, np.float32))
         if queries.shape[1] != self.dim:
             raise ValueError(f"query dim {queries.shape[1]} != index dim {self.dim}")
+        if queries.shape[0] == 0:
+            return np.empty((0, k), np.int64), np.empty((0, k), np.float32)
         if self._overlay is not None:
             self._refresh_overlay()
         nprobe = max(1, min(int(nprobe or self.config.search.nprobe or k), self.num_clusters))

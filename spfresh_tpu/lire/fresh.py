@@ -289,41 +289,54 @@ class SpFreshIndex:
         writes.  Returns how many of the requested ids had a live copy."""
         from spfresh_tpu.lire.storage import LireStorageError
 
-        by_pid: Dict[int, List[int]] = {}
-        with self._lock:
-            for vid in vector_ids:
-                vid = int(vid)
-                pids = self._id_map.get(vid) or self.storage.postings_of(vid)
-                for pid in pids:
-                    by_pid.setdefault(pid, []).append(vid)
+        requested = [int(v) for v in vector_ids]
         deleted: Set[int] = set()
-        for pid, vids in sorted(by_pid.items()):
-            try:
-                hit_ids, _ = self.storage.mark_deleted_batch(pid, vids)
-            except LireStorageError:
-                # Posting retired since the map snapshot: re-route through
-                # the reverse index — and keep the MIRROR in step, or the
-                # deleted vector stays searchable indefinitely.
-                for vid in vids:
-                    for other in self.storage.postings_of(vid):
-                        try:
-                            h, _ = self.storage.mark_deleted_batch(other, [vid])
-                        except LireStorageError:
-                            continue
-                        if h:
-                            deleted.add(vid)
-                            metrics.inc("lire.delete", 1)
-                            self._mirror_remove(vid, other)
-                continue
-            deleted.update(hit_ids)
-            metrics.inc("lire.delete", len(hit_ids))
+        pending: Set[int] = set(requested)
+        touched: Set[int] = set()
+        # Re-resolve until stable, and schedule maintenance only AFTER the
+        # tombstones land: a merge kicked off mid-loop runs concurrently and
+        # can carry a not-yet-tombstoned replica into a successor the loop's
+        # snapshot never sees (the copy then stays searchable forever).
+        for round_ in range(4):
+            by_pid: Dict[int, List[int]] = {}
             with self._lock:
-                if pid in self.index.postings:
-                    ids, vecs = self.index.postings[pid]
-                    keep = ~np.isin(ids, hit_ids)
-                    self.index.replace_posting(pid, ids[keep], vecs[keep])
-                for vid in hit_ids:
-                    self._id_map.get(vid, set()).discard(pid)
+                for vid in pending:
+                    pids = (
+                        (self._id_map.get(vid) or self.storage.postings_of(vid))
+                        if round_ == 0
+                        else self.storage.postings_of(vid)
+                    )
+                    for pid in pids:
+                        by_pid.setdefault(int(pid), []).append(vid)
+            if not by_pid:
+                break
+            hit_any = False
+            for pid, vids in sorted(by_pid.items()):
+                try:
+                    hit_ids, _ = self.storage.mark_deleted_batch(pid, vids)
+                except LireStorageError:
+                    continue  # retired mid-round: next round re-resolves
+                if not hit_ids:
+                    continue
+                hit_any = True
+                deleted.update(hit_ids)
+                touched.add(pid)
+                metrics.inc("lire.delete", len(hit_ids))
+                with self._lock:
+                    if pid in self.index.postings:
+                        ids, vecs = self.index.postings[pid]
+                        keep = ~np.isin(ids, hit_ids)
+                        self.index.replace_posting(pid, ids[keep], vecs[keep])
+                    for vid in hit_ids:
+                        self._id_map.get(vid, set()).discard(pid)
+            pending = {
+                vid for vid in pending if self.storage.postings_of(vid)
+            }
+            if not pending or not hit_any:
+                break
+        for pid in sorted(touched):
+            if not self.storage.has_posting(pid):
+                continue
             if self.protocol.needs_merge(pid):
                 merge = self.protocol._plan_merge(pid)
                 if merge is not None:
@@ -384,6 +397,18 @@ class SpFreshIndex:
                     for i in ids:
                         self._map_add(int(i), pid)
             return
+        # Successor threshold re-check: one oversized batch can push a
+        # split's halves past the threshold themselves, and a merge result
+        # can still be undersized (only the TRIGGERING posting was checked).
+        for pid in result.new_postings:
+            if not self.storage.has_posting(pid):
+                continue
+            if self.protocol.needs_split(pid):
+                self.protocol.schedule_maintenance(Split(pid))
+            # Deliberately NO needs_merge here: merging a split's halves
+            # right back (or chaining merges off a merge result) ping-pongs
+            # with the split trigger — undersized postings wait for the
+            # next delete on them, like the reference's trigger model.
         # After a successful split, boundary vectors near the two new
         # postings may belong elsewhere now — schedule Reassign (SPFresh
         # semantics; the reference never got here).

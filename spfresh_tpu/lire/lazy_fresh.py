@@ -20,7 +20,6 @@ packed base once it has grown past taste.
 from __future__ import annotations
 
 import logging
-import threading
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -62,7 +61,9 @@ class LazySpFreshIndex:
         self.lire_config = lire_config or LireConfig()
         self.reassign_after_split = reassign_after_split
         self.reassign_nearby = reassign_nearby
-        self._lock = threading.RLock()
+        # No facade lock: thread-safety delegates to the storage engine's
+        # single lock (every mutator and the search staging go through it);
+        # the in-RAM sibling needs its own lock only for its MIRROR state.
         ctx = LireContext(
             storage=self.storage,
             alloc_posting_id=self.storage.allocate_posting_id,
@@ -88,8 +89,17 @@ class LazySpFreshIndex:
         gen, pids, cents, dev = self.protocol._router()
         if len(pids) == 0:
             raise ValueError("no postings exist; build an index first")
-        mat = dev if dev is not None else jnp.asarray(cents)
-        D = np.asarray(pairwise_distance(jnp.asarray(vectors), mat, self.metric))
+        if dev is None:
+            # Below DEVICE_ROUTE_MIN_C the protocol's own policy routes on
+            # the host — re-uploading the full matrix per batch here would
+            # pay a multi-MB H2D + dispatch for a scan numpy does in ms.
+            from spfresh_tpu.lire.operations import _dist
+
+            D = _dist(self.metric, vectors[:, None, :], cents[None, :, :])
+        else:
+            D = np.asarray(
+                pairwise_distance(jnp.asarray(vectors), dev, self.metric)
+            )
         return pids[np.argmin(D, axis=1)]
 
     # -- updates --------------------------------------------------------------
@@ -152,31 +162,47 @@ class LazySpFreshIndex:
 
     def delete_batch(self, vector_ids) -> int:
         """Tombstone many vectors: one storage batch per touched posting.
-        Returns how many of the requested ids had a live copy."""
-        by_pid = {}
-        for vid in vector_ids:
-            vid = int(vid)
-            for pid in self.storage.postings_of(vid):
-                by_pid.setdefault(int(pid), []).append(vid)
-        deleted = set()
-        for pid, vids in sorted(by_pid.items()):
-            try:
-                hit_ids, _ = self.storage.mark_deleted_batch(pid, vids)
-            except LireStorageError:
-                # Posting retired since the route snapshot (a merge scheduled
-                # earlier in this very loop can land mid-batch): the copies
-                # now live in its successors — the reverse index knows where.
-                for vid in vids:
-                    for other in self.storage.postings_of(vid):
-                        try:
-                            h, _ = self.storage.mark_deleted_batch(other, [vid])
-                        except LireStorageError:
-                            continue
-                        if h:
-                            deleted.add(vid)
+        Returns how many of the requested ids had a live copy.
+
+        Maintenance (merge/GC) is scheduled AFTER every tombstone lands: a
+        merge kicked off mid-loop runs concurrently and can carry a
+        not-yet-tombstoned replica into a successor the loop's snapshot
+        never sees.  A final re-resolve pass retires copies that background
+        ops (from BEFORE this call) moved while the loop ran."""
+        requested = [int(v) for v in vector_ids]
+        deleted: set = set()
+        pending = set(requested)
+        touched: set = set()
+        # Re-resolve until stable: each round tombstones every live copy the
+        # reverse index knows; copies a concurrent move re-homes between
+        # rounds get caught by the next round.
+        for _ in range(4):
+            by_pid = {}
+            for vid in pending:
+                for pid in self.storage.postings_of(vid):
+                    by_pid.setdefault(int(pid), []).append(vid)
+            if not by_pid:
+                break
+            hit_any = False
+            for pid, vids in sorted(by_pid.items()):
+                try:
+                    hit_ids, _ = self.storage.mark_deleted_batch(pid, vids)
+                except LireStorageError:
+                    continue  # retired mid-round: next round re-resolves
+                if hit_ids:
+                    hit_any = True
+                    deleted.update(hit_ids)
+                    touched.add(pid)
+                    metrics.inc("lire.delete", len(hit_ids))
+            # Only ids with NO remaining live copy leave the pending set.
+            pending = {
+                vid for vid in pending if self.storage.postings_of(vid)
+            }
+            if not pending or not hit_any:
+                break
+        for pid in sorted(touched):
+            if not self.storage.has_posting(pid):
                 continue
-            deleted.update(hit_ids)
-            metrics.inc("lire.delete", len(hit_ids))
             if self.protocol.needs_merge(pid):
                 merge = self.protocol._plan_merge(pid)
                 if merge is not None:
@@ -203,6 +229,7 @@ class LazySpFreshIndex:
             return
         op, result = outcome.op, outcome.result
         # No search mirror to sync — the lazy index reads storage directly.
+        self._recheck_successors(result)
         # After a split, boundary vectors near the new postings may belong
         # elsewhere now: schedule Reassign (SPFresh semantics).
         if isinstance(op, Split) and self.reassign_after_split and result.new_postings:
@@ -220,6 +247,21 @@ class LazySpFreshIndex:
                 vectors.extend((int(i), pid, int(v)) for i, v in zip(ids, vers))
             if vectors and len(candidates) > 1:
                 self.protocol.schedule_maintenance(Reassign(vectors, candidates))
+
+    def _recheck_successors(self, result) -> None:
+        """One oversized batch can push a split's halves past the threshold
+        themselves (only one Split is scheduled per batch), and a merge
+        result can still be undersized — successors get the same threshold
+        check their trigger would have given them."""
+        for pid in result.new_postings:
+            if not self.storage.has_posting(pid):
+                continue
+            if self.protocol.needs_split(pid):
+                self.protocol.schedule_maintenance(Split(pid))
+            # Deliberately NO needs_merge here: merging a split's halves
+            # right back (or chaining merges off a merge result) ping-pongs
+            # with the split trigger — undersized postings wait for the
+            # next delete on them, like the reference's trigger model.
 
     # -- maintenance / repair --------------------------------------------------
 

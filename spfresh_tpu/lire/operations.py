@@ -160,8 +160,17 @@ class Split(PartitionOperation):
             cc = float(_dist(metric, c1, c2))
             m1 = ~best2 | (best2 & (d1 < _BOUNDARY_THRESHOLD * d2) & (cc >= d1))
             m2 = best2 | (~best2 & (d2 < _BOUNDARY_THRESHOLD * d1) & (cc >= d2))
-            # Guaranteed progress on duplicate-heavy postings (SURVEY quirk 6).
-            if m1.all() or m2.all() or not m1.any() or not m2.any():
+            # Guaranteed progress on duplicate-heavy postings (SURVEY quirk
+            # 6), and a hard overlap cap: on tight clusters the closure can
+            # admit most vectors into BOTH halves, and cascaded splits (a
+            # successor re-split because one oversized batch blew past 2x
+            # the threshold) would then compound replication multiplicatively
+            # — the same blowup the build layer's single capped replica pass
+            # exists to avoid.  1.25 mirrors Config.replica_overflow.
+            if (
+                m1.all() or m2.all() or not m1.any() or not m2.any()
+                or int(m1.sum()) + int(m2.sum()) > int(np.ceil(1.25 * len(ids)))
+            ):
                 order = np.argsort(d1, kind="stable")
                 half = (len(ids) + 1) // 2
                 m1 = np.zeros(len(ids), bool)
@@ -254,9 +263,22 @@ class Merge(PartitionOperation):
                     f"{len(ids)} vectors > max {self.max_size}"
                 )
             if len(ids) == 0:
-                centroid = np.zeros(ctx.storage.dim, np.float32)
-            else:
-                centroid = _medoid(metric, vecs)
+                # Both sources fully tombstoned: retire them WITHOUT minting
+                # a successor — an empty posting with a zero centroid would
+                # pollute routing forever (nothing ever deletes from it, so
+                # no trigger could merge or GC it away).
+                if ctx.storage.atomic_replace(
+                    [self.posting_id, self.target_id], [v_a, v_b], []
+                ):
+                    ctx.on_posting_retired(self.posting_id)
+                    ctx.on_posting_retired(self.target_id)
+                    return OperationResult(
+                        vectors_moved=0,
+                        new_postings=[],
+                        retired_postings=[self.posting_id, self.target_id],
+                    )
+                continue  # version moved: retry on fresh data
+            centroid = _medoid(metric, vecs)
             pid = ctx.alloc_posting_id()
             ok = ctx.storage.atomic_replace(
                 [self.posting_id, self.target_id],
@@ -304,10 +326,11 @@ class Reassign(PartitionOperation):
         paid one file open+write per moved vector — thousands of tiny writes
         on a 1-core host after a big split).
 
-        Ordering: the copy lands in the destination BEFORE the source
-        tombstone, so a crash or a concurrently-retired destination can
-        only leave a transient duplicate (handled by search dedup and merge's
-        newest-version-wins), never a lost vector."""
+        Commit is ``storage.move_vectors`` — append-at-dst + EXACT-entry
+        tombstone-at-src under ONE storage lock, pinned to the planned entry
+        version: a vector whose src entry changed since planning (concurrent
+        foreground insert or delete) is skipped, never clobbered or
+        resurrected."""
         self.validate(ctx)
         metric = ctx.metric
         cands = [
@@ -321,8 +344,8 @@ class Reassign(PartitionOperation):
         for vid, cur_pid, token in self.vectors:
             by_src.setdefault(cur_pid, []).append((int(vid), token))
 
-        # Plan: (dst, vid, vec, src) for every vector that should move.
-        planned: List[Tuple[int, int, np.ndarray, int]] = []
+        # Plan: (dst, vid, entry_version, src) for every vector to move.
+        planned: List[Tuple[int, int, int, int]] = []
         for src, items in by_src.items():
             if not ctx.storage.has_posting(src):
                 continue  # split/merged away; its successor owns the vectors
@@ -347,30 +370,21 @@ class Reassign(PartitionOperation):
             for (vid, j), b in zip(sel, best):
                 dst = cands[int(b)]
                 if dst != src:
-                    planned.append((dst, vid, vecs[j], src))
+                    planned.append((dst, vid, int(vers[j]), src))
 
-        # Commit: one store batch per destination, then one tombstone batch
-        # per source (only for vectors whose copy landed).
-        by_dst: Dict[int, List[int]] = {}
-        for i, (dst, _, _, _) in enumerate(planned):
-            by_dst.setdefault(dst, []).append(i)
+        # Commit: one atomic pinned move per (src, dst) pair.
+        by_pair: Dict[Tuple[int, int], List[int]] = {}
+        for i, (dst, _, _, src) in enumerate(planned):
+            by_pair.setdefault((src, dst), []).append(i)
         moved = 0
-        del_by_src: Dict[int, List[int]] = {}
-        for dst, idxs in by_dst.items():
+        for (src, dst), idxs in sorted(by_pair.items()):
             vids = [planned[i][1] for i in idxs]
-            V = np.stack([planned[i][2] for i in idxs])
+            evs = [planned[i][2] for i in idxs]
             try:
-                ctx.storage.store_vectors(dst, vids, V)
+                moved_ids, _ = ctx.storage.move_vectors(src, dst, vids, evs)
             except LireStorageError:
-                continue  # dst retired mid-op: leave the vectors at the source
-            moved += len(idxs)
-            for i in idxs:
-                del_by_src.setdefault(planned[i][3], []).append(planned[i][1])
-        for src, vids in del_by_src.items():
-            try:
-                ctx.storage.mark_deleted_batch(src, vids)
-            except LireStorageError:
-                pass  # src retired after the copies landed: duplicates only
+                continue  # src or dst retired mid-op: leave vectors in place
+            moved += len(moved_ids)
         return OperationResult(
             vectors_moved=moved,
             new_postings=[],

@@ -572,6 +572,47 @@ class PackedLireStorage(RoutingTierMixin):
             )
         return version
 
+    def move_vectors(self, src: int, dst: int, vector_ids, entry_versions):
+        """Atomic pinned move src -> dst under one lock — same contract as
+        ``LireStorage.move_vectors`` (see there); the Reassign commit path."""
+        with self._lock:
+            if int(src) not in self._live:
+                raise LireStorageError(f"posting {src} does not exist")
+            if int(dst) not in self._live:
+                raise LireStorageError(f"posting {dst} does not exist")
+            ids_s, vecs_s, vers_s = self._live_entries_locked(int(src))
+            pos = {
+                (int(v), int(vv)): i
+                for i, (v, vv) in enumerate(zip(ids_s, vers_s))
+            }
+            moved: List[int] = []
+            versions: List[int] = []
+            records: List[tuple] = []
+            for vid, ev in zip(vector_ids, entry_versions):
+                i = pos.get((int(vid), int(ev)))
+                if i is None:
+                    continue  # entry changed since planning: skip
+                v_add = self._append_locked(
+                    int(dst), int(vid), np.asarray(vecs_s[i], np.float32),
+                    records,
+                )
+                ev2 = self._tombstone_locked(
+                    int(src), int(vid), entry_version=int(ev)
+                )
+                v_del = self._next_version()
+                records.append(
+                    (_OP_DEL, int(src), int(vid), v_del,
+                     self._del_payload(ev2))
+                )
+                moved.append(int(vid))
+                versions.append(v_add)
+            if moved:
+                ms = self._meta[int(src)]
+                ms.version = self._current_version
+                ms.vector_count -= len(moved)
+                self._wal_append_locked(records)
+        return moved, versions
+
     def mark_deleted_batch(self, posting_id: int, vector_ids) -> Tuple[List[int], List[int]]:
         with self._lock:
             if posting_id not in self._live:

@@ -12,12 +12,13 @@ queue, and failed ops record their exception for inspection).
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import enum
 import logging
 import queue
 import threading
-from typing import Callable, Dict, List, Optional
+from typing import Callable, Dict, Iterable, List, Optional
 
 from spfresh_tpu.lire.operations import LireContext, OperationResult, PartitionOperation
 from spfresh_tpu.utils import metrics
@@ -57,7 +58,18 @@ class TwoStagePipeline:
         self._thread: Optional[threading.Thread] = None
         self._status_lock = threading.Lock()
         self._status: Dict[int, PartitionStatus] = {}
-        self._outcomes: List[TaskOutcome] = []
+        # Bounded archive: a long-running serving process completes
+        # thousands of maintenance ops (each Reassign op holds per-vector
+        # triple lists) — an unbounded list is a slow leak on the host.
+        self._outcomes: "collections.deque[TaskOutcome]" = collections.deque(
+            maxlen=1024
+        )
+        # Partitions whose maintenance was REFUSED because an op covering
+        # them was already in flight: when that op completes, they surface
+        # as NEEDS_MAINTENANCE (for repair()/flush()) instead of READY —
+        # a refused Split/Merge must not vanish (the trigger may never
+        # re-fire).
+        self._recheck: set = set()
         self._started = False
 
     # -- lifecycle (pipeline.rs:186-215) -----------------------------------
@@ -112,6 +124,20 @@ class TwoStagePipeline:
         with self._status_lock:
             return list(self._outcomes)
 
+    def defer_recheck(self, partition_ids: Iterable[int]) -> None:
+        """Mark partitions for a threshold re-check once their in-flight op
+        completes (see schedule_maintenance's refusal path)."""
+        with self._status_lock:
+            self._recheck.update(int(p) for p in partition_ids)
+
+    def _finish_status(self, pid: int) -> None:
+        with self._status_lock:
+            if pid in self._recheck:
+                self._recheck.discard(pid)
+                self._status[pid] = PartitionStatus.NEEDS_MAINTENANCE
+            else:
+                self._status[pid] = PartitionStatus.READY
+
     # -- background stage (pipeline.rs:62-172) -----------------------------
 
     def _worker(self) -> None:
@@ -120,15 +146,23 @@ class TwoStagePipeline:
             if task is _SHUTDOWN:
                 self._queue.task_done()
                 return
-            outcome = self._process(task)
-            with self._status_lock:
-                self._outcomes.append(outcome)
-            if self.on_complete is not None:
-                try:
-                    self.on_complete(outcome)
-                except Exception:  # callback bugs must not kill the worker
-                    log.exception("LIRE on_complete callback failed")
-            self._queue.task_done()
+            try:
+                outcome = self._process(task)
+                with self._status_lock:
+                    self._outcomes.append(outcome)
+                if self.on_complete is not None:
+                    try:
+                        self.on_complete(outcome)
+                    except Exception:  # callback bugs must not kill the worker
+                        log.exception("LIRE on_complete callback failed")
+            except Exception:
+                # A raise anywhere outside execute()'s own handling (e.g. a
+                # malformed op's get_affected_partitions) must not kill the
+                # worker: a dead worker leaves task_done uncalled and every
+                # future drain()/flush()/close() deadlocks in queue.join().
+                log.exception("LIRE worker: unexpected failure processing task")
+            finally:
+                self._queue.task_done()
 
     def _process(self, op: PartitionOperation) -> TaskOutcome:
         affected = op.get_affected_partitions()
@@ -146,12 +180,10 @@ class TwoStagePipeline:
                 except Exception:  # noqa: BLE001 — never block the skip path
                     survivors = set()
                 for pid in affected:
-                    self._set_status(
-                        pid,
-                        PartitionStatus.NEEDS_MAINTENANCE
-                        if pid in survivors
-                        else PartitionStatus.READY,
-                    )
+                    if pid in survivors:
+                        self._set_status(pid, PartitionStatus.NEEDS_MAINTENANCE)
+                    else:
+                        self._finish_status(pid)
                 return TaskOutcome(op, None, None)
         except Exception:  # noqa: BLE001 — fall through to execute's handling
             pass
@@ -166,7 +198,7 @@ class TwoStagePipeline:
         metrics.inc(f"lire.{type(op).__name__.lower()}.ok")
         metrics.inc("lire.vectors_moved", result.vectors_moved)
         for pid in affected:
-            self._set_status(pid, PartitionStatus.READY)
+            self._finish_status(pid)
         for pid in result.new_postings:
-            self._set_status(pid, PartitionStatus.READY)
+            self._finish_status(pid)
         return TaskOutcome(op, result, None)

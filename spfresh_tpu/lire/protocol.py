@@ -146,8 +146,14 @@ class LireProtocol:
             return False
         from spfresh_tpu.lire.pipeline import PartitionStatus
 
-        for pid in op.get_affected_partitions():
+        affected = op.get_affected_partitions()
+        for pid in affected:
             if self.pipeline.get_partition_status(pid) == PartitionStatus.PROCESSING:
+                # Don't silently drop pending maintenance: the trigger (the
+                # insert/delete that crossed the threshold) may never
+                # re-fire.  The in-flight op's completion surfaces these as
+                # NEEDS_MAINTENANCE for the repair loop.
+                self.pipeline.defer_recheck(affected)
                 return False
         self.pipeline.submit_task(op)
         return True
@@ -187,18 +193,6 @@ class LireProtocol:
                 )
             )[0]
         return _dist(self.metric, cents, query_vec[None, :])
-
-    def _live_centroids(self, exclude: Optional[int] = None):
-        """Snapshot (pids, centroid matrix) from the cached router view —
-        inherently tolerant of concurrent retirement (the matrix is a
-        consistent generation, never read posting-by-posting)."""
-        _, pids, cents, _ = self._router()
-        if exclude is not None:
-            m = pids != exclude
-            pids, cents = pids[m], cents[m]
-        if len(pids) == 0:
-            return [], None
-        return [int(p) for p in pids], cents
 
     def find_nearest_partition(self, vector: np.ndarray) -> Optional[int]:
         _, pids, _, _ = self._router()

@@ -459,6 +459,62 @@ class LireStorage(RoutingTierMixin):
             self._maybe_compact_locked()
         return versions
 
+    def move_vectors(self, src: int, dst: int, vector_ids, entry_versions):
+        """Atomically move vectors ``src`` -> ``dst``, pinned to their
+        planned entry versions: under ONE lock each (vid, entry_version)
+        still live at src is appended to dst and its EXACT src entry
+        tombstoned.  A vector whose src entry changed since planning
+        (concurrent insert appended a newer copy, or a delete tombstoned
+        it) is skipped — a background Reassign can neither clobber a
+        foreground update nor resurrect a deleted vector.  Returns
+        (moved_ids, append_versions)."""
+        with self._lock:
+            ps = self._postings.get(int(src))
+            pd = self._postings.get(int(dst))
+            if ps is None:
+                raise LireStorageError(f"posting {src} does not exist")
+            if pd is None:
+                raise LireStorageError(f"posting {dst} does not exist")
+            moved: List[int] = []
+            versions: List[int] = []
+            entries = []
+            for vid, ev in zip(vector_ids, entry_versions):
+                vid, ev = int(vid), int(ev)
+                j = None
+                for i in range(len(ps.ids) - 1, -1, -1):
+                    if (
+                        ps.ids[i] == vid
+                        and not ps.deleted[i]
+                        and ps.versions[i] == ev
+                    ):
+                        j = i
+                        break
+                if j is None:
+                    continue  # entry changed since planning: skip
+                vec = ps.vectors[j].copy()
+                v_add = self._next_version()
+                pd.ids.append(vid)
+                pd.vectors.append(vec)
+                pd.versions.append(v_add)
+                pd.deleted.append(False)
+                self._id_index.setdefault(vid, set()).add(int(dst))
+                entries.append((_OP_ADD, int(dst), vid, v_add, vec))
+                ev2 = self._tombstone_locked(ps, int(src), vid, entry_version=ev)
+                v_del = self._next_version()
+                entries.append((_OP_DEL, int(src), vid, v_del, ev2))
+                moved.append(vid)
+                versions.append(v_add)
+            if moved:
+                md = self._metadata[int(dst)]
+                md.version = versions[-1]
+                md.vector_count += len(moved)
+                ms = self._metadata[int(src)]
+                ms.version = self._current_version
+                ms.vector_count -= len(moved)
+                self._wal_append_locked(entries)
+                self._maybe_compact_locked()
+        return moved, versions
+
     def mark_deleted(self, posting_id: int, vector_id: int) -> int:
         """Tombstone a vector (storage.rs:126-173); returns the version."""
         with self._lock:
