@@ -565,3 +565,36 @@ def test_search_survives_split_commit_mid_search(tmp_path):
         assert np.allclose(np.asarray(dists)[:, 0], 0.0, atol=1e-4)
     finally:
         fresh.close()
+
+
+def test_move_vectors_pinned_semantics(tmp_path):
+    """storage.move_vectors moves ONLY entries still live at their planned
+    version: a concurrent delete (tombstoned entry) or insert (newer entry)
+    makes the move skip that vector — never clobber, never resurrect."""
+    cfg, index, _, rng = _build_packed(tmp_path, n=60)
+    st = PackedLireStorage(cfg.output_path)
+    pids = st.posting_ids()
+    src, dst = pids[0], pids[1]
+    ids, vecs, vers = st.get_posting(src)
+    v0, v1, v2 = int(ids[0]), int(ids[1]), int(ids[2])
+    ev0, ev1, ev2 = int(vers[0]), int(vers[1]), int(vers[2])
+    # v0: delete after planning; v1: newer copy appended after planning.
+    st.mark_deleted(src, v0)
+    st.store_vector(src, v1, vecs[1] + 1.0)
+    moved, _ = st.move_vectors(src, dst, [v0, v1, v2], [ev0, ev1, ev2])
+    # v0 must NOT resurrect; v1's planned (old) entry is still live ->
+    # moves, and the NEWER copy stays at src; v2 moves plainly.
+    assert moved == [v1, v2]
+    assert dst in st.postings_of(v1) and dst in st.postings_of(v2)
+    assert dst not in st.postings_of(v0)
+    src_ids, src_vecs, _ = st.get_posting(src)
+    assert v0 not in src_ids
+    assert (src_ids == v1).sum() == 1  # the newer foreground copy survived
+    np.testing.assert_allclose(
+        src_vecs[src_ids == v1][0], vecs[1] + 1.0, rtol=1e-6
+    )
+    # Reopen: the WAL replays the move exactly.
+    st.close()
+    st2 = PackedLireStorage(cfg.output_path)
+    assert dst in st2.postings_of(v2) and v0 not in st2.get_posting(src)[0]
+    st2.close()
