@@ -1,0 +1,21 @@
+#!/bin/bash
+# Probe the axon tunnel every 2 minutes; when it answers a real matmul,
+# hand off to the measurement session.  A dead tunnel hangs python at
+# interpreter start (sitecustomize registration), so every probe is bounded.
+SESSION=${1:-/root/repo/benchmarks/r4_tpu_session.sh}
+LOG=/tmp/r4_tpu/probe.log
+mkdir -p /tmp/r4_tpu
+export JAX_COMPILATION_CACHE_DIR=/tmp/jax_cache
+while true; do
+  if timeout 240 python -c "
+import jax, jax.numpy as jnp
+d = jax.devices()
+y = (jnp.ones((128, 128)) @ jnp.ones((128, 128))).block_until_ready()
+print('live:', d[0])
+" >> "$LOG" 2>&1; then
+    echo "TUNNEL LIVE $(date)" >> "$LOG"
+    exec bash "$SESSION"
+  fi
+  echo "dead $(date)" >> "$LOG"
+  sleep 120
+done

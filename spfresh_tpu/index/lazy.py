@@ -22,10 +22,12 @@ memory (BASELINE.md config 5).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import gzip
 import json
 import os
+import threading
 from typing import Optional, Tuple
 
 import jax
@@ -43,6 +45,50 @@ from spfresh_tpu.index.spann import (
 )
 from spfresh_tpu.ops.distances import canonical_metric, rowwise_distance
 from spfresh_tpu.ops.topk import centroid_topk, smallest_k_unique
+
+
+class _RwGate:
+    """Many-readers / one-writer gate (writer-preferring).
+
+    Searches read; ``reload_base`` (and the compact+reload window in
+    :class:`~spfresh_tpu.lire.lazy_fresh.LazySpFreshIndex`) writes.  Without
+    it, a search staging batches across a concurrent compact would fetch
+    post-compact (empty) overlay patches for pre-compact base slabs —
+    transiently resurrecting folded-in tombstones (ADVICE r3)."""
+
+    def __init__(self):
+        self._cond = threading.Condition()
+        self._readers = 0
+        self._writer = False
+
+    @contextlib.contextmanager
+    def read(self):
+        with self._cond:
+            while self._writer:
+                self._cond.wait()
+            self._readers += 1
+        try:
+            yield
+        finally:
+            with self._cond:
+                self._readers -= 1
+                if self._readers == 0:
+                    self._cond.notify_all()
+
+    @contextlib.contextmanager
+    def write(self):
+        with self._cond:
+            while self._writer:
+                self._cond.wait()
+            self._writer = True  # gate new readers out first, then drain
+            while self._readers:
+                self._cond.wait()
+        try:
+            yield
+        finally:
+            with self._cond:
+                self._writer = False
+                self._cond.notify_all()
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "max_dup"))
@@ -185,6 +231,8 @@ class LazySpannIndex:
         self._base_pos = {int(c): i for i, c in enumerate(self._cids)}
         self._route_pids = np.asarray(self._cids, np.int64)
         self._row_base = np.arange(self.num_clusters, dtype=np.int64)
+        # Searches read, reload_base (compact swap) writes — see _RwGate.
+        self._gate = _RwGate()
         if overlay is not None:
             self._refresh_overlay()
 
@@ -388,6 +436,13 @@ class LazySpannIndex:
             raise ValueError(f"query dim {queries.shape[1]} != index dim {self.dim}")
         if queries.shape[0] == 0:
             return np.empty((0, k), np.int64), np.empty((0, k), np.float32)
+        # Read side of the compact gate: all batches of one search see one
+        # consistent (base files, overlay) pair.
+        with self._gate.read():
+            return self._search_gated(queries, k, nprobe, batch_size)
+
+    def _search_gated(self, queries, k: int, nprobe: Optional[int],
+                      batch_size: int) -> Tuple[np.ndarray, np.ndarray]:
         if self._overlay is not None:
             self._refresh_overlay()
         nprobe = max(1, min(int(nprobe or self.config.search.nprobe or k), self.num_clusters))
@@ -450,7 +505,16 @@ class LazySpannIndex:
         """Re-open the packed base files (after an overlay ``compact()``
         swapped them): fresh mmaps, fresh native reader, rebuilt row maps.
         The overlay's topology generation was bumped by the compaction, so
-        the next search refreshes the routing tier too."""
+        the next search refreshes the routing tier too.
+
+        Quiesces in-flight searches first.  Callers that must make the
+        storage-compact + reload window itself atomic against searches
+        (``LazySpFreshIndex.compact``) hold ``self._gate.write()`` across
+        both and call :meth:`_reload_base_locked` directly."""
+        with self._gate.write():
+            self._reload_base_locked()
+
+    def _reload_base_locked(self):
         path = os.path.join(self._directory, PACKED_FILE)
         if self._native is not None:
             try:

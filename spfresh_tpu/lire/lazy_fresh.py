@@ -313,10 +313,17 @@ class LazySpFreshIndex:
     def compact(self) -> None:
         """Fold the overlay into a fresh packed base and re-open the lazy
         index's mmaps over it.  Call when ``storage.overlay_rows()`` has
-        grown past taste — searches before/after are equivalent."""
+        grown past taste — searches before/after are equivalent.
+
+        The write gate makes the (storage.compact, reload_base) pair atomic
+        w.r.t. concurrent searches: without it, a search between the two
+        would patch pre-compact base slabs with the post-compact (empty)
+        overlay, transiently resurrecting folded-in tombstones and dropping
+        folded-in appends (ADVICE r3)."""
         self.flush()
-        self.storage.compact()
-        self.lazy.reload_base()
+        with self.lazy._gate.write():
+            self.storage.compact()
+            self.lazy._reload_base_locked()
 
     # -- lifecycle -------------------------------------------------------------
 

@@ -589,9 +589,14 @@ class PackedLireStorage(RoutingTierMixin):
             versions: List[int] = []
             records: List[tuple] = []
             for vid, ev in zip(vector_ids, entry_versions):
-                i = pos.get((int(vid), int(ev)))
+                # pop, not get: a duplicate (vid, entry_version) in the input
+                # must be a no-op on its second occurrence — the entry is
+                # already tombstoned by then, and letting _tombstone_locked
+                # raise mid-batch would leave the dst append in RAM but out
+                # of the WAL (ADVICE r3).
+                i = pos.pop((int(vid), int(ev)), None)
                 if i is None:
-                    continue  # entry changed since planning: skip
+                    continue  # entry changed since planning (or dup): skip
                 v_add = self._append_locked(
                     int(dst), int(vid), np.asarray(vecs_s[i], np.float32),
                     records,

@@ -102,9 +102,15 @@ class TwoStagePipeline:
     def submit_task(self, op: PartitionOperation) -> None:
         if not self._started:
             raise PipelineError("cannot submit task: pipeline not started")
-        for pid in op.get_affected_partitions():
+        # Record the affected set HERE and ship it with the op: the worker's
+        # catch-all needs it to un-wedge these partitions if _process raises
+        # before its own status handling (ADVICE r3 — a throwing
+        # get_affected_partitions used to leave them PROCESSING forever,
+        # refusing all future maintenance).
+        affected = [int(p) for p in op.get_affected_partitions()]
+        for pid in affected:
             self._set_status(pid, PartitionStatus.PROCESSING)
-        self._queue.put(op)
+        self._queue.put((op, affected))
 
     def drain(self) -> None:
         """Block until every submitted task has been processed."""
@@ -146,8 +152,9 @@ class TwoStagePipeline:
             if task is _SHUTDOWN:
                 self._queue.task_done()
                 return
+            op, affected = task
             try:
-                outcome = self._process(task)
+                outcome = self._process(op, affected)
                 with self._status_lock:
                     self._outcomes.append(outcome)
                 if self.on_complete is not None:
@@ -156,16 +163,20 @@ class TwoStagePipeline:
                     except Exception:  # callback bugs must not kill the worker
                         log.exception("LIRE on_complete callback failed")
             except Exception:
-                # A raise anywhere outside execute()'s own handling (e.g. a
-                # malformed op's get_affected_partitions) must not kill the
-                # worker: a dead worker leaves task_done uncalled and every
-                # future drain()/flush()/close() deadlocks in queue.join().
+                # A raise anywhere outside execute()'s own handling must not
+                # kill the worker: a dead worker leaves task_done uncalled and
+                # every future drain()/flush()/close() deadlocks in
+                # queue.join().  Flip the submit-time affected set to
+                # NEEDS_MAINTENANCE so repair() can recover them — leaving
+                # them PROCESSING would refuse all their future maintenance
+                # (ADVICE r3).
                 log.exception("LIRE worker: unexpected failure processing task")
+                for pid in affected:
+                    self._set_status(pid, PartitionStatus.NEEDS_MAINTENANCE)
             finally:
                 self._queue.task_done()
 
-    def _process(self, op: PartitionOperation) -> TaskOutcome:
-        affected = op.get_affected_partitions()
+    def _process(self, op: PartitionOperation, affected: List[int]) -> TaskOutcome:
         try:
             if op.is_stale(self.ctx):
                 # Source posting(s) retired by an earlier queued op: the op

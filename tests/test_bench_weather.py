@@ -1,0 +1,60 @@
+"""bench.py must survive a dead TPU backend (VERDICT r3 weak-1).
+
+Round 3's driver artifact was a raw traceback because `jax.devices()` had
+no retry and no structured failure path.  These tests force a dead backend
+in a subprocess and assert bench.py (a) retries with backoff, (b) emits
+exactly one parseable JSON line on stdout with an `error` field, and
+(c) still exits non-zero so the driver records the failure.
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run_dead_bench(wait_s):
+    env = dict(os.environ)
+    # Empty pool-IP list skips axon registration (a dead tunnel otherwise
+    # hangs the interpreter at sitecustomize); JAX_PLATFORMS=tpu then makes
+    # backend init raise RuntimeError on this CPU-only host.
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "tpu"
+    env["SPF_BENCH_BACKEND_WAIT_S"] = str(wait_s)
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), "--small"],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env=env,
+        cwd=REPO,
+    )
+
+
+def test_dead_backend_emits_structured_error_and_nonzero_rc():
+    res = _run_dead_bench(wait_s=12)
+    assert res.returncode != 0
+    lines = [ln for ln in res.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, f"stdout must be ONE JSON line, got: {res.stdout!r}"
+    payload = json.loads(lines[0])
+    assert payload["error"] == "tpu_unavailable"
+    assert payload["metric"] == "bench_error"
+    assert payload["vs_baseline"] == 0.0
+    assert payload["backend_wait_s"] >= 12
+    # The retry loop must actually have run (>= 2 attempts inside 12 s).
+    assert "retry in" in res.stderr
+    assert "attempt 2" in res.stderr
+
+
+def test_live_cpu_backend_passes_await(monkeypatch):
+    # The retry helper returns immediately on a healthy backend.
+    sys.path.insert(0, REPO)
+    try:
+        import bench
+
+        devs = bench._await_backend(max_wait_s=5)
+        assert len(devs) >= 1
+    finally:
+        sys.path.remove(REPO)

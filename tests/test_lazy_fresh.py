@@ -598,3 +598,106 @@ def test_move_vectors_pinned_semantics(tmp_path):
     st2 = PackedLireStorage(cfg.output_path)
     assert dst in st2.postings_of(v2) and v0 not in st2.get_posting(src)[0]
     st2.close()
+
+
+def test_move_vectors_duplicate_entry_is_noop(tmp_path):
+    """A duplicate (vid, entry_version) pair in one move_vectors call must be
+    a no-op on its second occurrence (ADVICE r3): the old code re-appended to
+    dst in RAM, then raised tombstoning the already-tombstoned src entry —
+    before the WAL write, so RAM and a reopen-replay diverged."""
+    cfg, index, _, rng = _build_packed(tmp_path, n=60)
+    st = PackedLireStorage(cfg.output_path)
+    pids = st.posting_ids()
+    src, dst = pids[0], pids[1]
+    ids, _, vers = st.get_posting(src)
+    v0, v1 = int(ids[0]), int(ids[1])
+    ev0, ev1 = int(vers[0]), int(vers[1])
+    moved, versions = st.move_vectors(
+        src, dst, [v0, v0, v1, v0], [ev0, ev0, ev1, ev0]
+    )
+    assert moved == [v0, v1]
+    assert len(versions) == 2
+    assert (st.get_posting(dst)[0] == v0).sum() == 1  # appended ONCE
+    assert v0 not in st.get_posting(src)[0]
+    # RAM state == WAL replay state on every touched posting.
+    snap = {p: sorted(map(int, st.get_posting(p)[0])) for p in st.posting_ids()}
+    st.close()
+    st2 = PackedLireStorage(cfg.output_path)
+    snap2 = {p: sorted(map(int, st2.get_posting(p)[0])) for p in st2.posting_ids()}
+    assert snap == snap2
+    st2.close()
+
+
+def test_compact_gate_quiesces_inflight_search(tmp_path):
+    """compact() must be atomic w.r.t. concurrent searches (ADVICE r3): the
+    (storage.compact, reload_base) pair runs under the lazy index's write
+    gate, so an in-flight search blocks it and later searches see only the
+    post-swap state — never old base slabs with an emptied overlay."""
+    import threading
+    import time as _time
+
+    cfg, index, data, rng = _build_packed(tmp_path)
+    with LazySpFreshIndex(cfg.output_path, lire_config=_lire_small()) as fresh:
+        # Mutate so compact has something to fold: delete a vector.
+        victim = 3
+        fresh.delete(victim)
+        fresh.flush()
+        entered, release = threading.Event(), threading.Event()
+
+        def reader():
+            with fresh.lazy._gate.read():  # a search mid-batch holds this
+                entered.set()
+                release.wait(timeout=30)
+
+        t = threading.Thread(target=reader)
+        t.start()
+        assert entered.wait(10)
+        done = threading.Event()
+        ct = threading.Thread(target=lambda: (fresh.compact(), done.set()))
+        ct.start()
+        _time.sleep(0.4)
+        assert not done.is_set()  # compact waits for the in-flight reader
+        release.set()
+        t.join()
+        ct.join(30)
+        assert done.is_set()
+        # Post-compact: overlay folded, deleted id gone, search consistent.
+        q = data[victim][None, :]
+        ids, _ = fresh.search(q, k=4, nprobe=fresh.num_clusters)
+        assert victim not in ids[0]
+        q2 = data[5][None, :]
+        ids2, d2 = fresh.search(q2, k=1, nprobe=fresh.num_clusters)
+        assert ids2[0, 0] == 5 and d2[0, 0] == pytest.approx(0.0, abs=1e-5)
+
+
+def test_concurrent_search_during_compact_never_resurrects(tmp_path):
+    """Stress the compact window: searches hammer from a thread while the
+    main thread compacts; a deleted vector must never reappear (it would if
+    pre-compact slabs were served with the post-compact empty overlay)."""
+    import threading
+
+    cfg, index, data, rng = _build_packed(tmp_path)
+    with LazySpFreshIndex(cfg.output_path, lire_config=_lire_small()) as fresh:
+        victim = 11
+        fresh.delete(victim)
+        fresh.flush()
+        q = data[victim][None, :]
+        stop = threading.Event()
+        bad = []
+
+        def hammer():
+            while not stop.is_set():
+                ids, _ = fresh.search(q, k=8, nprobe=fresh.num_clusters)
+                if victim in ids[0]:
+                    bad.append(ids[0].copy())
+                    return
+
+        t = threading.Thread(target=hammer)
+        t.start()
+        try:
+            for _ in range(3):
+                fresh.compact()
+        finally:
+            stop.set()
+            t.join(30)
+        assert not bad, f"deleted id resurrected during compact: {bad}"

@@ -186,3 +186,63 @@ def test_stale_merge_reflags_surviving_posting(tmp_path):
     out = p.outcomes()
     assert out[0].error is None and out[0].result is None  # stale, not failed
     p.stop()
+
+
+class _BoobyResult:
+    """OperationResult stand-in whose fields raise on access."""
+
+    new_postings: list = []
+    retired_postings: list = []
+
+    @property
+    def vectors_moved(self):
+        raise RuntimeError("boom: result accessor failed")
+
+
+class _BoobyOp:
+    """Duck-typed op that fails OUTSIDE execute()'s own error handling —
+    the ADVICE r3 wedge path: the worker's catch-all used to leave the
+    submit-time PROCESSING statuses in place forever."""
+
+    def get_affected_partitions(self):
+        return [0, 1]
+
+    def is_stale(self, ctx):
+        return False
+
+    def stale_survivors(self, ctx):
+        return []
+
+    def execute(self, ctx):
+        return _BoobyResult()
+
+
+def test_worker_crash_unwedges_partitions(tmp_path):
+    p, storage = make_pipeline(tmp_path)
+    storage.store_vector(0, 0, np.zeros(2))
+    storage.store_vector(1, 1, np.ones(2))
+    p.start()
+    p.submit_task(_BoobyOp())
+    p.drain()  # worker survives (no deadlock) ...
+    for pid in (0, 1):  # ... and the partitions are NOT stuck PROCESSING
+        assert p.get_partition_status(pid) == PartitionStatus.NEEDS_MAINTENANCE
+    # Maintenance on them is accepted again (PROCESSING would refuse it).
+    storage.store_vector(0, 2, np.full(2, 2.0))
+    p.submit_task(Split(0))
+    p.drain()
+    assert p.get_partition_status(0) != PartitionStatus.PROCESSING
+    p.stop()
+
+
+def test_submit_raise_leaves_statuses_untouched(tmp_path):
+    class _RaisingOp:
+        def get_affected_partitions(self):
+            raise RuntimeError("malformed op")
+
+    p, storage = make_pipeline(tmp_path)
+    p.start()
+    with pytest.raises(RuntimeError):
+        p.submit_task(_RaisingOp())
+    assert p.get_partition_status(0) == PartitionStatus.READY
+    p.drain()
+    p.stop()
