@@ -198,3 +198,76 @@ def test_fused_replica_pass_matches_tiled_oracle(rng):
         valid = np.isfinite(od)
         np.testing.assert_array_equal(np.asarray(fi)[valid], oi[valid])
         np.testing.assert_allclose(np.asarray(fd), od, rtol=0, atol=0)
+
+
+# ---------------------------------------------------------------------------
+# Device-resident subdivision (round 4): bit-equality with the upload path
+# ---------------------------------------------------------------------------
+
+
+def _clusters_snapshot(hc):
+    return [
+        (c.centroid_idx, c.depth, c.points.tolist()) for c in hc.clusters
+    ]
+
+
+def _fit_pair(monkeypatch, data, params_kw, host_tail_max):
+    """Fit the same corpus with the resident path ON and OFF; return both."""
+    import os
+
+    from spfresh_tpu.clustering import hierarchical as H
+
+    monkeypatch.setattr(H, "_HOST_SPLIT_MAX_P", host_tail_max)
+    out = []
+    for flag in ("1", "0"):
+        monkeypatch.setenv("SPF_SUBDIV_RESIDENT", flag)
+        hc = HierarchicalClustering(_params(**params_kw), data).fit()
+        out.append(hc)
+    return out
+
+
+def test_resident_subdivision_matches_upload_path(monkeypatch, rng):
+    centers = rng.standard_normal((6, 12)).astype(np.float32)
+    data = (
+        centers[rng.integers(0, 6, 3000)]
+        + 0.3 * rng.standard_normal((3000, 12))
+    ).astype(np.float32)
+    res, classic = _fit_pair(
+        monkeypatch, data,
+        dict(initial_k=4, desired_cluster_size=40, max_split_ways=8,
+             rng_seed=7),
+        host_tail_max=0,  # force DEVICE levels end-to-end on both paths
+    )
+    assert _clusters_snapshot(res) == _clusters_snapshot(classic)
+
+
+def test_resident_handoff_to_host_tail_matches(monkeypatch, rng):
+    """Resident big levels + host tail must continue the SAME per-level
+    Philox stream the pure path uses (level-counter continuity)."""
+    centers = rng.standard_normal((5, 8)).astype(np.float32)
+    data = (
+        centers[rng.integers(0, 5, 2400)]
+        + 0.5 * rng.standard_normal((2400, 8))
+    ).astype(np.float32)
+    res, classic = _fit_pair(
+        monkeypatch, data,
+        dict(initial_k=3, desired_cluster_size=30, max_split_ways=4,
+             rng_seed=11),
+        host_tail_max=600,  # early levels resident, tail on host
+    )
+    assert _clusters_snapshot(res) == _clusters_snapshot(classic)
+
+
+def test_resident_degenerate_duplicates_match(monkeypatch, rng):
+    """Duplicate-heavy clusters hit the degenerate quantile-split branch;
+    the resident path's device d1 + host quantile fix-up must reproduce the
+    upload path exactly."""
+    base = rng.standard_normal((4, 6)).astype(np.float32)
+    data = np.repeat(base, 300, axis=0)  # 1200 rows, only 4 distinct
+    res, classic = _fit_pair(
+        monkeypatch, data,
+        dict(initial_k=2, desired_cluster_size=50, max_split_ways=4,
+             rng_seed=3),
+        host_tail_max=0,
+    )
+    assert _clusters_snapshot(res) == _clusters_snapshot(classic)
