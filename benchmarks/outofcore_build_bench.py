@@ -211,11 +211,17 @@ def main():
             break
     cal_post = calibrate()
     log(f"tunnel (post): {cal_post}")
+    import resource
+
+    # Peak host RSS (the DEEP-100M claim is "100M needs only disk": the
+    # figure proves the build+serve never materialized the corpus in RAM).
+    peak_rss_gib = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 2**20
 
     print(
         json.dumps(
             {
                 "n": n,
+                "peak_rss_gib": round(peak_rss_gib, 2),
                 "dim": d,
                 "sample_rows": args.sample,
                 "corpus_gib": round(need / 2**30, 1),

@@ -21,6 +21,10 @@ timeout 1200 python bench.py --small > "$OUT/bench_small.json" 2> "$OUT/bench_sm
 timeout 5400 python bench.py > "$OUT/bench_1m.json" 2> "$OUT/bench_1m.log"
 tail -5 "$OUT/bench_1m.log"; cat "$OUT/bench_1m.json"
 
+# 1b. resident-subdivision A/B (round-4 lever): same 1M build, upload path
+SPF_SUBDIV_RESIDENT=0 timeout 5400 python bench.py > "$OUT/bench_1m_noresident.json" 2> "$OUT/bench_1m_noresident.log"
+grep -E "phase|build:" "$OUT/bench_1m_noresident.log" | tail -15
+
 # 2. Mosaic compile + replica/assign kernel device timing (VERDICT weak-2)
 timeout 1200 python benchmarks/replica_bench.py --n 1000000 --c 12500 --dim 128 2>&1 | tee "$OUT/replica_bench.log"
 timeout 1200 python benchmarks/replica_bench.py --n 500000 --c 50000 --dim 96 --dtype float32 2>&1 | tee -a "$OUT/replica_bench.log"
@@ -46,5 +50,12 @@ timeout 7200 python benchmarks/clustering_benchmark.py --sizes 1000000 --json "$
 for B in 2048 1024; do
   timeout 3600 python bench.py --batch "$B" > "$OUT/bench_b$B.json" 2> "$OUT/bench_b$B.log"
 done
+
+# 9. DEEP-100M machinery proof (VERDICT weak-7): 100M rows x 32-d,
+# coarse clusters to bound the streamed-assign FLOPs; serve from disk.
+timeout 14400 python benchmarks/outofcore_build_bench.py \
+  --n 100000000 --dim 32 --cluster-size 4096 --sample 1000000 --nq 256 \
+  --workdir /root/oc100m > "$OUT/oc100m.json" 2> "$OUT/oc100m.log"
+cat "$OUT/oc100m.json"
 
 date | tee "$OUT/session_end.log"

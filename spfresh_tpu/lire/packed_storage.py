@@ -68,6 +68,18 @@ _OP_TXN_END = 8
 _JOURNAL = "compact.journal"
 
 
+def _fsync_dir(path: str) -> None:
+    """fsync a DIRECTORY: file fsyncs alone do not make renames/unlinks
+    durable across power loss — without this, a lost WAL unlink after a
+    durable compaction swap would replay pre-compact records onto the new
+    base on reopen (double-applied mutations)."""
+    fd = os.open(path, os.O_RDONLY | getattr(os, "O_DIRECTORY", 0))
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
 class _Delta:
     """Overlay state for one posting.  ``shadowed`` postings (GC'd base
     postings and all split/merge successors) live entirely in the add
@@ -141,6 +153,7 @@ class PackedLireStorage(RoutingTierMixin):
         self._max_live = int((self._offsets[1:] - self._offsets[:-1]).max(initial=0))
         self._wal_path = os.path.join(self.directory, "overlay.wal")
         self._wal_records = 0
+        self._wal_failed = False  # poison flag: see _check_writable
         self._record = struct.Struct("<Bqqq")
         self._payload_bytes = 4 * self.dim
         self._replay_wal()
@@ -171,19 +184,41 @@ class PackedLireStorage(RoutingTierMixin):
 
     # -- WAL -----------------------------------------------------------------
 
+    def _check_writable(self) -> None:
+        if self._wal_failed:
+            raise LireStorageError(
+                "storage is read-only: a WAL write failed, so the in-RAM "
+                "overlay may be ahead of the durable log — reopen the "
+                "storage to recover the durable state"
+            )
+
     def _wal_append_locked(self, records: Iterable[tuple]) -> None:
         """records: (op, pid, vid, version, payload_bytes|None)."""
         buf = bytearray()
         if not os.path.exists(self._wal_path):
             buf += _WAL_MAGIC + struct.pack("<i", self.dim)
         blank = b"\x00" * self._payload_bytes
+        cnt = 0
         for op, pid, vid, version, payload in records:
             buf += self._record.pack(op, pid, vid, version)
             buf += payload if payload is not None else blank
-            self._wal_records += 1
-        with open(self._wal_path, "ab") as f:
-            f.write(bytes(buf))
-            f.flush()  # page cache before return; fsync policy: flush()
+            cnt += 1
+        try:
+            with open(self._wal_path, "ab") as f:
+                f.write(bytes(buf))
+                f.flush()  # page cache before return; fsync policy: flush()
+        except OSError as e:
+            # The caller already applied this batch to the RAM overlay; a
+            # failed append (disk full, IO error) means RAM is now ahead of
+            # the durable log.  POISON the storage: every further mutation
+            # refuses before touching RAM, so the divergence stays bounded
+            # to this one batch and a reopen recovers the durable state.
+            self._wal_failed = True
+            raise LireStorageError(
+                f"WAL append failed ({e}); storage is now read-only — "
+                "reopen to recover the durable state"
+            ) from e
+        self._wal_records += cnt
 
     def _vec_payload(self, vec: np.ndarray) -> bytes:
         return np.ascontiguousarray(vec, "<f4").tobytes()
@@ -525,6 +560,7 @@ class PackedLireStorage(RoutingTierMixin):
     def store_vector(self, posting_id: int, vector_id: int, vector: np.ndarray) -> int:
         vector = self._check_vecs([vector_id], vector)[0]
         with self._lock:
+            self._check_writable()
             self._require_live([posting_id])
             records: List[tuple] = []
             version = self._append_locked(int(posting_id), int(vector_id), vector, records)
@@ -534,6 +570,7 @@ class PackedLireStorage(RoutingTierMixin):
     def store_vectors(self, posting_id: int, vector_ids, vectors) -> List[int]:
         vectors = self._check_vecs(vector_ids, vectors)
         with self._lock:
+            self._check_writable()
             self._require_live([posting_id])
             records: List[tuple] = []
             versions = [
@@ -546,6 +583,7 @@ class PackedLireStorage(RoutingTierMixin):
     def store_vectors_multi(self, posting_ids, vector_ids, vectors) -> List[int]:
         vectors = self._check_vecs(vector_ids, vectors)
         with self._lock:
+            self._check_writable()
             self._require_live(posting_ids)
             records: List[tuple] = []
             versions = [
@@ -559,6 +597,7 @@ class PackedLireStorage(RoutingTierMixin):
 
     def mark_deleted(self, posting_id: int, vector_id: int) -> int:
         with self._lock:
+            self._check_writable()
             if posting_id not in self._live:
                 raise LireStorageError(f"posting {posting_id} does not exist")
             entry_v = self._tombstone_locked(int(posting_id), int(vector_id))
@@ -576,6 +615,7 @@ class PackedLireStorage(RoutingTierMixin):
         """Atomic pinned move src -> dst under one lock — same contract as
         ``LireStorage.move_vectors`` (see there); the Reassign commit path."""
         with self._lock:
+            self._check_writable()
             if int(src) not in self._live:
                 raise LireStorageError(f"posting {src} does not exist")
             if int(dst) not in self._live:
@@ -620,6 +660,7 @@ class PackedLireStorage(RoutingTierMixin):
 
     def mark_deleted_batch(self, posting_id: int, vector_ids) -> Tuple[List[int], List[int]]:
         with self._lock:
+            self._check_writable()
             if posting_id not in self._live:
                 raise LireStorageError(f"posting {posting_id} does not exist")
             hit_ids: List[int] = []
@@ -775,6 +816,7 @@ class PackedLireStorage(RoutingTierMixin):
     def update_posting_centroid(self, posting_id: int, centroid: np.ndarray) -> None:
         centroid = np.asarray(centroid, np.float32).reshape(-1)
         with self._lock:
+            self._check_writable()
             m = self._meta.get(posting_id)
             if m is None:
                 raise LireStorageError(f"posting {posting_id} does not exist")
@@ -793,6 +835,7 @@ class PackedLireStorage(RoutingTierMixin):
         vectors = self._check_vecs(ids, vectors)
         centroid = np.asarray(centroid, np.float32).reshape(-1)
         with self._lock:
+            self._check_writable()
             if posting_id in self._live:
                 raise LireStorageError(f"posting {posting_id} already exists")
             pid = int(posting_id)
@@ -814,6 +857,7 @@ class PackedLireStorage(RoutingTierMixin):
 
     def delete_posting(self, posting_id: int) -> None:
         with self._lock:
+            self._check_writable()
             if posting_id not in self._live:
                 return
             version = self._next_version()
@@ -826,6 +870,7 @@ class PackedLireStorage(RoutingTierMixin):
         whole swap on replay or none of it (BEGIN without END is
         discarded)."""
         with self._lock:
+            self._check_writable()
             for pid, expect in zip(old_ids, expected_versions):
                 m = self._meta.get(pid)
                 if m is None or m.version != expect:
@@ -871,6 +916,7 @@ class PackedLireStorage(RoutingTierMixin):
         (live base rows materialize into the overlay — logged, so replay
         reproduces it); physical disk space reclaims at ``compact()``."""
         with self._lock:
+            self._check_writable()
             if posting_id not in self._live:
                 return 0
             d = self._overlay.get(posting_id)
@@ -911,6 +957,7 @@ class PackedLireStorage(RoutingTierMixin):
         swap, and recovery rolls the swap forward (tmps are complete by
         construction) before deleting the then-stale WAL."""
         with self._lock:
+            self._check_writable()
             pids = sorted(self._live)
             counts = np.array(
                 [self._meta[p].vector_count for p in pids], np.int64
@@ -968,19 +1015,27 @@ class PackedLireStorage(RoutingTierMixin):
             jtmp = journal + ".tmp"
             # The recovery contract 'journal present => tmps complete' must
             # hold across POWER loss, not just process crash: every tmp is
-            # fsynced above, and the journal itself is fsynced before the
-            # rename, so its durability ordering is after the data's.
+            # fsynced above, the tmp DIRECTORY ENTRIES are fsynced before
+            # the journal rename, and each namespace batch below is ordered
+            # by a directory fsync.  Without the ordering, a filesystem
+            # could persist the data renames + the journal unlink but LOSE
+            # the WAL unlink — replaying pre-compact records onto the new
+            # base on reopen (double-applied mutations).
+            _fsync_dir(self.directory)  # tmp entries durable
             with open(jtmp, "w") as f:
                 json.dump({"swap": True}, f)
                 f.flush()
                 os.fsync(f.fileno())
             os.replace(jtmp, journal)
+            _fsync_dir(self.directory)  # journal durable AFTER tmps
             os.replace(packed_tmp, self._packed_path)
             os.replace(cent_tmp, self._cent_path)
             os.replace(man_tmp, self._manifest_path)
             if os.path.exists(self._wal_path):
                 os.remove(self._wal_path)
+            _fsync_dir(self.directory)  # swap + WAL unlink durable
             os.remove(journal)
+            _fsync_dir(self.directory)  # journal removal last
             # Reload the fresh base in place.
             self._reset_from_disk_locked()
 
@@ -994,6 +1049,7 @@ class PackedLireStorage(RoutingTierMixin):
                 self._packed_path + ".tmp",
                 self._cent_path + ".tmp",
                 self._manifest_path + ".tmp",
+                journal + ".tmp",
             ):
                 if os.path.exists(tmp):  # crash BEFORE the journal: discard
                     os.remove(tmp)
@@ -1004,7 +1060,9 @@ class PackedLireStorage(RoutingTierMixin):
         wal = os.path.join(self.directory, "overlay.wal")
         if os.path.exists(wal):
             os.remove(wal)
+        _fsync_dir(self.directory)  # roll-forward + WAL unlink durable
         os.remove(journal)
+        _fsync_dir(self.directory)
 
     def _reset_from_disk_locked(self) -> None:
         from spfresh_tpu.index.posting_store import read_packed_postings

@@ -701,3 +701,65 @@ def test_concurrent_search_during_compact_never_resurrects(tmp_path):
             stop.set()
             t.join(30)
         assert not bad, f"deleted id resurrected during compact: {bad}"
+
+
+def test_wal_write_failure_poisons_storage(tmp_path):
+    """Disk-full / IO-error on a WAL append: the batch already applied to
+    the RAM overlay cannot be made durable, so the storage must go
+    READ-ONLY (every later mutation refuses BEFORE touching RAM) and a
+    reopen must serve exactly the durable prefix."""
+    from spfresh_tpu.lire import LireStorageError
+
+    cfg, index, _, rng = _build_packed(tmp_path, n=60)
+    st = PackedLireStorage(cfg.output_path)
+    pids = st.posting_ids()
+    pid = pids[0]
+    v = rng.standard_normal(st.dim).astype(np.float32)
+    st.store_vector(pid, 900, v)  # durable (WAL healthy)
+    # Simulate the WAL device failing mid-run.
+    st._wal_path = str(tmp_path / "no_such_dir" / "overlay.wal")
+    with pytest.raises(LireStorageError, match="read-only"):
+        st.store_vector(pid, 901, v + 1.0)
+    # Poisoned: later mutations refuse BEFORE mutating RAM.
+    live_before = sorted(map(int, st.get_posting(pid)[0]))
+    with pytest.raises(LireStorageError, match="read-only"):
+        st.mark_deleted(pid, 900)
+    with pytest.raises(LireStorageError, match="read-only"):
+        st.compact()  # must NOT bake the diverged RAM into a new base
+    assert sorted(map(int, st.get_posting(pid)[0])) == live_before  # reads OK
+    assert 900 in live_before
+    # Reopen: durable prefix only — 900 replayed, 901 never logged.
+    st2 = PackedLireStorage(cfg.output_path)
+    ids2 = sorted(map(int, st2.get_posting(pid)[0]))
+    assert 900 in ids2 and 901 not in ids2
+    st2.close()
+
+
+def test_stale_wal_after_lost_unlink_is_not_replayed(tmp_path):
+    """Power-loss window: compaction swap durable but the WAL unlink lost
+    (journal still present).  Recovery must DELETE the stale WAL instead of
+    replaying pre-compact records onto the post-compact base."""
+    import shutil
+
+    cfg, index, _, rng = _build_packed(tmp_path, n=60)
+    st = PackedLireStorage(cfg.output_path)
+    pid = st.posting_ids()[0]
+    v = rng.standard_normal(st.dim).astype(np.float32)
+    st.store_vector(pid, 900, v)
+    st.flush()
+    wal = str(tmp_path / "stale.wal")
+    shutil.copy(st._wal_path, wal)  # the pre-compact WAL
+    st.compact()
+    post = {p: sorted(map(int, st.get_posting(p)[0])) for p in st.posting_ids()}
+    st.close()
+    # Simulate: data renames + journal durable, WAL unlink lost.
+    shutil.copy(wal, os.path.join(cfg.output_path, "overlay.wal"))
+    with open(os.path.join(cfg.output_path, "compact.journal"), "w") as f:
+        f.write('{"swap": true}')
+    st2 = PackedLireStorage(cfg.output_path)
+    got = {p: sorted(map(int, st2.get_posting(p)[0])) for p in st2.posting_ids()}
+    assert got == post  # no double-applied mutations
+    assert not os.path.exists(os.path.join(cfg.output_path, "overlay.wal"))
+    # 900 is in the post-compact BASE exactly once.
+    assert sum(row.count(900) for row in got.values()) == 1
+    st2.close()
