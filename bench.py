@@ -114,7 +114,9 @@ def main():
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--storage-dtype", default="bfloat16",
                     help="bfloat16 (default: half the HBM footprint, slab DMA, "
-                         "and view-upload bytes; recall cost ~0.004) | float32")
+                         "and view-upload bytes; recall cost ~0.004) | float32 "
+                         "| int8 (residual IVF-SQ8: quarter-of-f32 slabs, "
+                         "per-posting scales; step tracks cluster radius)")
     ap.add_argument("--metric", default="Euclidean",
                     help="Euclidean | Manhattan | Chebyshev (GIST-style stress: --metric Manhattan --dim 960)")
     ap.add_argument("--spread", type=float, default=0.7,

@@ -25,6 +25,13 @@ tail -5 "$OUT/bench_1m.log"; cat "$OUT/bench_1m.json"
 SPF_SUBDIV_RESIDENT=0 timeout 5400 python bench.py > "$OUT/bench_1m_noresident.json" 2> "$OUT/bench_1m_noresident.log"
 grep -E "phase|build:" "$OUT/bench_1m_noresident.log" | tail -15
 
+# 1c. int8 residual-SQ tier (round-4 feature): Mosaic-compile the quantized
+# rerank kernel, then the 1M headline on int8 slabs (DMA halves vs bf16)
+timeout 1200 python bench.py --small --storage-dtype int8 > "$OUT/bench_small_int8.json" 2> "$OUT/bench_small_int8.log"
+tail -3 "$OUT/bench_small_int8.log"; cat "$OUT/bench_small_int8.json"
+timeout 5400 python bench.py --storage-dtype int8 > "$OUT/bench_1m_int8.json" 2> "$OUT/bench_1m_int8.log"
+cat "$OUT/bench_1m_int8.json"
+
 # 2. Mosaic compile + replica/assign kernel device timing (VERDICT weak-2)
 timeout 1200 python benchmarks/replica_bench.py --n 1000000 --c 12500 --dim 128 2>&1 | tee "$OUT/replica_bench.log"
 timeout 1200 python benchmarks/replica_bench.py --n 500000 --c 50000 --dim 96 --dtype float32 2>&1 | tee -a "$OUT/replica_bench.log"

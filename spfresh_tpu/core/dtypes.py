@@ -28,6 +28,15 @@ ACCUM_DTYPE = jnp.float32
 _STORAGE_DTYPES = {
     "float32": jnp.float32,
     "bfloat16": jnp.bfloat16,
+    # Symmetric scalar quantization with PER-POSTING scales (the IVF-SQ8
+    # shape): each posting slab stores round(x / s_c) in int8 where
+    # s_c = max|x over the posting| / 127, and the rerank dequantizes with
+    # its slab's scale — so the quantization error tracks the CLUSTER
+    # radius, not the corpus dynamic range.  Queries, centroids, and
+    # reported distances all stay in real units.  Halves slab HBM + DMA
+    # again vs bfloat16 — the rerank is bandwidth-bound — at a small recall
+    # cost; the disk format stays exact f32.
+    "int8": jnp.int8,
 }
 
 
@@ -63,7 +72,44 @@ class DtypePolicy:
         return jnp.asarray(x, dtype=self.accum_dtype)
 
 
+    @property
+    def quantized(self) -> bool:
+        return self.storage == "int8"
+
+
 DEFAULT_POLICY = DtypePolicy()
+
+
+def quant_scale_for(vecs) -> float:
+    """Symmetric int8 scale for one posting: max|x| / 127 (host numpy).
+    Abs-max containment means the quantized members never clip; vectors
+    appended later saturate at +-127 (documented)."""
+    m = float(np.max(np.abs(np.asarray(vecs, np.float32)), initial=0.0))
+    return (m / np.float32(127.0)) or 1.0
+
+
+def posting_scales_np(rowmax: np.ndarray) -> np.ndarray:
+    """Per-posting scales from per-posting abs-maxima (f32, exact maxima):
+    s_c = rowmax_c / 127, with empty/all-zero postings pinned to 1.0 so the
+    reciprocal stays finite.  The device pack computes the IDENTICAL f32
+    expression — packs from either side are bit-identical."""
+    rowmax = np.asarray(rowmax, np.float32)
+    return np.where(
+        rowmax > 0, rowmax * np.float32(1.0 / 127.0), np.float32(1.0)
+    ).astype(np.float32)
+
+
+def quantize_np(x: np.ndarray, scale) -> np.ndarray:
+    """Host-side int8 quantization (round-half-even, saturating).
+
+    Multiplies by the f32 reciprocal — the SAME arithmetic the device cast
+    uses (`x * inv_scale`) — so host- and device-packed views are
+    bit-identical (x / s differs from x * (1/s) in f32 at .5 boundaries).
+    ``scale`` may be a scalar or broadcastable per-row array."""
+    inv = np.float32(1.0) / np.asarray(scale, np.float32)
+    return np.clip(
+        np.rint(np.asarray(x, np.float32) * inv), -127, 127
+    ).astype(np.int8)
 
 
 def as_f32_np(x) -> np.ndarray:

@@ -116,7 +116,13 @@ class SpannIndexBuilder:
                     corpus_dev = hc.data.addressable_shards[0].data
                 except (AttributeError, IndexError):
                     corpus_dev = None
-        index.create_posting_lists(hc.clusters, self.data, corpus_dev=corpus_dev)
+        # Host member source: the clusterer's mirror, which carries the SAME
+        # wire rounding as the device corpus — host- and device-packed views
+        # must quantize identical coordinates (bf16 re-rounding is
+        # idempotent so this only ever mattered for int8 storage, where
+        # quantizing raw-vs-rounded f32 produced different slabs).
+        host_src = hc._host_data if hc._host_data is not None else self.data
+        index.create_posting_lists(hc.clusters, host_src, corpus_dev=corpus_dev)
         # The device view (centroid index, build_kdtree parity) materializes
         # lazily on first search, in the layout the search engine needs —
         # eagerly building both CSR and slab views would double the upload.

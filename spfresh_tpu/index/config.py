@@ -160,8 +160,10 @@ class Config:
             raise ValueError("initial_k must be greater than 0")
         if self.desired_cluster_size is not None and self.desired_cluster_size <= 0:
             raise ValueError("desired_cluster_size must be greater than 0")
-        if self.storage_dtype not in ("float32", "bfloat16"):
-            raise ValueError("storage_dtype must be 'float32' or 'bfloat16'")
+        if self.storage_dtype not in ("float32", "bfloat16", "int8"):
+            raise ValueError(
+                "storage_dtype must be 'float32', 'bfloat16' or 'int8'"
+            )
         if self.soar_lambda is not None:
             if self.soar_lambda < 0:
                 raise ValueError("soar_lambda must be >= 0")
@@ -187,11 +189,13 @@ class Config:
             replica_overflow=self.replica_overflow,
             max_split_ways=self.max_split_ways,
             soar_lambda=self.soar_lambda,
-            # bf16-storage indexes also ship the BUILD corpus over the wire
-            # in bf16 (the index serves bf16-rounded vectors either way);
-            # halves the dominant one-time upload of large builds.
+            # Non-f32-storage indexes also ship the BUILD corpus over the
+            # wire in bf16 (the index serves rounded vectors either way);
+            # halves the dominant one-time upload of large builds.  int8
+            # storage still builds in bf16/f32 — quantization applies only
+            # at the serving view, never to clustering math.
             wire_dtype=(
-                self.storage_dtype if self.storage_dtype != "float32" else None
+                "bfloat16" if self.storage_dtype != "float32" else None
             ),
         )
 

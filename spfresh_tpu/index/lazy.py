@@ -92,7 +92,8 @@ class _RwGate:
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric", "max_dup"))
-def _rerank_staged(queries, staged_vecs, staged_ids, staged_lens, inv, cent_d,
+def _rerank_staged(queries, staged_vecs, staged_ids, staged_lens,
+                   staged_scales, staged_cents, inv, cent_d,
                    k: int, metric: str = "Euclidean", max_dup: int = 8):
     """Rerank host-staged slabs: queries (Q, d); staged_vecs (U, pad, d) are
     the batch's UNIQUE probed slabs (queries in a batch share clusters, so
@@ -101,8 +102,18 @@ def _rerank_staged(queries, staged_vecs, staged_ids, staged_lens, inv, cent_d,
     happens on-device as a whole-slab gather."""
     U, pad, d = staged_vecs.shape
     Q, nprobe = inv.shape
-    qf = queries.astype(staged_vecs.dtype)
-    slab_vecs = staged_vecs[inv]  # (Q, nprobe, pad, d)
+    if staged_vecs.dtype == jnp.int8:
+        # IVF-SQ8 reconstruction x = centroid + scale * residual code:
+        # queries stay f32; the upload already moved 1/4 the f32 bytes.
+        qf = queries.astype(jnp.float32)
+        slab_vecs = (
+            staged_vecs[inv].astype(jnp.float32)
+            * staged_scales[inv][..., None, None]
+            + staged_cents[inv][:, :, None, :]
+        )
+    else:
+        qf = queries.astype(staged_vecs.dtype)
+        slab_vecs = staged_vecs[inv]  # (Q, nprobe, pad, d)
     slab_ids = staged_ids[inv]
     slab_lens = staged_lens[inv]
     dist = rowwise_distance(slab_vecs, qf[:, None, None, :], metric)
@@ -196,7 +207,6 @@ class LazySpannIndex:
         self.dim = int(manifest["dim"])
         with gzip.open(os.path.join(directory, CENTROIDS_FILE), "rb") as f:
             cent = np.load(f)
-        self._centroids = jnp.asarray(cent, jnp.float32)  # HBM-resident tier
         path = os.path.join(directory, PACKED_FILE)
         self._native = None
         try:
@@ -210,6 +220,11 @@ class LazySpannIndex:
         self._cids, self._offsets, self._ids, self._vectors = read_packed_postings(
             path, mmap=True
         )
+        # HBM-resident routing tier (always f32, real units; int8 applies
+        # only to the staged slabs, which dequantize per slab at rerank).
+        self._centroids = jnp.asarray(cent, jnp.float32)
+        # Host mirror: the int8 staging residualizes against these rows.
+        self._cent_np = np.asarray(cent, np.float32)
         lens = np.asarray(self._offsets[1:]) - np.asarray(self._offsets[:-1])
         self._lens = lens.astype(np.int32)
         self.num_clusters = len(self._cids)
@@ -356,7 +371,16 @@ class LazySpannIndex:
 
     # -- staging -----------------------------------------------------------
 
-    def _stage_async(self, rows: np.ndarray, sd_np, patch_info=None):
+    def _cent_rows_host(self, route_rows: np.ndarray) -> np.ndarray:
+        """Host centroid rows for the given ROUTE rows — the residual
+        origin for int8 staging (must equal what the rerank reconstructs
+        with; both sides receive this same array)."""
+        if self._overlay is not None and self._cent_host is not None:
+            return self._cent_host[route_rows, : self.dim]
+        return self._cent_np[route_rows]
+
+    def _stage_async(self, rows: np.ndarray, sd_np, patch_info=None,
+                     cent_rows=None):
         """Start staging on a background thread; returns an object whose
         .join() -> DEVICE arrays (vecs, ids, lens) in the wire dtype.
 
@@ -376,9 +400,31 @@ class LazySpannIndex:
                     vecs, ids, lens, patch_info[0], patch_info[1],
                     self.pad, self.dim,
                 )
-            if vecs.dtype != sd_np:  # storage-dtype wire halves bf16 bytes
-                vecs = vecs.astype(sd_np)
-            return jnp.asarray(vecs), jnp.asarray(_ids_i32(ids)), jnp.asarray(lens)
+            if self.policy.quantized:
+                from spfresh_tpu.core.dtypes import posting_scales_np, quantize_np
+
+                # IVF-SQ8: residuals vs the ROUTE centroid, per-slab scales
+                # from the (overlay-patched) residuals.  Scale + centroid
+                # ship WITH the batch, so quantize/dequant are
+                # self-consistent by construction.
+                res = vecs - cent_rows[:, None, : vecs.shape[2]]
+                # Scale from REAL rows only: padding rows are zeros, whose
+                # residual is -centroid — letting them into the max would
+                # blow the step back up to the coordinate magnitude.
+                real = (
+                    np.arange(res.shape[1])[None, :, None] < lens[:, None, None]
+                )
+                rowmax = np.where(real, np.abs(res), 0.0).max(axis=(1, 2))
+                scales = posting_scales_np(rowmax)
+                vecs = quantize_np(res, scales[:, None, None])
+                cents_d = jnp.asarray(cent_rows.astype(np.float32))
+            else:
+                scales = np.ones(len(vecs), np.float32)
+                cents_d = jnp.zeros((len(vecs), 1), jnp.float32)  # unused
+                if vecs.dtype != sd_np:  # storage-dtype wire halves bf16 bytes
+                    vecs = vecs.astype(sd_np)
+            return (jnp.asarray(vecs), jnp.asarray(_ids_i32(ids)),
+                    jnp.asarray(lens), jnp.asarray(scales), cents_d)
 
         if not self._pipeline:
             class _Sync:
@@ -451,12 +497,14 @@ class LazySpannIndex:
         sd_np = np.dtype(self.policy.storage_dtype)
 
         def finish(qb, cent_d, inv, job):
-            vecs_d, ids_d, lens_d = job.join()  # already on device
+            vecs_d, ids_d, lens_d, scales_d, cents_d = job.join()
             qi, qd = _rerank_staged(
                 jnp.asarray(qb),
                 vecs_d,
                 ids_d,
                 lens_d,
+                scales_d,
+                cents_d,
                 jnp.asarray(inv),
                 cent_d,
                 k=int(k),
@@ -493,7 +541,10 @@ class LazySpannIndex:
                 stage_rows = np.where(base >= 0, base, 0)
                 patches = self._overlay.stage_patches(uniq_pids.tolist())
                 patch_info = (uniq_pids, patches) if patches else None
-            job = self._stage_async(stage_rows, sd_np, patch_info)
+            cent_rows = (
+                self._cent_rows_host(uniq) if self.policy.quantized else None
+            )
+            job = self._stage_async(stage_rows, sd_np, patch_info, cent_rows)
             if pending is not None:
                 finish(*pending)
             pending = (qb, cent_d, inv.reshape(Q, nprobe).astype(np.int32), job)

@@ -35,7 +35,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from spfresh_tpu.core.dtypes import ACCUM_DTYPE, DtypePolicy
+from spfresh_tpu.core.dtypes import (
+    ACCUM_DTYPE,
+    DtypePolicy,
+    quantize_np,
+)
 from spfresh_tpu.index.config import Config
 from spfresh_tpu.index.posting_store import (
     FileBasedPostingListStore,
@@ -101,6 +105,7 @@ def _search_kernel(
     lens,
     ids,
     vectors,
+    scales,
     prune_factor,
     *,
     k: int,
@@ -131,6 +136,13 @@ def _search_kernel(
     valid = (ar < lens[cent_i][..., None]) & jnp.isfinite(cent_d)[..., None]
     pos = jnp.clip(pos, 0, vectors.shape[0] - 1)
     cand_vecs = vectors[pos]  # (Q, nprobe, pad, d)
+    if vectors.dtype == jnp.int8:
+        # IVF-SQ8 reconstruction: x = centroid + scale * residual code —
+        # the gather already moved 1/4 the bytes.
+        cand_vecs = (
+            cand_vecs.astype(ACCUM_DTYPE) * scales[cent_i][..., None, None]
+            + centroids[cent_i].astype(ACCUM_DTYPE)[:, :, None, :]
+        )
     # Padding reads past a short cluster land in the next cluster's slice;
     # neutralize their ids so they can never shadow a real candidate.
     cand_ids = jnp.where(valid, ids[pos], -1)
@@ -174,6 +186,7 @@ def _search_kernel_probe_chunked(
     lens,
     ids,
     vectors,
+    scales,
     prune_factor,
     *,
     k: int,
@@ -217,7 +230,13 @@ def _search_kernel_probe_chunked(
         pos = base[..., None] + ar
         valid = (ar < lens[cii][..., None]) & jnp.isfinite(cd)[..., None]
         pos = jnp.clip(pos, 0, vectors.shape[0] - 1)
-        d = rowwise_distance(vectors[pos], qf[:, None, None, :], metric)
+        cv = vectors[pos]
+        if vectors.dtype == jnp.int8:
+            cv = (
+                cv.astype(ACCUM_DTYPE) * scales[cii][..., None, None]
+                + centroids[cii].astype(ACCUM_DTYPE)[:, :, None, :]
+            )
+        d = rowwise_distance(cv, qf[:, None, None, :], metric)
         d = jnp.where(valid, d, jnp.inf)
         if prune:
             d = jnp.where(d <= thr[:, None, None], d, jnp.inf)
@@ -248,6 +267,7 @@ def _search_kernel_padded(
     lens,
     ids2d,
     vectors3d,
+    scales,
     prune_factor,
     *,
     k: int,
@@ -270,13 +290,30 @@ def _search_kernel_padded(
     # Queries stay f32 inside the kernel: the dynamic per-query row read
     # needs f32 sublane alignment (bf16 rows fail Mosaic's divisibility
     # proof), and the reduction is f32 regardless of slab dtype.
-    d = padded_rerank_distances(
-        queries.astype(jnp.float32),
-        rows.astype(jnp.int32),
-        vectors3d,
-        metric,
-        interpret=interpret,
-    )  # (Q, nprobe, pad)
+    if vectors3d.dtype == jnp.int8:
+        # IVF-SQ8 distance vs residual codes: |s*r - (q - c)| — the kernel
+        # sees per-(query, probe) CENTERED queries plus the scale table.
+        qc = (
+            queries.astype(jnp.float32)[:, None, :]
+            - centroids[rows].astype(jnp.float32)
+        )  # (Q, nprobe, d_pad)
+        d = padded_rerank_distances(
+            queries.astype(jnp.float32),
+            rows.astype(jnp.int32),
+            vectors3d,
+            metric,
+            interpret=interpret,
+            scales=scales[rows],
+            centered_queries=qc,
+        )
+    else:
+        d = padded_rerank_distances(
+            queries.astype(jnp.float32),
+            rows.astype(jnp.int32),
+            vectors3d,
+            metric,
+            interpret=interpret,
+        )  # (Q, nprobe, pad)
     ar = jnp.arange(pad, dtype=jnp.int32)
     valid = (ar < lens[rows][..., None]) & jnp.isfinite(cent_d)[..., None]
     cand_ids = jnp.where(valid, ids2d[rows], -1)
@@ -298,11 +335,30 @@ def _search_kernel_padded(
     return out_ids, vals
 
 
+def _cast_storage_np(x, sd, scale: float) -> np.ndarray:
+    """Host-side cast of f32 member rows into the storage dtype.  int8
+    quantizes with the per-index scale (see core.dtypes); float dtypes are a
+    plain astype (ml_dtypes registers bfloat16 with numpy)."""
+    if jnp.dtype(sd) == jnp.int8:
+        return quantize_np(x, scale)
+    return np.asarray(x).astype(sd)
+
+
+def _q_dev(x, sd, inv_scale):
+    """Device-side storage cast (static branch on the storage dtype; the
+    quantizing multiply is a traced scalar — no recompile per scale)."""
+    if jnp.dtype(sd) == jnp.int8:
+        return jnp.clip(
+            jnp.round(x.astype(jnp.float32) * inv_scale), -127, 127
+        ).astype(jnp.int8)
+    return x.astype(sd)
+
+
 @functools.partial(
     jax.jit, static_argnames=("d", "Cpad", "pad", "d_pad", "sd", "n_chunks")
 )
 def _pack_from_corpus_fused(
-    corpus, rows2d, slots2d, flat_ids_pad, d: int,
+    corpus, rows2d, slots2d, flat_ids_pad, cent_d32, d: int,
     Cpad: int, pad: int, d_pad: int, sd, n_chunks: int,
 ):
     """Whole pack as ONE program: an internal fori_loop gathers each
@@ -314,10 +370,41 @@ def _pack_from_corpus_fused(
     resident (measured: 0-GiB free probe after a 1M x 960 build).  Chunk
     padding repeats real entries — idempotent same-value rewrites."""
 
+    quant = jnp.dtype(sd) == jnp.int8
+    if quant:
+        # Pass 1: per-POSTING abs-maxima of the RESIDUALS x - centroid
+        # (slot // pad = slab row), then the IVF-SQ8 scales
+        # s_c = resmax_c / 127 (empty/zero postings -> 1.0): the
+        # quantization step tracks the CLUSTER RADIUS, not the coordinate
+        # magnitude.  Same f32 expressions as the host pack — packs from
+        # either side are bit-identical.
+        def mbody(i, m):
+            r = jax.lax.dynamic_index_in_dim(rows2d, i, keepdims=False)
+            s = jax.lax.dynamic_index_in_dim(slots2d, i, keepdims=False)
+            res = corpus[r].astype(jnp.float32) - cent_d32[s // pad]
+            return m.at[s // pad].max(jnp.max(jnp.abs(res), axis=1))
+
+        rowmax = jax.lax.fori_loop(
+            0, n_chunks, mbody, jnp.zeros((Cpad,), jnp.float32)
+        )
+        scales = jnp.where(
+            rowmax > 0, rowmax * jnp.float32(1.0 / 127.0), jnp.float32(1.0)
+        )
+        inv = jnp.float32(1.0) / scales
+    else:
+        scales = jnp.ones((Cpad,), jnp.float32)
+        inv = scales
+
     def body(i, v):
         r = jax.lax.dynamic_index_in_dim(rows2d, i, keepdims=False)
         s = jax.lax.dynamic_index_in_dim(slots2d, i, keepdims=False)
-        return v.at[s, :d].set(corpus[r].astype(v.dtype))
+        x = corpus[r]
+        if quant:
+            res = x.astype(jnp.float32) - cent_d32[s // pad]
+            x = _q_dev(res, sd, inv[s // pad][:, None])
+        else:
+            x = x.astype(v.dtype)
+        return v.at[s, :d].set(x)
 
     v = jax.lax.fori_loop(
         0, n_chunks, body, jnp.zeros((Cpad * pad, d_pad), sd)
@@ -327,7 +414,7 @@ def _pack_from_corpus_fused(
         .at[slots2d.reshape(-1)].set(flat_ids_pad)
         .reshape(Cpad, pad)
     )
-    return v.reshape(Cpad, pad, d_pad), i
+    return v.reshape(Cpad, pad, d_pad), i, scales
 
 
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("d",))
@@ -357,7 +444,8 @@ def _pad_tail(arr_slice: np.ndarray, tail: int) -> np.ndarray:
 
 
 def _pack_slabs_from_corpus(
-    corpus, rows, flat_ids, slots, Cpad: int, pad: int, d_pad: int, sd: str
+    corpus, rows, flat_ids, slots, cent_np, Cpad: int, pad: int, d_pad: int,
+    sd: str,
 ):  # noqa: D401 — see _pack_from_corpus_fused for the device program
     """Slab pack with ZERO vector upload: the corpus is already device-
     resident from the clustering phase and a fresh build's member vectors are
@@ -390,18 +478,53 @@ def _pack_slabs_from_corpus(
 
     return _pack_from_corpus_fused(
         corpus, timed_put(rows2d), timed_put(slots2d),
-        timed_put(ids_pad), d,
+        timed_put(ids_pad),
+        timed_put(np.ascontiguousarray(cent_np[:, :d], np.float32)), d,
         Cpad=Cpad, pad=pad, d_pad=d_pad, sd=sd, n_chunks=n_chunks,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("Ppad", "sd"))
-def _flat_from_corpus(corpus, rows, Ppad: int, sd: str):
-    v = corpus[rows].astype(sd)
-    return jnp.pad(v, ((0, Ppad - v.shape[0]), (0, 0)))
+@functools.partial(jax.jit, static_argnames=("Ppad", "Cpad", "sd"))
+def _flat_from_corpus(corpus, rows, row_seg, cent_d32, Ppad: int, Cpad: int,
+                      sd: str):
+    """CSR flat pack from the device corpus.  ``row_seg`` maps each flat
+    member position to its posting row.  int8 stores per-posting-scaled
+    RESIDUALS x - centroid (IVF-SQ8).  Returns (vectors (Ppad, d) storage
+    dtype, scales (Cpad,) f32)."""
+    x = corpus[rows].astype(jnp.float32)
+    if jnp.dtype(sd) == jnp.int8:
+        res = x - cent_d32[row_seg]
+        rowmax = jax.ops.segment_max(
+            jnp.max(jnp.abs(res), axis=1), row_seg, num_segments=Cpad
+        )
+        rowmax = jnp.maximum(rowmax, 0.0)  # empty segments return -inf
+        scales = jnp.where(
+            rowmax > 0, rowmax * jnp.float32(1.0 / 127.0), jnp.float32(1.0)
+        )
+        inv = jnp.float32(1.0) / scales
+        v = _q_dev(res, sd, inv[row_seg][:, None])
+    else:
+        scales = jnp.ones((Cpad,), jnp.float32)
+        v = x.astype(sd)
+    return jnp.pad(v, ((0, Ppad - v.shape[0]), (0, 0))), scales
 
 
-def _pack_slabs(flat_vecs, flat_ids, slots, Cpad: int, pad: int, d_pad: int, sd):
+def _host_posting_scales(flat_vecs, row_seg, Cpad: int) -> np.ndarray:
+    """Host mirror of the device per-posting scale computation (exact
+    maxima + identical f32 expressions -> bit-identical scales)."""
+    from spfresh_tpu.core.dtypes import posting_scales_np
+
+    rowmax = np.zeros(Cpad, np.float32)
+    if len(row_seg):
+        np.maximum.at(
+            rowmax, row_seg,
+            np.max(np.abs(np.asarray(flat_vecs, np.float32)), axis=1),
+        )
+    return posting_scales_np(rowmax)
+
+
+def _pack_slabs(flat_vecs, flat_ids, slots, cent_np, Cpad: int, pad: int,
+                d_pad: int, sd):
     """Device-side slab pack from HOST member rows: upload + scatter in
     fixed-size chunks against the donated slab buffer.  The host sends only
     the raw (P, d) vectors in the storage dtype — no padding bytes cross the
@@ -412,11 +535,25 @@ def _pack_slabs(flat_vecs, flat_ids, slots, Cpad: int, pad: int, d_pad: int, sd)
     flat_vecs = np.asarray(flat_vecs)
     d = flat_vecs.shape[1]
     slots_np = np.asarray(slots, np.int32)
+    if jnp.dtype(sd) == jnp.int8:
+        seg = slots_np // pad
+        flat_vecs = (
+            np.asarray(flat_vecs, np.float32) - cent_np[seg, :d]
+        )  # residuals
+        scales_np = _host_posting_scales(flat_vecs, seg, Cpad)
+        row_scale = scales_np[seg][:, None]
+    else:
+        scales_np = np.ones(Cpad, np.float32)
+        row_scale = None
     v = jnp.zeros((Cpad * pad, d_pad), sd)
     for s0, e, tail in _chunk_slices(slots_np.shape[0], _PACK_CHUNK):
+        chunk = _pad_tail(flat_vecs[s0:e], tail)
+        sc = (
+            _pad_tail(row_scale[s0:e], tail) if row_scale is not None else 1.0
+        )
         v = _scatter_flat_chunk(
             v,
-            timed_put(_pad_tail(flat_vecs[s0:e], tail).astype(sd)),
+            timed_put(_cast_storage_np(chunk, sd, sc)),
             timed_put(_pad_tail(slots_np[s0:e], tail)),
             d,
         )
@@ -425,7 +562,7 @@ def _pack_slabs(flat_vecs, flat_ids, slots, Cpad: int, pad: int, d_pad: int, sd)
         .at[jnp.asarray(slots_np)].set(flat_ids)
         .reshape(Cpad, pad)
     )
-    return v.reshape(Cpad, pad, d_pad), i
+    return v.reshape(Cpad, pad, d_pad), i, jnp.asarray(scales_np)
 
 
 @functools.partial(jax.jit, donate_argnums=(0, 1))
@@ -445,9 +582,9 @@ def _scatter_lens(lens, rows, new_lens):
     return lens.at[rows].set(new_lens)
 
 
-@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4))
-def _scatter_rows(vectors3d, ids2d, lens, cents, valid,
-                  rows, vblk, iblk, lblk, cblk, vldblk):
+@functools.partial(jax.jit, donate_argnums=(0, 1, 2, 3, 4, 5))
+def _scatter_rows(vectors3d, ids2d, lens, cents, valid, scales,
+                  rows, vblk, iblk, lblk, cblk, vldblk, sblk):
     """In-place slab update: scatter B dirty postings' blocks into the view
     arrays.  Donated buffers — XLA updates HBM in place, so the cost is the
     (B, pad, d_pad) upload, not a re-materialization of the whole view.
@@ -459,6 +596,7 @@ def _scatter_rows(vectors3d, ids2d, lens, cents, valid,
         lens.at[rows].set(lblk),
         cents.at[rows].set(cblk),
         valid.at[rows].set(vldblk),
+        scales.at[rows].set(sblk),
     )
 
 
@@ -550,12 +688,13 @@ def brute_force_search(
 
 @dataclasses.dataclass
 class DeviceView:
-    centroids: jnp.ndarray  # (Cpad, d) storage dtype
+    centroids: jnp.ndarray  # (Cpad, d) storage dtype (f32 for int8 slabs)
     cent_valid: jnp.ndarray  # (Cpad,) bool
     offsets: jnp.ndarray  # (Cpad,) int32 — start of each cluster's slice
     lens: jnp.ndarray  # (Cpad,) int32
     ids: jnp.ndarray  # (Ppad,) int32 (-1 = padding; int64 on host/storage)
     vectors: jnp.ndarray  # (Ppad, d) storage dtype
+    scales: jnp.ndarray  # (Cpad,) f32 per-posting dequant scales (1.0 = none)
     pad: int  # static per-cluster gather width (>= max posting length)
     cluster_rows: Dict[int, int]  # cluster_id -> row in the padded arrays
     max_dup: int = 8  # max multiplicity of any point id across postings
@@ -579,6 +718,7 @@ class PaddedView:
     lens: jnp.ndarray  # (Cpad,) int32
     ids2d: jnp.ndarray  # (Cpad, pad) int32 (-1 = padding)
     vectors3d: jnp.ndarray  # (Cpad, pad, d_pad) storage dtype
+    scales: jnp.ndarray  # (Cpad,) f32 per-posting dequant scales (1.0 = none)
     pad: int
     d_pad: int
     cluster_rows: Dict[int, int]
@@ -588,6 +728,9 @@ class PaddedView:
     # refresh recognize pure appends (the streaming-insert common case) and
     # upload ONLY the appended rows instead of whole slabs.
     snapshot: Dict[int, np.ndarray] = dataclasses.field(default_factory=dict)
+    # Host mirror of `scales` for the incremental-update quantize paths
+    # (pulled lazily; rewrites keep it in sync).
+    scales_host: Optional[np.ndarray] = None
 
 
 class _LazyMemberVecs:
@@ -859,24 +1002,40 @@ class SpannIndex:
             all_vecs_f = np.concatenate([self.postings[c][1] for c in cids]) if cids else np.empty((0, d), np.float32)
         flat_ids[:P] = _ids_i32(all_ids_f)
         sd = self.policy.storage_dtype
+        row_seg = np.repeat(np.arange(C, dtype=np.int32), lens_l)
         if self._corpus_cache is not None and self._corpus_cache[0] == self._gen and P:
             # Zero-upload: gather member vectors from the device corpus.
-            vectors_dev = _flat_from_corpus(
-                self._corpus_cache[1], jnp.asarray(flat_ids[:P]), Ppad=Ppad, sd=sd
+            from spfresh_tpu.utils.xfer import timed_put as _tp
+
+            vectors_dev, scales_dev = _flat_from_corpus(
+                self._corpus_cache[1], jnp.asarray(flat_ids[:P]),
+                jnp.asarray(row_seg),
+                _tp(np.ascontiguousarray(cent[:, :d], np.float32)),
+                Ppad=Ppad, Cpad=Cpad, sd=sd,
             )
         else:
             flat_vecs = np.zeros((Ppad, d), np.float32)
             flat_vecs[:P] = all_vecs_f
-            vectors_dev = jnp.asarray(flat_vecs, sd)
+            if self.policy.quantized:
+                res = flat_vecs[:P] - cent[row_seg, :d]  # residuals
+                scales_np = _host_posting_scales(res, row_seg, Cpad)
+                flat_q = np.zeros((Ppad, d), np.int8)
+                flat_q[:P] = quantize_np(res, scales_np[row_seg][:, None])
+                vectors_dev = jnp.asarray(flat_q)
+            else:
+                scales_np = np.ones(Cpad, np.float32)
+                vectors_dev = jnp.asarray(flat_vecs, sd)
+            scales_dev = jnp.asarray(scales_np)
         for row, c in enumerate(cids):
             cluster_rows[c] = row
         self._view = DeviceView(
-            centroids=jnp.asarray(cent, sd),
+            centroids=self._cast_centroids(cent),
             cent_valid=jnp.asarray(valid),
             offsets=jnp.asarray(offsets),
             lens=jnp.asarray(lens),
             ids=jnp.asarray(flat_ids),
             vectors=vectors_dev,
+            scales=scales_dev,
             pad=pad,
             cluster_rows=cluster_rows,
             max_dup=self._refresh_mult(flat_ids[:P]),
@@ -888,6 +1047,23 @@ class SpannIndex:
     def _refresh_mult(self, all_ids: np.ndarray) -> int:
         self._mult_hint = max(self._mult_hint, _max_multiplicity(all_ids))
         return self._dedup_bound()
+
+    @staticmethod
+    def _view_scales_host(view) -> np.ndarray:
+        """Host mirror of the view's per-posting dequant scales (one lazy
+        pull; the rewrite path keeps it in sync)."""
+        if view.scales_host is None:
+            view.scales_host = np.asarray(view.scales).copy()
+        return view.scales_host
+
+    def _cast_centroids(self, cent: np.ndarray) -> jnp.ndarray:
+        """Routing-tier upload.  int8 storage keeps centroids in f32 (real
+        units): the stage-1 scan needs full routing precision, and the
+        rerank dequantizes slabs per posting, so every distance in the
+        engine is in real units."""
+        if self.policy.quantized:
+            return jnp.asarray(cent, jnp.float32)
+        return jnp.asarray(cent, self.policy.storage_dtype)
 
     def padded_view(self) -> PaddedView:
         """Slab layout for the Pallas rerank kernel: (Cpad, pad, d_pad) with
@@ -950,31 +1126,35 @@ class SpannIndex:
                 # Zero-upload pack: member vectors gather from the build's
                 # device-resident corpus (point id == corpus row); the host
                 # sends ~1% of the bytes (int32 rows/slots/ids).
-                vecs_dev, ids_dev = _pack_slabs_from_corpus(
+                vecs_dev, ids_dev, scales_dev = _pack_slabs_from_corpus(
                     self._corpus_cache[1],
                     flat_ids_all,
                     flat_ids_all,
                     slots,
+                    cent,
                     Cpad=Cpad, pad=pad, d_pad=d_pad, sd=sd,
                 )
             else:
-                vecs_dev, ids_dev = _pack_slabs(
+                vecs_dev, ids_dev, scales_dev = _pack_slabs(
                     flat_vecs_all,
                     jnp.asarray(flat_ids_all),
                     slots,
+                    cent,
                     Cpad=Cpad, pad=pad, d_pad=d_pad, sd=sd,
                 )
         else:  # pragma: no cover - guarded by the empty-index check
             vecs_dev = jnp.zeros((Cpad, pad, d_pad), sd)
             ids_dev = jnp.full((Cpad, pad), -1, jnp.int32)
+            scales_dev = jnp.ones((Cpad,), jnp.float32)
         for row, c in enumerate(cids):
             cluster_rows[c] = row
         self._padded_view = PaddedView(
-            centroids=jnp.asarray(cent, sd),
+            centroids=self._cast_centroids(cent),
             cent_valid=jnp.asarray(valid),
             lens=jnp.asarray(lens),
             ids2d=ids_dev,
             vectors3d=vecs_dev,
+            scales=scales_dev,
             pad=pad,
             d_pad=d_pad,
             cluster_rows=cluster_rows,
@@ -1075,7 +1255,10 @@ class SpannIndex:
                     and len(ids) > len(old)
                     and np.array_equal(ids[: len(old)], old)
                 ):
-                    appends.append((row, len(old), ids[len(old):], vecs[len(old):]))
+                    appends.append(
+                        (row, len(old), ids[len(old):], vecs[len(old):],
+                         self.centroids[c])
+                    )
                     append_rows.append((row, len(ids)))
                     view.snapshot[c] = ids
                     continue
@@ -1097,10 +1280,15 @@ class SpannIndex:
             vblk = np.zeros((len(slots), view.d_pad), np.float32)
             iblk = np.zeros(len(slots), np.int32)
             pos = 0
-            for row, old_len, add_ids, add_vecs in appends:
+            for row, old_len, add_ids, add_vecs, cent_c in appends:
                 k = len(add_ids)
                 slots[pos : pos + k] = row * view.pad + old_len + np.arange(k)
-                vblk[pos : pos + k, :d] = add_vecs
+                if self.policy.quantized:
+                    # Residual codes (values past the slab's range saturate;
+                    # a rewrite recomputes the scale).
+                    vblk[pos : pos + k, :d] = add_vecs - cent_c[None, :]
+                else:
+                    vblk[pos : pos + k, :d] = add_vecs
                 iblk[pos : pos + k] = _ids_i32(add_ids)
                 pos += k
             slots[B:] = slots[0]  # chunk padding: idempotent rewrites
@@ -1115,12 +1303,24 @@ class SpannIndex:
             arows[Bc:] = arows[0]
             alens[Bc:] = alens[0]
             sd = self.policy.storage_dtype
+            if self.policy.quantized:
+                # Appended vectors quantize with their posting's EXISTING
+                # scale (values past the slab's range saturate at +-127; a
+                # slab rewrite recomputes the scale).
+                sh = self._view_scales_host(view)
+                slot_scale = sh[slots // view.pad][:, None]
+            else:
+                slot_scale = 1.0
             v3, i2 = view.vectors3d, view.ids2d
             for s0 in range(0, len(slots), CH):
+                sc = (
+                    slot_scale[s0 : s0 + CH]
+                    if self.policy.quantized else 1.0
+                )
                 v3, i2 = _scatter_appends(
                     v3, i2,
                     jnp.asarray(slots[s0 : s0 + CH]),
-                    jnp.asarray(vblk[s0 : s0 + CH], sd),
+                    jnp.asarray(_cast_storage_np(vblk[s0 : s0 + CH], sd, sc)),
                     jnp.asarray(iblk[s0 : s0 + CH]),
                 )
             ln = view.lens
@@ -1145,13 +1345,23 @@ class SpannIndex:
             iblk = np.full((Bpad, view.pad), -1, np.int32)
             lblk = np.zeros(Bpad, np.int32)
             cblk = np.zeros((Bpad, view.d_pad), np.float32)
+            sclblk = np.ones(Bpad, np.float32)
             vldblk = np.zeros(Bpad, bool)
+            quant = self.policy.quantized
+            from spfresh_tpu.core.dtypes import quant_scale_for
+
             for i, (c, row) in enumerate(sorted(row_of.items())):
                 rows[i] = row
                 if c in self.postings:
                     ids, vecs = self.postings[c]
                     m = len(ids)
-                    vblk[i, :m, :d] = vecs
+                    if quant:
+                        vblk[i, :m, :d] = vecs - self.centroids[c][None, :]
+                        if m:
+                            # Fresh residual codes: recompute the scale.
+                            sclblk[i] = quant_scale_for(vblk[i, :m, :d])
+                    else:
+                        vblk[i, :m, :d] = vecs
                     iblk[i, :m] = _ids_i32(ids)
                     lblk[i] = m
                     cblk[i, :d] = self.centroids[c]
@@ -1161,20 +1371,31 @@ class SpannIndex:
             iblk[B:] = iblk[0]
             lblk[B:] = lblk[0]
             cblk[B:] = cblk[0]
+            sclblk[B:] = sclblk[0]
             vldblk[B:] = vldblk[0]
             sd = self.policy.storage_dtype
             v3, i2, ln = view.vectors3d, view.ids2d, view.lens
-            ce, vl = view.centroids, view.cent_valid
+            ce, vl, sc_d = view.centroids, view.cent_valid, view.scales
             for s0 in range(0, Bpad, RB):
                 sl = slice(s0, s0 + RB)
-                v3, i2, ln, ce, vl = _scatter_rows(
-                    v3, i2, ln, ce, vl,
-                    jnp.asarray(rows[sl]), jnp.asarray(vblk[sl], sd),
+                cb = (
+                    jnp.asarray(cblk[sl], jnp.float32)
+                    if quant else jnp.asarray(cblk[sl], sd)
+                )
+                v3, i2, ln, ce, vl, sc_d = _scatter_rows(
+                    v3, i2, ln, ce, vl, sc_d,
+                    jnp.asarray(rows[sl]),
+                    jnp.asarray(_cast_storage_np(
+                        vblk[sl], sd, sclblk[sl][:, None, None]
+                    )),
                     jnp.asarray(iblk[sl]), jnp.asarray(lblk[sl]),
-                    jnp.asarray(cblk[sl], sd), jnp.asarray(vldblk[sl]),
+                    cb, jnp.asarray(vldblk[sl]),
+                    jnp.asarray(sclblk[sl]),
                 )
             view.vectors3d, view.ids2d, view.lens = v3, i2, ln
-            view.centroids, view.cent_valid = ce, vl
+            view.centroids, view.cent_valid, view.scales = ce, vl, sc_d
+            if view.scales_host is not None:
+                view.scales_host[rows[:B]] = sclblk[:B]
             # Commit the row-table changes only after the device scatter is
             # dispatched (the plan used a copy of free_rows).
             view.free_rows = free
@@ -1265,7 +1486,8 @@ class SpannIndex:
             view = self.padded_view()
             nprobe = max(1, min(int(nprobe), int(view.centroids.shape[0])))
             interpret = jax.devices()[0].platform != "tpu"
-            bs = min(bs, max(8, smem_entries // max(1, nprobe)))
+            tables = 2 if self.policy.quantized else 1  # rows (+ scales)
+            bs = min(bs, max(8, smem_entries // max(1, nprobe * tables)))
             qpad = np.zeros((queries.shape[0], view.d_pad), np.float32)
             qpad[:, : self.dim] = queries
             for s in range(0, queries.shape[0], bs):
@@ -1276,6 +1498,7 @@ class SpannIndex:
                     view.lens,
                     view.ids2d,
                     view.vectors3d,
+                    view.scales,
                     pf,
                     k=int(k),
                     nprobe=nprobe,
@@ -1306,6 +1529,7 @@ class SpannIndex:
                         view.lens,
                         view.ids,
                         view.vectors,
+                        view.scales,
                         pf,
                         k=int(k),
                         nprobe=nprobe,
@@ -1330,6 +1554,7 @@ class SpannIndex:
                     view.lens,
                     view.ids,
                     view.vectors,
+                    view.scales,
                     pf,
                     k=int(k),
                     nprobe=nprobe,

@@ -46,8 +46,17 @@ def _reduce(metric: str, diff: jnp.ndarray) -> jnp.ndarray:
     return jnp.max(jnp.abs(diff), axis=1)
 
 
-def _make_kernel(metric: str, nprobe: int, nbuf: int):
-    def kernel(rows_ref, q_ref, v_hbm, out_ref, slab, sems):
+def _make_kernel(metric: str, nprobe: int, nbuf: int, quantized: bool):
+    def kernel(*refs):
+        # quantized: (rows_ref, scales_ref, qc_ref, v_hbm, out_ref, slab, sems)
+        #   qc_ref block = (1, nprobe, d) CENTERED queries q - c_j; the slab
+        #   holds int8 residual codes, so |s*r - qc| = |x - q|.
+        # float:     (rows_ref, q_ref, v_hbm, out_ref, slab, sems)
+        if quantized:
+            rows_ref, scales_ref, q_ref, v_hbm, out_ref, slab, sems = refs
+        else:
+            rows_ref, q_ref, v_hbm, out_ref, slab, sems = refs
+            scales_ref = None
         q = pl.program_id(0)
 
         def get_dma(slot, j):
@@ -63,10 +72,18 @@ def _make_kernel(metric: str, nprobe: int, nbuf: int):
         for j in range(nbuf - 1):
             if j < nprobe:
                 get_dma(j, j).start()
-        # This step's query row from the (8, d) block covering q (TPU block
-        # sublane dims must be 8-divisible; a whole-batch block cost 8 MB of
-        # VMEM at GIST dims).  Dynamic row reads require f32 queries.
-        qv = q_ref[pl.ds(jax.lax.rem(q, 8), 1), :].astype(jnp.float32)  # (1, d)
+        if quantized:
+            # This query's full (nprobe, d) CENTERED block, loaded once —
+            # dynamic per-probe row selection happens on the loaded VALUE
+            # (vector ops), not the ref (unaligned dynamic sublane ref
+            # reads are not Mosaic-provable).
+            qc_all = q_ref[0, :, :].astype(jnp.float32)  # (nprobe, d)
+        else:
+            # This step's query row from the (8, d) block covering q (TPU
+            # block sublane dims must be 8-divisible; a whole-batch block
+            # cost 8 MB of VMEM at GIST dims).  Dynamic row reads require
+            # f32 queries.
+            qv = q_ref[pl.ds(jax.lax.rem(q, 8), 1), :].astype(jnp.float32)
 
         def body(j, _):
             slot = j % nbuf
@@ -77,7 +94,15 @@ def _make_kernel(metric: str, nprobe: int, nbuf: int):
 
             get_dma(slot, j).wait()
             v = slab[slot].astype(jnp.float32)  # (pad, d)
-            out_ref[0, j, :] = _reduce(metric, v - qv)
+            if quantized:
+                # IVF-SQ8: residual codes scale by the slab's dequant
+                # constant (second scalar-prefetch table); the query side is
+                # this probe's CENTERED row, so v*s - qc == x - q.
+                v = v * scales_ref[q * nprobe + j]
+                qcv = jax.lax.dynamic_slice_in_dim(qc_all, j, 1, axis=0)
+                out_ref[0, j, :] = _reduce(metric, v - qcv)
+            else:
+                out_ref[0, j, :] = _reduce(metric, v - qv)
             return 0
 
         jax.lax.fori_loop(0, nprobe, body, 0)
@@ -104,6 +129,8 @@ def padded_rerank_distances(
     vectors3d: jax.Array,  # (C, pad, d) storage dtype
     metric: str = EUCLIDEAN,
     interpret: bool | None = None,
+    scales: jax.Array | None = None,  # (Q, nprobe) f32 dequant (int8 slabs)
+    centered_queries: jax.Array | None = None,  # (Q, nprobe, d) q - c_j
 ) -> jax.Array:
     """Distances (Q, nprobe, pad) f32 between each query and every vector of
     each probed posting slab.  d must be a multiple of 128 and pad a multiple
@@ -128,32 +155,48 @@ def padded_rerank_distances(
     # VMEM at GIST dims and made large-pad configs spill (measured:
     # scoped-alloc OOM at d_pad=1024, pad=400, Q=2048).  Budget ~10 MB and
     # give the remainder to the ring; floor 2 = plain double-buffering.
-    avail = (10 << 20) - 2 * 8 * d * 4 - 2 * nprobe * pad * 4
+    q_block = (nprobe if scales is not None else 8) * d * 4
+    avail = (10 << 20) - 2 * q_block - 2 * nprobe * pad * 4
     nbuf = int(max(2, min(8, avail // max(1, slab_bytes), nprobe)))
 
+    quantized = scales is not None
+    assert quantized == (centered_queries is not None)
+    n_prefetch = 2 if quantized else 1
+    if quantized:
+        # Both scalar tables are 1-D (see rows_ref note in the kernel); the
+        # query input is the (Q, nprobe, d) CENTERED block, one query's
+        # (nprobe, d) slice per grid step.
+        qspec = pl.BlockSpec(
+            (1, nprobe, d),
+            lambda q, rows_ref, scales_ref: (q, 0, 0),
+        )
+        out_idx = lambda q, rows_ref, scales_ref: (q, 0, 0)  # noqa: E731
+    else:
+        # 8-query window holding this step's row (8-divisible sublanes).
+        qspec = pl.BlockSpec((8, d), lambda q, rows_ref: (q // 8, 0))
+        out_idx = lambda q, rows_ref: (q, 0, 0)  # noqa: E731
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=n_prefetch,
         grid=(Q,),
         in_specs=[
-            # 8-query window holding this step's row (8-divisible sublanes).
-            pl.BlockSpec((8, d), lambda q, rows_ref: (q // 8, 0)),
+            qspec,
             pl.BlockSpec(memory_space=pl.ANY),  # posting slabs stay in HBM
         ],
         # Block dims equal to array dims satisfy the TPU tiling rule for any
         # nprobe — one step writes a query's full (nprobe, pad) row.
-        out_specs=pl.BlockSpec((1, nprobe, pad), lambda q, rows_ref: (q, 0, 0)),
+        out_specs=pl.BlockSpec((1, nprobe, pad), out_idx),
         scratch_shapes=[
             pltpu.VMEM((nbuf, pad, d), vectors3d.dtype),  # DMA ring buffer
             pltpu.SemaphoreType.DMA((nbuf,)),
         ],
     )
-    return pl.pallas_call(
-        _make_kernel(metric, nprobe, nbuf),
+    call = pl.pallas_call(
+        _make_kernel(metric, nprobe, nbuf, quantized),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((Q, nprobe, pad), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=int(nbuf * slab_bytes
-                                 + 2 * 8 * d * 4 + 2 * nprobe * pad * 4
+                                 + 2 * q_block + 2 * nprobe * pad * 4
                                  + (1 << 20)),
         ),
         cost_estimate=pl.CostEstimate(
@@ -162,4 +205,11 @@ def padded_rerank_distances(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(rows.astype(jnp.int32).reshape(-1), queries, vectors3d)
+    )
+    rows_flat = rows.astype(jnp.int32).reshape(-1)
+    if quantized:
+        return call(
+            rows_flat, scales.astype(jnp.float32).reshape(-1),
+            centered_queries.astype(jnp.float32), vectors3d,
+        )
+    return call(rows_flat, queries, vectors3d)

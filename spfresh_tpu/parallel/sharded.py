@@ -24,7 +24,13 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from spfresh_tpu.index.spann import SpannIndex, _ids_i32, _max_multiplicity, _round_up
+from spfresh_tpu.index.spann import (
+    SpannIndex,
+    _cast_storage_np,
+    _ids_i32,
+    _max_multiplicity,
+    _round_up,
+)
 from spfresh_tpu.ops.distances import pairwise_distance, rowwise_distance
 from spfresh_tpu.ops.topk import centroid_topk, smallest_k, smallest_k_unique
 
@@ -46,6 +52,7 @@ class ShardedView:
     lens: jax.Array  # (S, Cs)
     ids: jax.Array  # (S, Ps)
     vectors: jax.Array  # (S, Ps, d)
+    scales: jax.Array  # (S, Cs) f32 per-posting dequant scales (1.0 = none)
     pad: int
     num_shards: int
     max_dup: int = 8
@@ -70,11 +77,13 @@ class ShardedPaddedView:
     lens: jax.Array  # (S, Cs)
     ids2d: jax.Array  # (S, Cs, pad) int32
     vectors3d: jax.Array  # (S, Cs, pad, d_pad)
+    scales: jax.Array  # (S, Cs) f32 per-posting dequant scales (1.0 = none)
     pad: int
     d_pad: int
     num_shards: int
     max_dup: int = 8
     scratch_row: int = 0
+    scales_host: Optional[np.ndarray] = None
     cluster_rows: Dict[int, Tuple[int, int]] = dataclasses.field(default_factory=dict)
     free_rows: List[List[int]] = dataclasses.field(default_factory=list)
     snapshot: Dict[int, np.ndarray] = dataclasses.field(default_factory=dict)
@@ -154,13 +163,37 @@ class ShardedSpannIndex:
         # commit each array to the *default* backend first — wrong placement,
         # and a hard failure when virtualizing a CPU mesh over a broken TPU.
         sd = idx.policy.storage_dtype
+        quant = idx.policy.quantized
+        scales = np.ones((S, Cs), np.float32)
+        if quant:
+            from spfresh_tpu.core.dtypes import quant_scale_for, quantize_np
+
+            vec_cast = np.zeros_like(flat_vecs, dtype=np.int8)
+            for s_i, group in enumerate(per_shard):
+                pos = 0
+                for row, c in enumerate(group):
+                    m = len(idx.postings[c][0])
+                    if m:
+                        res = (
+                            np.asarray(idx.postings[c][1], np.float32)
+                            - idx.centroids[c][None, :]
+                        )
+                        scales[s_i, row] = quant_scale_for(res)
+                        vec_cast[s_i, pos : pos + m] = quantize_np(
+                            res, scales[s_i, row]
+                        )
+                    pos += m
+        else:
+            vec_cast = flat_vecs.astype(sd)
+        cent_c = cent.astype(np.float32) if quant else cent.astype(sd)
         self._view = ShardedView(
-            centroids=jax.device_put(cent.astype(sd), spec),
+            centroids=jax.device_put(cent_c, spec),
             cent_valid=jax.device_put(valid, spec),
             offsets=jax.device_put(offsets, spec),
             lens=jax.device_put(lens, spec),
             ids=jax.device_put(flat_ids, spec),
-            vectors=jax.device_put(flat_vecs.astype(sd), spec),
+            vectors=jax.device_put(vec_cast, spec),
+            scales=jax.device_put(scales, spec),
             pad=pad,
             num_shards=S,
             max_dup=_max_multiplicity(all_ids),
@@ -207,6 +240,10 @@ class ShardedSpannIndex:
         snapshot: Dict[int, np.ndarray] = {}
         scratch = Cs - 1
         free_rows = [list(range(len(g), scratch)) for g in per_shard]
+        quant = idx.policy.quantized
+        scales = np.ones((S, Cs), np.float32)
+        from spfresh_tpu.core.dtypes import quant_scale_for
+
         for s, group in enumerate(per_shard):
             for row, c in enumerate(group):
                 pids, pvecs = idx.postings[c]
@@ -215,17 +252,32 @@ class ShardedSpannIndex:
                 valid[s, row] = True
                 lens[s, row] = m
                 ids2d[s, row, :m] = _ids_i32(pids)
-                vecs3d[s, row, :m, :d] = pvecs
+                if quant:
+                    res = np.asarray(pvecs, np.float32) - idx.centroids[c][None, :]
+                    vecs3d[s, row, :m, :d] = res
+                    if m:
+                        scales[s, row] = quant_scale_for(res)
+                else:
+                    vecs3d[s, row, :m, :d] = pvecs
                 cluster_rows[c] = (s, row)
                 snapshot[c] = pids
         spec = NamedSharding(self.mesh, P(self.axis))
         sd = idx.policy.storage_dtype
+        if quant:
+            vec_cast = _cast_storage_np(
+                vecs3d, sd, scales[:, :, None, None]
+            )
+            cent_c = cent.astype(np.float32)
+        else:
+            vec_cast = vecs3d.astype(sd)
+            cent_c = cent.astype(sd)
         self._padded = ShardedPaddedView(
-            centroids=jax.device_put(cent.astype(sd), spec),
+            centroids=jax.device_put(cent_c, spec),
             cent_valid=jax.device_put(valid, spec),
             lens=jax.device_put(lens, spec),
             ids2d=jax.device_put(ids2d, spec),
-            vectors3d=jax.device_put(vecs3d.astype(sd), spec),
+            vectors3d=jax.device_put(vec_cast, spec),
+            scales=jax.device_put(scales, spec),
             pad=pad,
             d_pad=d_pad,
             num_shards=S,
@@ -281,7 +333,8 @@ class ShardedSpannIndex:
                 ):
                     s, row = loc
                     appends[s].append(
-                        (row, len(old), ids[len(old):], vecs[len(old):], len(ids))
+                        (row, len(old), ids[len(old):], vecs[len(old):],
+                         len(ids), idx.centroids[c])
                     )
                     # Snapshot mutation DEFERRED: a later free-row exhaustion
                     # returns False, and the caller's repack must not see a
@@ -303,6 +356,9 @@ class ShardedSpannIndex:
             view.snapshot[c] = ids
 
         sd = idx.policy.storage_dtype
+        quant = idx.policy.quantized
+        if quant and view.scales_host is None:
+            view.scales_host = np.asarray(view.scales).copy()
         dummy_slot = view.scratch_row * view.pad
         if any(appends):
             CH = 1024
@@ -317,23 +373,31 @@ class ShardedSpannIndex:
             alens = np.zeros((S, n_chunks * CH), np.int32)
             for s, apl in enumerate(appends):
                 pos = 0
-                for row, old_len, add_ids, add_vecs, _new_len in apl:
+                for row, old_len, add_ids, add_vecs, _new_len, cent_c in apl:
                     k = len(add_ids)
                     slots[s, pos : pos + k] = row * view.pad + old_len + np.arange(k)
-                    vblk[s, pos : pos + k, :d] = add_vecs
+                    if quant:
+                        vblk[s, pos : pos + k, :d] = add_vecs - cent_c[None, :]
+                    else:
+                        vblk[s, pos : pos + k, :d] = add_vecs
                     iblk[s, pos : pos + k] = _ids_i32(add_ids)
                     pos += k
-                for j, (row, _, _, _, new_len) in enumerate(apl):
+                for j, (row, _, _, _, new_len, _c) in enumerate(apl):
                     arows[s, j] = row
                     alens[s, j] = new_len
             spec = NamedSharding(self.mesh, P(self.axis))
+            if quant:
+                slot_scale = np.take_along_axis(
+                    view.scales_host, slots // view.pad, axis=1
+                )[:, :, None]
             v3, i2, ln = view.vectors3d, view.ids2d, view.lens
             for k0 in range(0, n_chunks * CH, CH):
                 sl = slice(k0, k0 + CH)
+                sc = slot_scale[:, sl] if quant else 1.0
                 v3, i2, ln = _scatter_appends_sharded(
                     v3, i2, ln,
                     jax.device_put(slots[:, sl], spec),
-                    jax.device_put(vblk[:, sl].astype(sd), spec),
+                    jax.device_put(_cast_storage_np(vblk[:, sl], sd, sc), spec),
                     jax.device_put(iblk[:, sl], spec),
                     jax.device_put(arows[:, sl], spec),
                     jax.device_put(alens[:, sl], spec),
@@ -349,7 +413,10 @@ class ShardedSpannIndex:
             iblk = np.full((S, n_chunks * RB, view.pad), -1, np.int32)
             lblk = np.zeros((S, n_chunks * RB), np.int32)
             cblk = np.zeros((S, n_chunks * RB, view.d_pad), np.float32)
+            sclblk = np.ones((S, n_chunks * RB), np.float32)
             vldblk = np.zeros((S, n_chunks * RB), bool)
+            from spfresh_tpu.core.dtypes import quant_scale_for
+
             for s, cids in enumerate(rewrites):
                 for j, c in enumerate(cids):
                     _, row = row_of[c]
@@ -357,28 +424,46 @@ class ShardedSpannIndex:
                     if c in idx.postings:
                         ids, vecs = idx.postings[c]
                         m = len(ids)
-                        vblk[s, j, :m, :d] = vecs
+                        if quant:
+                            vblk[s, j, :m, :d] = (
+                                vecs - idx.centroids[c][None, :]
+                            )
+                            if m:
+                                sclblk[s, j] = quant_scale_for(
+                                    vblk[s, j, :m, :d]
+                                )
+                        else:
+                            vblk[s, j, :m, :d] = vecs
                         iblk[s, j, :m] = _ids_i32(ids)
                         lblk[s, j] = m
                         cblk[s, j, :d] = idx.centroids[c]
                         vldblk[s, j] = True
             spec = NamedSharding(self.mesh, P(self.axis))
             v3, i2, ln = view.vectors3d, view.ids2d, view.lens
-            ce, vl = view.centroids, view.cent_valid
+            ce, vl, sc_d = view.centroids, view.cent_valid, view.scales
             for k0 in range(0, n_chunks * RB, RB):
                 sl = slice(k0, k0 + RB)
-                v3, i2, ln, ce, vl = _scatter_rows_sharded(
-                    v3, i2, ln, ce, vl,
+                v3, i2, ln, ce, vl, sc_d = _scatter_rows_sharded(
+                    v3, i2, ln, ce, vl, sc_d,
                     jax.device_put(rows[:, sl], spec),
-                    jax.device_put(vblk[:, sl].astype(sd), spec),
+                    jax.device_put(_cast_storage_np(
+                        vblk[:, sl], sd, sclblk[:, sl, None, None]
+                    ), spec),
                     jax.device_put(iblk[:, sl], spec),
                     jax.device_put(lblk[:, sl], spec),
-                    jax.device_put(cblk[:, sl].astype(sd), spec),
+                    jax.device_put(
+                        cblk[:, sl].astype(np.float32)
+                        if quant else cblk[:, sl].astype(sd),
+                        spec,
+                    ),
                     jax.device_put(vldblk[:, sl], spec),
+                    jax.device_put(sclblk[:, sl], spec),
                     mesh=self.mesh, axis=self.axis,
                 )
             view.vectors3d, view.ids2d, view.lens = v3, i2, ln
-            view.centroids, view.cent_valid = ce, vl
+            view.centroids, view.cent_valid, view.scales = ce, vl, sc_d
+            if quant and view.scales_host is not None:
+                np.put_along_axis(view.scales_host, rows, sclblk, axis=1)
             view.free_rows = free
             for c, (s, row) in row_of.items():
                 if c in idx.postings:
@@ -451,7 +536,7 @@ class ShardedSpannIndex:
             qpad[:, : self.index.dim] = queries
             arrays = (
                 view.centroids, view.cent_valid, view.lens,
-                view.ids2d, view.vectors3d,
+                view.ids2d, view.vectors3d, view.scales,
             )
             for s in range(0, queries.shape[0], batch_size):
                 qi, qd = _sharded_search_padded(
@@ -471,7 +556,7 @@ class ShardedSpannIndex:
             nprobe = local_np
             arrays = (
                 view.centroids, view.cent_valid, view.offsets,
-                view.lens, view.ids, view.vectors,
+                view.lens, view.ids, view.vectors, view.scales,
             )
             for s in range(0, queries.shape[0], batch_size):
                 qi, qd = _sharded_search_xla(
@@ -499,15 +584,15 @@ def _sharded_search_xla(
 ):
     """Gather-engine multi-chip search, compiled per (mesh, metric, shape) —
     NOT per index instance."""
-    centroids, cent_valid, offsets, lens, ids, vectors = view_arrays
+    centroids, cent_valid, offsets, lens, ids, vectors, pscales = view_arrays
 
-    def shard_fn(q, pf, cent, cvalid, offs, lns, pids, pvecs):
+    def shard_fn(q, pf, cent, cvalid, offs, lns, pids, pvecs, pscl):
         # Drop the unit shard axis of each local block.
-        cent, cvalid, offs, lns, pids, pvecs = (
-            a[0] for a in (cent, cvalid, offs, lns, pids, pvecs)
+        cent, cvalid, offs, lns, pids, pvecs, pscl = (
+            a[0] for a in (cent, cvalid, offs, lns, pids, pvecs, pscl)
         )
         raw_d, cand_ids, local_cd = _local_candidates(
-            q, cent, cvalid, offs, lns, pids, pvecs,
+            q, cent, cvalid, offs, lns, pids, pvecs, pscl,
             k=k, nprobe=nprobe, pad=pad, metric=metric,
             axis=axis if global_k else None, global_k=global_k,
         )
@@ -530,10 +615,12 @@ def _sharded_search_xla(
     return jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(axis), P(axis)),
         out_specs=(P(), P()),
         check_vma=False,
-    )(queries, prune_factor, centroids, cent_valid, offsets, lens, ids, vectors)
+    )(queries, prune_factor, centroids, cent_valid, offsets, lens, ids,
+      vectors, pscales)
 
 
 @functools.partial(
@@ -553,21 +640,32 @@ def _sharded_search_padded(
     local top-k, collective merge.  Compiled per (mesh, metric, shape)."""
     from spfresh_tpu.ops.pallas.rerank import padded_rerank_distances
 
-    centroids, cvalid, lens, ids2d, vecs3d = view_arrays
+    centroids, cvalid, lens, ids2d, vecs3d, pscales = view_arrays
 
-    def shard_fn(q, pf, cent, cvalid_, lns, pids2d, pvecs3d):
-        cent, cvalid_, lns, pids2d, pvecs3d = (
-            a[0] for a in (cent, cvalid_, lns, pids2d, pvecs3d)
+    def shard_fn(q, pf, cent, cvalid_, lns, pids2d, pvecs3d, pscl):
+        cent, cvalid_, lns, pids2d, pvecs3d, pscl = (
+            a[0] for a in (cent, cvalid_, lns, pids2d, pvecs3d, pscl)
         )
         Q = q.shape[0]
         qf = q.astype(cent.dtype)
         cent_d, rows = centroid_topk(qf, cent, cvalid_, nprobe, metric)
         if global_k:
             cent_d = _global_probe_mask(cent_d, global_k, axis)
-        d = padded_rerank_distances(
-            q.astype(jnp.float32), rows.astype(jnp.int32), pvecs3d,
-            metric, interpret=interpret,
-        )  # (Q, nprobe, pad)
+        if pvecs3d.dtype == jnp.int8:
+            qc = (
+                q.astype(jnp.float32)[:, None, :]
+                - cent[rows].astype(jnp.float32)
+            )
+            d = padded_rerank_distances(
+                q.astype(jnp.float32), rows.astype(jnp.int32), pvecs3d,
+                metric, interpret=interpret,
+                scales=pscl[rows], centered_queries=qc,
+            )
+        else:
+            d = padded_rerank_distances(
+                q.astype(jnp.float32), rows.astype(jnp.int32), pvecs3d,
+                metric, interpret=interpret,
+            )  # (Q, nprobe, pad)
         ar = jnp.arange(pad, dtype=jnp.int32)
         valid = (ar < lns[rows][..., None]) & jnp.isfinite(cent_d)[..., None]
         cand_ids = jnp.where(valid, pids2d[rows], -1)
@@ -595,10 +693,11 @@ def _sharded_search_padded(
     return jax.shard_map(
         shard_fn,
         mesh=mesh,
-        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis),
+                  P(axis)),
         out_specs=(P(), P()),
         check_vma=False,
-    )(queries, prune_factor, centroids, cvalid, lens, ids2d, vecs3d)
+    )(queries, prune_factor, centroids, cvalid, lens, ids2d, vecs3d, pscales)
 
 
 def _global_probe_mask(cent_d, global_k: int, axis: str):
@@ -647,15 +746,16 @@ def _scatter_appends_sharded(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("mesh", "axis"), donate_argnums=(0, 1, 2, 3, 4)
+    jax.jit, static_argnames=("mesh", "axis"), donate_argnums=(0, 1, 2, 3, 4, 5)
 )
 def _scatter_rows_sharded(
-    v3, i2, ln, ce, vl, rows, vblk, iblk, lblk, cblk, vldblk, *, mesh, axis
+    v3, i2, ln, ce, vl, sc, rows, vblk, iblk, lblk, cblk, vldblk, sblk,
+    *, mesh, axis
 ):
     """Slab-rewrite scatter: per shard, replace whole (pad, d_pad) slabs
-    plus their centroid/valid/len rows."""
+    plus their centroid/valid/len/dequant-scale rows."""
 
-    def fn(v3, i2, ln, ce, vl, rows, vblk, iblk, lblk, cblk, vldblk):
+    def fn(v3, i2, ln, ce, vl, sc, rows, vblk, iblk, lblk, cblk, vldblk, sblk):
         r = rows[0]
         return (
             v3[0].at[r].set(vblk[0])[None],
@@ -663,14 +763,15 @@ def _scatter_rows_sharded(
             ln[0].at[r].set(lblk[0])[None],
             ce[0].at[r].set(cblk[0])[None],
             vl[0].at[r].set(vldblk[0])[None],
+            sc[0].at[r].set(sblk[0])[None],
         )
 
     spec = P(axis)
     return jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(spec,) * 11, out_specs=(spec,) * 5,
+        in_specs=(spec,) * 13, out_specs=(spec,) * 6,
         check_vma=False,
-    )(v3, i2, ln, ce, vl, rows, vblk, iblk, lblk, cblk, vldblk)
+    )(v3, i2, ln, ce, vl, sc, rows, vblk, iblk, lblk, cblk, vldblk, sblk)
 
 
 def _merge_topk(local_d, local_i, axis: str, k: int, max_dup: int):
@@ -687,8 +788,8 @@ def _merge_topk(local_d, local_i, axis: str, k: int, max_dup: int):
 
 
 def _local_candidates(
-    q, cent, cvalid, offs, lns, pids, pvecs, *, k, nprobe, pad, metric,
-    axis=None, global_k: int = 0,
+    q, cent, cvalid, offs, lns, pids, pvecs, pscales, *, k, nprobe, pad,
+    metric, axis=None, global_k: int = 0,
 ):
     """Local (per-shard) probe/gather/rerank: returns the full candidate set
     (d (Q, n_cand), cand_ids (Q, n_cand)) plus the shard's nearest-centroid
@@ -707,6 +808,12 @@ def _local_candidates(
     valid = (ar < lns[cent_i][..., None]) & jnp.isfinite(cent_d)[..., None]
     pos = jnp.clip(pos, 0, pvecs.shape[0] - 1)
     cand_vecs = pvecs[pos]
+    if pvecs.dtype == jnp.int8:
+        # IVF-SQ8 reconstruction x = centroid + scale * residual code.
+        cand_vecs = (
+            cand_vecs.astype(jnp.float32) * pscales[cent_i][..., None, None]
+            + cent[cent_i].astype(jnp.float32)[:, :, None, :]
+        )
     cand_ids = jnp.where(valid, pids[pos], -1)
     d = rowwise_distance(cand_vecs, qf[:, None, None, :], metric)
     d = jnp.where(valid, d, jnp.inf)

@@ -357,21 +357,23 @@ def test_probe_chunked_kernel_matches_plain(tmp_path, rng):
                   prune=False, max_dup=view.max_dup)
     ids_p, d_p = _search_kernel(
         q, view.centroids, view.cent_valid, view.offsets, view.lens,
-        view.ids, view.vectors, jnp.float32(0.0), **common)
+        view.ids, view.vectors, view.scales, jnp.float32(0.0), **common)
     for pc in (1, 3, nprobe):
         ids_c, d_c = _search_kernel_probe_chunked(
             q, view.centroids, view.cent_valid, view.offsets, view.lens,
-            view.ids, view.vectors, jnp.float32(0.0), probe_chunk=pc, **common)
+            view.ids, view.vectors, view.scales, jnp.float32(0.0),
+            probe_chunk=pc, **common)
         np.testing.assert_array_equal(np.asarray(ids_c), np.asarray(ids_p))
         np.testing.assert_allclose(np.asarray(d_c), np.asarray(d_p), rtol=1e-6)
     # Pruning branch: same equality with the 1.2x dynamic threshold on.
     pruned = dict(common, prune=True)
     ids_pp, d_pp = _search_kernel(
         q, view.centroids, view.cent_valid, view.offsets, view.lens,
-        view.ids, view.vectors, jnp.float32(1.2), **pruned)
+        view.ids, view.vectors, view.scales, jnp.float32(1.2), **pruned)
     ids_cp, d_cp = _search_kernel_probe_chunked(
         q, view.centroids, view.cent_valid, view.offsets, view.lens,
-        view.ids, view.vectors, jnp.float32(1.2), probe_chunk=3, **pruned)
+        view.ids, view.vectors, view.scales, jnp.float32(1.2),
+        probe_chunk=3, **pruned)
     np.testing.assert_array_equal(np.asarray(ids_cp), np.asarray(ids_pp))
 
 

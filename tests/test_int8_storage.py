@@ -1,0 +1,179 @@
+"""int8 storage tier (round 4, beyond-parity): residual scalar quantization
+(IVF-SQ8) at half the HBM/DMA of bfloat16.
+
+Design contract (core/dtypes.py, index/spann.py): each posting slab stores
+round((x - centroid_c) / s_c) in int8 with s_c = max|residual| / 127, so the
+quantization step tracks the CLUSTER RADIUS, not the coordinate magnitude.
+Kernels reconstruct x = centroid + s_c * code (the Pallas kernel computes
+|s*r - (q - c)| from a centered-query block); queries, centroids, and
+reported distances stay in real units.  The disk format stays exact f32;
+scales are a pure function of the f32 members, so reloads are
+bit-identical.
+"""
+
+import numpy as np
+import pytest
+
+from spfresh_tpu.core.dtypes import (
+    DtypePolicy,
+    posting_scales_np,
+    quant_scale_for,
+    quantize_np,
+)
+from spfresh_tpu.eval import recall_at_k
+from spfresh_tpu.index import (
+    Config,
+    LazySpannIndex,
+    SpannIndex,
+    SpannIndexBuilder,
+    brute_force_search,
+)
+
+
+def _corpus(rng, n=4000, dim=24, n_centers=30, spread=0.2):
+    centers = 4.0 * rng.standard_normal((n_centers, dim)).astype(np.float32)
+    data = (
+        centers[rng.integers(0, n_centers, n)]
+        + spread * rng.standard_normal((n, dim))
+    ).astype(np.float32)
+    return centers, data
+
+
+def _cfg(tmp_path, sd="int8", **clus):
+    params = {"initial_k": 8, "desired_cluster_size": 128, "rng_seed": 42}
+    params.update(clus)
+    return Config.from_dict(
+        {
+            "clustering_params": params,
+            "output_path": str(tmp_path / f"idx_{sd}"),
+            "storage_dtype": sd,
+        }
+    )
+
+
+def test_policy_and_quantize_roundtrip(rng):
+    p = DtypePolicy("int8")
+    assert p.quantized and p.storage_itemsize == 1
+    assert not DtypePolicy("bfloat16").quantized
+    x = rng.standard_normal((100, 16)).astype(np.float32)
+    s = quant_scale_for(x)
+    q = quantize_np(x, s)
+    assert q.dtype == np.int8
+    # Round-trip error bounded by half a quantization step per coordinate.
+    np.testing.assert_array_less(np.abs(q * np.float32(s) - x), s / 2 + 1e-7)
+    # Per-posting scales: zero/empty rows pin to 1.0 (finite reciprocal).
+    sc = posting_scales_np(np.array([0.0, 2.54, 127.0], np.float32))
+    assert sc[0] == 1.0 and sc[1] == pytest.approx(0.02) and sc[2] == 1.0
+
+
+def test_int8_engines_identical_and_recall(tmp_path, rng):
+    centers, data = _corpus(rng)
+    q = (
+        centers[rng.integers(0, len(centers), 200)]
+        + 0.2 * rng.standard_normal((200, data.shape[1]))
+    ).astype(np.float32)
+    _, gt = brute_force_search(data, q, 10)
+    idx = SpannIndexBuilder(_cfg(tmp_path)).with_data(data).build(save=False)
+    i_x, d_x = idx.search(q, 10, nprobe=8, engine="xla")
+    i_p, d_p = idx.search(q, 10, nprobe=8, engine="pallas")
+    assert np.array_equal(i_x, i_p)  # engines identical on int8 slabs too
+    np.testing.assert_allclose(d_x, d_p, rtol=1e-5)
+    rec = recall_at_k(i_x, gt, 10)
+    assert rec >= 0.95, f"int8 recall {rec} collapsed on separated clusters"
+    # Distances come back in REAL units: compare against exact f32 top-1.
+    d_exact, _ = brute_force_search(data, q, 1)
+    np.testing.assert_allclose(d_x[:, 0], d_exact[:, 0], rtol=0.12, atol=0.05)
+
+
+def test_int8_self_query_full_probe(tmp_path, rng):
+    centers, data = _corpus(rng)
+    idx = SpannIndexBuilder(_cfg(tmp_path)).with_data(data).build(save=False)
+    q = data[:64]
+    ids, d = idx.search(q, 1, nprobe=idx.num_clusters, engine="xla")
+    # Separation >> quantization noise: every corpus point finds itself.
+    assert np.array_equal(ids[:, 0], np.arange(64))
+    assert float(np.max(d)) < 0.05  # quantization floor, near zero
+
+
+def test_int8_save_load_bit_identical(tmp_path, rng):
+    centers, data = _corpus(rng)
+    q = data[200:300] + np.float32(0.01)
+    idx = SpannIndexBuilder(_cfg(tmp_path)).with_data(data).build(save=True)
+    i1, d1 = idx.search(q, 10, nprobe=8, engine="xla")
+    idx2 = SpannIndex.load(str(tmp_path / "idx_int8"))
+    i2, d2 = idx2.search(q, 10, nprobe=8, engine="xla")
+    assert np.array_equal(i1, i2)
+    np.testing.assert_allclose(d1, d2, rtol=1e-6)
+
+
+def test_int8_live_updates(tmp_path, rng):
+    from spfresh_tpu.lire.fresh import SpFreshIndex
+
+    centers, data = _corpus(rng, n=2000)
+    idx = SpannIndexBuilder(_cfg(tmp_path)).with_data(data).build(save=True)
+    fresh = SpFreshIndex(idx, str(tmp_path / "lire"))
+    v = (centers[0] + np.float32(0.01)).astype(np.float32)
+    fresh.insert(v, 99999)
+    ids, d = fresh.search(v[None, :], 1, nprobe=idx.num_clusters, engine="xla")
+    assert int(ids[0, 0]) == 99999
+    assert float(d[0, 0]) < 0.05
+    fresh.delete(99999)
+    ids, _ = fresh.search(v[None, :], 5, nprobe=idx.num_clusters, engine="xla")
+    assert 99999 not in ids[0]
+    fresh.flush()
+
+
+def test_int8_lazy_search(tmp_path, rng):
+    centers, data = _corpus(rng)
+    q = (
+        centers[rng.integers(0, len(centers), 100)]
+        + 0.2 * rng.standard_normal((100, data.shape[1]))
+    ).astype(np.float32)
+    _, gt = brute_force_search(data, q, 10)
+    cfg = _cfg(tmp_path)
+    SpannIndexBuilder(cfg).with_data(data).build(save=True)
+    lazy = LazySpannIndex(cfg.output_path, cfg)
+    ids, d = lazy.search(q, 10, nprobe=8)
+    rec = recall_at_k(ids, gt, 10)
+    assert rec >= 0.95, f"lazy int8 recall {rec}"
+    ids1, d1 = lazy.search(data[:8], 1, nprobe=lazy.num_clusters)
+    assert np.array_equal(ids1[:, 0], np.arange(8))
+    assert float(np.max(d1)) < 0.05
+    lazy.close()
+
+
+def test_int8_lazy_fresh_disk_updates(tmp_path, rng):
+    from spfresh_tpu.lire import LireConfig
+    from spfresh_tpu.lire.lazy_fresh import LazySpFreshIndex
+
+    centers, data = _corpus(rng, n=1500)
+    cfg = _cfg(tmp_path)
+    SpannIndexBuilder(cfg).with_data(data).build(save=True)
+    lc = LireConfig(max_partition_size=400, min_partition_size=2)
+    with LazySpFreshIndex(cfg.output_path, lire_config=lc) as fresh:
+        v = (centers[1] + np.float32(0.01)).astype(np.float32)
+        fresh.insert(v, 77777)
+        ids, d = fresh.search(v[None, :], 1, nprobe=fresh.num_clusters)
+        assert int(ids[0, 0]) == 77777
+        assert float(d[0, 0]) < 0.05
+        fresh.delete(77777)
+        ids, _ = fresh.search(v[None, :], 5, nprobe=fresh.num_clusters)
+        assert 77777 not in ids[0]
+        fresh.compact()  # int8 staging survives a base swap
+        ids2, d2 = fresh.search(data[:4], 1, nprobe=fresh.num_clusters)
+        assert np.array_equal(ids2[:, 0], np.arange(4))
+
+
+def test_int8_sharded_search(tmp_path, rng):
+    import jax
+
+    from spfresh_tpu.parallel.sharded import ShardedSpannIndex
+
+    centers, data = _corpus(rng)
+    q = data[:32]
+    idx = SpannIndexBuilder(_cfg(tmp_path)).with_data(data).build(save=False)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), ("s",))
+    sh = ShardedSpannIndex(idx, mesh, axis="s", engine="xla")
+    ids, d = sh.search(q, 1, nprobe=8, nprobe_mode="global")
+    assert np.array_equal(ids[:, 0], np.arange(32))
+    assert float(np.max(d[:, 0])) < 0.05
