@@ -177,3 +177,48 @@ def test_int8_sharded_search(tmp_path, rng):
     ids, d = sh.search(q, 1, nprobe=8, nprobe_mode="global")
     assert np.array_equal(ids[:, 0], np.arange(32))
     assert float(np.max(d[:, 0])) < 0.05
+
+
+def test_int8_sharded_pallas_engine(tmp_path, rng):
+    """The quantized Pallas kernel variant (scales scalar-prefetch +
+    centered-query block) under shard_map, interpret mode."""
+    import jax
+
+    from spfresh_tpu.parallel.sharded import ShardedSpannIndex
+
+    centers, data = _corpus(rng, n=2000)
+    q = data[:16]
+    idx = SpannIndexBuilder(_cfg(tmp_path)).with_data(data).build(save=False)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:4]), ("s",))
+    shp = ShardedSpannIndex(idx, mesh, axis="s", engine="pallas")
+    ids_p, d_p = shp.search(q, 1, nprobe=8, nprobe_mode="global")
+    shx = ShardedSpannIndex(idx, mesh, axis="s", engine="xla")
+    ids_x, d_x = shx.search(q, 1, nprobe=8, nprobe_mode="global")
+    assert np.array_equal(ids_p, ids_x)
+    np.testing.assert_allclose(d_p, d_x, rtol=1e-5)
+    assert np.array_equal(ids_p[:, 0], np.arange(16))
+
+
+def test_int8_outofcore_build_and_lazy_serve(tmp_path, rng):
+    """Out-of-core build with int8 storage: the lazy serve quantizes staged
+    slabs per batch; recall holds on separated clusters."""
+    centers, data = _corpus(rng, n=3000)
+    cfg = Config.from_dict(
+        {
+            "clustering_params": {
+                "initial_k": 4,
+                "desired_cluster_size": 128,
+                "rng_seed": 42,
+            },
+            "output_path": str(tmp_path / "oc_int8"),
+            "storage_dtype": "int8",
+            "build_sample_rows": 1000,
+            "build_tile_rows": 512,
+        }
+    )
+    SpannIndexBuilder(cfg).with_data(data).build(save=True)
+    lazy = LazySpannIndex(cfg.output_path, cfg)
+    ids, d = lazy.search(data[:8], 1, nprobe=lazy.num_clusters)
+    assert np.array_equal(ids[:, 0], np.arange(8))
+    assert float(np.max(d)) < 0.05
+    lazy.close()
