@@ -53,6 +53,7 @@ from spfresh_tpu.lire.storage import (
     LireStorageError,
     PostingMetadata,
     RoutingTierMixin,
+    _fsync_dir,
 )
 
 _WAL_MAGIC = b"SPFPWAL1"
@@ -66,18 +67,6 @@ _OP_TXN_BEGIN = 7
 _OP_TXN_END = 8
 
 _JOURNAL = "compact.journal"
-
-
-def _fsync_dir(path: str) -> None:
-    """fsync a DIRECTORY: file fsyncs alone do not make renames/unlinks
-    durable across power loss — without this, a lost WAL unlink after a
-    durable compaction swap would replay pre-compact records onto the new
-    base on reopen (double-applied mutations)."""
-    fd = os.open(path, os.O_RDONLY | getattr(os, "O_DIRECTORY", 0))
-    try:
-        os.fsync(fd)
-    finally:
-        os.close(fd)
 
 
 class _Delta:

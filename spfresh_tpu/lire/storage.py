@@ -31,6 +31,19 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
+def _fsync_dir(path: str) -> None:
+    """fsync a DIRECTORY: file fsyncs alone do not make renames/unlinks
+    durable across power loss — without this, a lost WAL unlink after a
+    durable compaction swap would replay pre-compact records onto the new
+    base on reopen (double-applied mutations)."""
+    fd = os.open(path, os.O_RDONLY | getattr(os, "O_DIRECTORY", 0))
+    try:
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+
+
+
 _LOG_MAGIC = b"SPFLOG1\x00"
 _WAL_MAGIC = b"SPFWAL1\x00"
 _OP_ADD = 1
@@ -708,7 +721,9 @@ class LireStorage(RoutingTierMixin):
             # 0. Fold the WAL: the swap's crash story assumes the per-posting
             #    logs are the whole truth for the old generation.
             self._compact_wal_locked()
-            # 1. Journal the intent (tmp + rename, so it is atomic itself).
+            # 1. Journal the intent (tmp + rename, so it is atomic itself;
+            #    the directory fsync inside _write_journal makes the rename
+            #    durable across power loss, ordering it before step 2).
             self._write_journal(
                 {"old": [int(p) for p in old_ids],
                  "new": [int(p) for p, _, _, _ in new_postings]}
@@ -733,6 +748,9 @@ class LireStorage(RoutingTierMixin):
                 )
                 self._rewrite_log(pid)
                 self._save_metadata(pid)
+            # New-generation renames durable BEFORE the old files go: the
+            # recovery predicate is 'all new logs exist => roll forward'.
+            _fsync_dir(self.base_path)
             # 3. Retire the old generation last.
             for pid in old_ids:
                 self._unindex_posting_locked(pid)
@@ -742,6 +760,7 @@ class LireStorage(RoutingTierMixin):
                     if os.path.exists(path):
                         os.remove(path)
             self._bump_topology_locked()
+            _fsync_dir(self.base_path)  # removals durable before the journal
             self._clear_journal()
         return True
 
@@ -755,7 +774,10 @@ class LireStorage(RoutingTierMixin):
         tmp = self._journal_path + ".tmp"
         with open(tmp, "w") as f:
             json.dump(intent, f)
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, self._journal_path)
+        _fsync_dir(self.base_path)  # rename durable across power loss
 
     def _clear_journal(self) -> None:
         if os.path.exists(self._journal_path):
