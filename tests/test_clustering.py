@@ -271,3 +271,35 @@ def test_resident_degenerate_duplicates_match(monkeypatch, rng):
         host_tail_max=0,
     )
     assert _clusters_snapshot(res) == _clusters_snapshot(classic)
+
+
+def test_resident_subdivision_manhattan_matches(monkeypatch, rng):
+    centers = rng.standard_normal((4, 10)).astype(np.float32)
+    data = (
+        centers[rng.integers(0, 4, 1600)]
+        + 0.4 * rng.standard_normal((1600, 10))
+    ).astype(np.float32)
+    res, classic = _fit_pair(
+        monkeypatch, data,
+        dict(metric=MANHATTAN, initial_k=3, desired_cluster_size=40,
+             max_split_ways=4, rng_seed=5),
+        host_tail_max=0,
+    )
+    assert _clusters_snapshot(res) == _clusters_snapshot(classic)
+
+
+def test_resident_subdivision_with_empty_clusters(monkeypatch, rng):
+    """Random init can seed duplicate-adjacent centroids whose assignment
+    leaves clusters EMPTY; the resident bookkeeping must carry them."""
+    base = rng.standard_normal((3, 6)).astype(np.float32)
+    data = np.concatenate([
+        np.repeat(base, 200, axis=0),  # heavy duplicates
+        base[0] + 0.01 * rng.standard_normal((600, 6)).astype(np.float32),
+    ]).astype(np.float32)
+    res, classic = _fit_pair(
+        monkeypatch, data,
+        dict(initialization_method="Random", initial_k=12,
+             desired_cluster_size=60, max_split_ways=4, rng_seed=9),
+        host_tail_max=0,
+    )
+    assert _clusters_snapshot(res) == _clusters_snapshot(classic)
