@@ -57,6 +57,11 @@ timeout 7200 python benchmarks/clustering_benchmark.py --sizes 1000000 --json "$
 for B in 2048 1024; do
   timeout 3600 python bench.py --batch "$B" > "$OUT/bench_b$B.json" 2> "$OUT/bench_b$B.log"
 done
+# 8b. Throughput-optimal query-set size: larger nq amortizes the fixed
+# per-call dispatch + upload overhead (the measured tunnel bottleneck).
+for NQ in 8192 16384; do
+  timeout 3600 python bench.py --nq "$NQ" > "$OUT/bench_nq$NQ.json" 2> "$OUT/bench_nq$NQ.log"
+done
 
 # 9. DEEP-100M machinery proof (VERDICT weak-7): 100M rows x 32-d,
 # coarse clusters to bound the streamed-assign FLOPs; serve from disk.
