@@ -180,3 +180,59 @@ def test_randomized_mutation_interleaving_matches_oracle(tmp_path, rng):
                 )
                 next_id += grow
         _assert_matches_oracle(sharded, index, q)
+
+
+def test_int8_sharded_incremental_updates(tmp_path, rng):
+    """int8 residual slabs under the sharded in-place update paths: appends
+    quantize with the slab's existing scale; a rewrite (delete) recomputes
+    the scale and scatters it; results keep matching the single-device
+    oracle (both int8, same codes)."""
+    n, dim, cap = 400, 8, 40
+    centers = 3.0 * rng.standard_normal((8, dim)).astype(np.float32)
+    data = (
+        centers[rng.integers(0, 8, n)]
+        + 0.2 * rng.standard_normal((n, dim))
+    ).astype(np.float32)
+    cfg = Config.from_dict(
+        {
+            "clustering_params": {
+                "initial_k": 4,
+                "desired_cluster_size": cap,
+                "rng_seed": 42,
+            },
+            "output_path": str(tmp_path / "idx8"),
+            "storage_dtype": "int8",
+        }
+    )
+    index = SpannIndexBuilder(cfg).with_data(data).build(save=False)
+    sharded = ShardedSpannIndex(index, default_mesh(), engine="pallas")
+    q = data[:6]
+    view0 = sharded.padded_view()
+    _assert_matches_oracle(sharded, index, q)
+    # Append fast path: new members quantize with the existing slab scale.
+    cids = sorted(index.postings)[:2]
+    next_id = 50_000
+    for c in cids:
+        ids, vecs = index.postings[c]
+        add = (index.centroids[c][None, :]
+               + 0.1 * rng.standard_normal((3, dim))).astype(np.float32)
+        index.replace_posting(
+            c, np.concatenate([ids, np.arange(next_id, next_id + 3)]),
+            np.concatenate([np.asarray(vecs), add]),
+        )
+        next_id += 3
+    view1 = sharded.padded_view()
+    assert view1 is view0, "append should land in place, not rebuild"
+    _assert_matches_oracle(sharded, index, q)
+    # Rewrite path: shrink a posting (delete members) — scale recomputed.
+    c0 = cids[0]
+    ids0, vecs0 = index.postings[c0]
+    index.replace_posting(c0, ids0[:-5], np.asarray(vecs0)[:-5])
+    view2 = sharded.padded_view()
+    assert view2 is view0
+    _assert_matches_oracle(sharded, index, q)
+    # Appended points reachable with near-zero distance to themselves.
+    v = np.asarray(index.postings[cids[1]][1])[-1]
+    hit, d = sharded.search(v[None, :], k=1, nprobe=index.num_clusters)
+    assert hit[0, 0] == index.postings[cids[1]][0][-1]
+    assert float(d[0, 0]) < 0.02
