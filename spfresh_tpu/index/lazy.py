@@ -229,10 +229,16 @@ class LazySpannIndex:
         self._lens = lens.astype(np.int32)
         self.num_clusters = len(self._cids)
         self.pad = pad or max(8, _round_up(int(lens.max(initial=1)), 8))
-        # Exact replica-multiplicity bound for dedup (one-time scan on open).
-        from spfresh_tpu.index.spann import _max_multiplicity
+        # Exact replica-multiplicity bound for dedup: from the manifest
+        # when the writer recorded it, else a one-time scan on open (the
+        # scan costs ~17 s at 100M rows).
+        md = manifest.get("max_dup")
+        if md is not None:
+            self.max_dup = max(1, int(md))
+        else:
+            from spfresh_tpu.index.spann import _max_multiplicity
 
-        self.max_dup = _max_multiplicity(np.asarray(self._ids))
+            self.max_dup = _max_multiplicity(np.asarray(self._ids))
         # Pipelined staging: background-stage the next batch while the device
         # works on the current one.  prefetch_threads=0 disables the overlap.
         self._pipeline = prefetch_threads > 0

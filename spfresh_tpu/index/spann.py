@@ -1680,6 +1680,13 @@ class SpannIndex:
             "cluster_ids": cids,
             "next_cluster_id": self._next_cluster_id,
             "config": self.config.to_dict(),
+            # Exact id-multiplicity at save time: spares every later lazy
+            # open the O(P log P) unique scan (measured 17 s of a 19 s open
+            # at 100M rows).  Live updates keep their own running bound
+            # (overlay mult_hint); compaction refreshes this key.
+            "max_dup": int(_max_multiplicity(np.concatenate(
+                [np.asarray(self.postings[c][0]) for c in cids]
+            ) if cids else np.empty(0, np.int64))),
         }
         with open(os.path.join(directory, MANIFEST), "w") as f:
             json.dump(manifest, f)

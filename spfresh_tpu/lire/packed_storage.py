@@ -994,6 +994,12 @@ class PackedLireStorage(RoutingTierMixin):
                 num_clusters=len(pids),
                 cluster_ids=[int(p) for p in pids],
                 next_cluster_id=int(self._next_pid),
+                # Upper bound stays valid post-compact: compaction only
+                # drops entries, and the overlay's running hint covers every
+                # id the update stream touched.
+                max_dup=max(
+                    int(self._manifest.get("max_dup", 1)), self._mult_hint
+                ),
             )
             man_tmp = self._manifest_path + ".tmp"
             with open(man_tmp, "w") as f:
