@@ -28,6 +28,7 @@ import dataclasses
 import functools
 import gzip
 import json
+import logging
 import os
 from typing import Dict, List, Optional, Tuple
 
@@ -56,6 +57,7 @@ MANIFEST = "manifest.json"
 CENTROIDS_FILE = "centroids.npy.gz"
 PACKED_FILE = "postings.csr"
 _F32_EPS = float(np.finfo(np.float32).eps)
+log = logging.getLogger(__name__)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -1438,6 +1440,8 @@ class SpannIndex:
             engine = self.config.search.engine
         if engine == "auto":
             engine = "pallas" if jax.devices()[0].platform == "tpu" else "xla"
+        if engine not in ("pallas", "xla"):
+            raise ValueError(f"unknown search engine {engine!r}")
         if nprobe is None:
             nprobe = self.config.search.nprobe or k  # reference: nprobe == k
         if prune_factor is None:
@@ -1484,33 +1488,46 @@ class SpannIndex:
         out_i, out_d = [], []
         if engine == "pallas":
             view = self.padded_view()
-            nprobe = max(1, min(int(nprobe), int(view.centroids.shape[0])))
+            eff_nprobe = max(1, min(int(nprobe), int(view.centroids.shape[0])))
             interpret = jax.devices()[0].platform != "tpu"
             tables = 2 if self.policy.quantized else 1  # rows (+ scales)
-            bs = min(bs, max(8, smem_entries // max(1, nprobe * tables)))
+            bs_p = min(bs, max(8, smem_entries // max(1, eff_nprobe * tables)))
             qpad = np.zeros((queries.shape[0], view.d_pad), np.float32)
             qpad[:, : self.dim] = queries
-            for s in range(0, queries.shape[0], bs):
-                qi, qd = _search_kernel_padded(
-                    _stage(qpad[s : s + bs]),
-                    view.centroids,
-                    view.cent_valid,
-                    view.lens,
-                    view.ids2d,
-                    view.vectors3d,
-                    view.scales,
-                    pf,
-                    k=int(k),
-                    nprobe=nprobe,
-                    pad=view.pad,
-                    metric=self.metric,
-                    prune=prune,
-                    interpret=interpret,
-                    max_dup=view.max_dup,
+            try:
+                for s in range(0, queries.shape[0], bs_p):
+                    qi, qd = _search_kernel_padded(
+                        _stage(qpad[s : s + bs_p]),
+                        view.centroids,
+                        view.cent_valid,
+                        view.lens,
+                        view.ids2d,
+                        view.vectors3d,
+                        view.scales,
+                        pf,
+                        k=int(k),
+                        nprobe=eff_nprobe,
+                        pad=view.pad,
+                        metric=self.metric,
+                        prune=prune,
+                        interpret=interpret,
+                        max_dup=view.max_dup,
+                    )
+                    out_i.append(qi)
+                    out_d.append(qd)
+            except Exception as e:  # noqa: BLE001 — Mosaic compile failure
+                # Same policy as the replica kernels: a Pallas compile
+                # failure on real hardware falls back to the XLA engine
+                # (identical results by the standing parity invariant)
+                # instead of failing the query.
+                log.warning(
+                    "pallas search kernel failed (%s: %s); "
+                    "falling back to the XLA engine", type(e).__name__, e,
                 )
-                out_i.append(qi)
-                out_d.append(qd)
-        elif engine == "xla":
+                metrics.inc("search.pallas_fallback")
+                out_i, out_d = [], []
+                engine = "xla"
+        if engine == "xla":
             view = self.device_view()
             nprobe = max(1, min(int(nprobe), int(view.centroids.shape[0])))
             # Probe-chunk when the one-shot candidate gather would exceed
@@ -1565,8 +1582,6 @@ class SpannIndex:
                 )
                 out_i.append(qi)
                 out_d.append(qd)
-        else:
-            raise ValueError(f"unknown search engine {engine!r}")
         # One device->host sync for the whole call, after all batches are in
         # flight (async dispatch overlaps compute with the next upload).
         # Ids widen back to the host-side int64 id space at the boundary.

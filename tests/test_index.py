@@ -525,3 +525,30 @@ def test_padded_geometry_covers_stale_updatable_view(tmp_path, rng):
     assert pad >= served.pad
     assert Cpad >= int(served.centroids.shape[0])
     assert d_pad >= served.d_pad
+
+
+def test_pallas_search_compile_failure_falls_back_to_xla(tmp_path, rng, monkeypatch):
+    """A Mosaic compile failure in the Pallas search kernel must degrade to
+    the XLA engine (identical results by the parity invariant), not fail
+    the query — same policy as the replica kernels."""
+    import spfresh_tpu.index.spann as S
+
+    data = rng.standard_normal((1500, 16)).astype(np.float32)
+    cfg = Config.from_dict(
+        {
+            "clustering_params": {
+                "initial_k": 4, "desired_cluster_size": 128, "rng_seed": 42,
+            },
+            "output_path": str(tmp_path / "fb"),
+        }
+    )
+    index = SpannIndexBuilder(cfg).with_data(data).build(save=False)
+    ref_i, ref_d = index.search(data[:5], 5, nprobe=4, engine="xla")
+
+    def boom(*a, **k):
+        raise RuntimeError("mosaic says no")
+
+    monkeypatch.setattr(S, "_search_kernel_padded", boom)
+    ids, d = index.search(data[:5], 5, nprobe=4, engine="pallas")
+    assert np.array_equal(ids, ref_i)
+    np.testing.assert_allclose(d, ref_d, rtol=1e-6)
