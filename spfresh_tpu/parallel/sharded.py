@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -35,6 +36,7 @@ from spfresh_tpu.ops.distances import pairwise_distance, rowwise_distance
 from spfresh_tpu.ops.topk import centroid_topk, smallest_k, smallest_k_unique
 
 _F32_EPS = float(np.finfo(np.float32).eps)
+log = logging.getLogger(__name__)
 
 
 def default_mesh(axis: str = "shard", devices=None) -> Mesh:
@@ -522,7 +524,9 @@ class ShardedSpannIndex:
         )
         out_i, out_d = [], []
         S = self.num_shards
-        if self.engine == "pallas":
+        engine = self.engine
+        req_nprobe = int(nprobe)
+        if engine == "pallas":
             view = self.padded_view()
             local_np = max(1, min(int(nprobe), int(view.centroids.shape[1])))
             # The threshold depth is the REQUESTED total-probe budget; the
@@ -538,18 +542,29 @@ class ShardedSpannIndex:
                 view.centroids, view.cent_valid, view.lens,
                 view.ids2d, view.vectors3d, view.scales,
             )
-            for s in range(0, queries.shape[0], batch_size):
-                qi, qd = _sharded_search_padded(
-                    jax.device_put(qpad[s : s + batch_size], qspec),
-                    arrays, pf,
-                    mesh=self.mesh, axis=self.axis, metric=self.metric,
-                    pad=view.pad, k=int(k), nprobe=nprobe, prune=prune,
-                    interpret=interpret, global_k=global_k,
-                    max_dup=view.max_dup,
+            try:
+                for s in range(0, queries.shape[0], batch_size):
+                    qi, qd = _sharded_search_padded(
+                        jax.device_put(qpad[s : s + batch_size], qspec),
+                        arrays, pf,
+                        mesh=self.mesh, axis=self.axis, metric=self.metric,
+                        pad=view.pad, k=int(k), nprobe=nprobe, prune=prune,
+                        interpret=interpret, global_k=global_k,
+                        max_dup=view.max_dup,
+                    )
+                    out_i.append(np.asarray(qi))
+                    out_d.append(np.asarray(qd))
+            except Exception as e:  # noqa: BLE001 — Mosaic compile failure
+                # Same policy as the single-chip engine: degrade to XLA
+                # (identical results by the parity invariant).
+                log.warning(
+                    "sharded pallas kernel failed (%s: %s); "
+                    "falling back to the XLA engine", type(e).__name__, e,
                 )
-                out_i.append(np.asarray(qi))
-                out_d.append(np.asarray(qd))
-        else:
+                out_i, out_d = [], []
+                nprobe = req_nprobe
+                engine = "xla"
+        if engine == "xla":
             view = self.view()
             local_np = max(1, min(int(nprobe), int(view.centroids.shape[1])))
             global_k = max(1, min(int(nprobe), S * local_np)) if global_np else 0

@@ -232,3 +232,34 @@ def test_sharded_kernels_shared_across_instances(tmp_path, rng):
     s2 = ShardedSpannIndex(index2, mesh, engine="xla")
     s2.search(queries, k=5, nprobe=3)
     assert _sharded_search_xla._cache_size() == misses_before
+
+
+def test_sharded_pallas_compile_failure_falls_back(tmp_path, rng, monkeypatch):
+    import numpy as np
+
+    import spfresh_tpu.parallel.sharded as SH
+    from spfresh_tpu.index import Config, SpannIndexBuilder
+    from spfresh_tpu.parallel import ShardedSpannIndex, default_mesh
+
+    data = rng.standard_normal((600, 8)).astype(np.float32)
+    cfg = Config.from_dict(
+        {
+            "clustering_params": {
+                "initial_k": 4, "desired_cluster_size": 64, "rng_seed": 42,
+            },
+            "output_path": str(tmp_path / "fb"),
+        }
+    )
+    index = SpannIndexBuilder(cfg).with_data(data).build(save=False)
+    sh = ShardedSpannIndex(index, default_mesh(), engine="pallas")
+    shx = ShardedSpannIndex(index, default_mesh(), engine="xla")
+    q = data[:5]
+    ref_i, ref_d = shx.search(q, 5, nprobe=4, nprobe_mode="global")
+
+    def boom(*a, **k):
+        raise RuntimeError("mosaic says no")
+
+    monkeypatch.setattr(SH, "_sharded_search_padded", boom)
+    ids, d = sh.search(q, 5, nprobe=4, nprobe_mode="global")
+    assert np.array_equal(ids, ref_i)
+    np.testing.assert_allclose(d, ref_d, rtol=1e-6)
