@@ -81,11 +81,14 @@ DEFAULT_POLICY = DtypePolicy()
 
 
 def quant_scale_for(vecs) -> float:
-    """Symmetric int8 scale for one posting: max|x| / 127 (host numpy).
+    """Symmetric int8 scale for one posting: max|x| * (1/127) (host numpy)
+    — the SAME f32 expression as :func:`posting_scales_np` and the device
+    packs (m / 127 differs from m * (1/127) on ~5% of values at 1 ulp,
+    which would break the bit-identity contracts between pack routes).
     Abs-max containment means the quantized members never clip; vectors
     appended later saturate at +-127 (documented)."""
-    m = float(np.max(np.abs(np.asarray(vecs, np.float32)), initial=0.0))
-    return (m / np.float32(127.0)) or 1.0
+    m = np.float32(np.max(np.abs(np.asarray(vecs, np.float32)), initial=0.0))
+    return float(m * np.float32(1.0 / 127.0)) or 1.0
 
 
 def posting_scales_np(rowmax: np.ndarray) -> np.ndarray:

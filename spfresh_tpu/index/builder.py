@@ -116,12 +116,19 @@ class SpannIndexBuilder:
                     corpus_dev = hc.data.addressable_shards[0].data
                 except (AttributeError, IndexError):
                     corpus_dev = None
-        # Host member source: the clusterer's mirror, which carries the SAME
-        # wire rounding as the device corpus — host- and device-packed views
-        # must quantize identical coordinates (bf16 re-rounding is
-        # idempotent so this only ever mattered for int8 storage, where
-        # quantizing raw-vs-rounded f32 produced different slabs).
-        host_src = hc._host_data if hc._host_data is not None else self.data
+        # Host member source.  int8 storage needs the clusterer's MIRROR,
+        # which carries the same wire rounding as the device corpus — host-
+        # and device-packed views must quantize identical coordinates.
+        # Float storage keeps the EXACT caller corpus: the saved f32 disk
+        # bytes must not silently degrade to bf16-rounded values (bf16
+        # serving re-rounds idempotently either way, so device/host view
+        # consistency holds from the exact source too).
+        host_src = (
+            hc._host_data
+            if (self.config.storage_dtype == "int8"
+                and hc._host_data is not None)
+            else self.data
+        )
         index.create_posting_lists(hc.clusters, host_src, corpus_dev=corpus_dev)
         # The device view (centroid index, build_kdtree parity) materializes
         # lazily on first search, in the layout the search engine needs —

@@ -60,6 +60,15 @@ _F32_EPS = float(np.finfo(np.float32).eps)
 log = logging.getLogger(__name__)
 
 
+def _pallas_fallback_allowed(interpret: bool) -> bool:
+    """Fallback-to-XLA policy for Pallas kernel failures: only on REAL
+    hardware (a Mosaic compile failure at serve time must not fail the
+    query).  In interpret mode (CI) a kernel failure is a BUG and must
+    surface — a blanket fallback would silently turn the pallas/xla parity
+    tests into xla-vs-xla.  Tests monkeypatch this to force the path."""
+    return not interpret
+
+
 def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
@@ -1516,6 +1525,8 @@ class SpannIndex:
                     out_i.append(qi)
                     out_d.append(qd)
             except Exception as e:  # noqa: BLE001 — Mosaic compile failure
+                if not _pallas_fallback_allowed(interpret):
+                    raise
                 # Same policy as the replica kernels: a Pallas compile
                 # failure on real hardware falls back to the XLA engine
                 # (identical results by the standing parity invariant)

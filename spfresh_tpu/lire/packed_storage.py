@@ -994,13 +994,21 @@ class PackedLireStorage(RoutingTierMixin):
                 num_clusters=len(pids),
                 cluster_ids=[int(p) for p in pids],
                 next_cluster_id=int(self._next_pid),
+            )
+            if self._manifest.get("max_dup") is not None:
                 # Upper bound stays valid post-compact: compaction only
                 # drops entries, and the overlay's running hint covers every
                 # id the update stream touched.
-                max_dup=max(
-                    int(self._manifest.get("max_dup", 1)), self._mult_hint
-                ),
-            )
+                manifest["max_dup"] = max(
+                    int(self._manifest["max_dup"]), self._mult_hint
+                )
+            else:
+                # LEGACY manifest (no save-time bound): the base's replica
+                # multiplicity is unknown here — stamping max(1, hint)
+                # would hand lazy opens a TOO-LOW dedup bound (duplicate
+                # ids in one result row).  Leave the key absent; openers
+                # fall back to the exact scan.
+                manifest.pop("max_dup", None)
             man_tmp = self._manifest_path + ".tmp"
             with open(man_tmp, "w") as f:
                 json.dump(manifest, f)

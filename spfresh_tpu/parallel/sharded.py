@@ -536,6 +536,15 @@ class ShardedSpannIndex:
             global_k = max(1, min(int(nprobe), S * local_np)) if global_np else 0
             nprobe = local_np
             interpret = self.mesh.devices.flat[0].platform != "tpu"
+            # Per-chip SMEM budget for the scalar-prefetch tables (rows, and
+            # for int8 also the dequant scales) — same guard as the
+            # single-device engine (spann.py): Q * nprobe * tables int32/f32
+            # entries must fit in ~512 KB.
+            smem_entries = 1 << 17
+            tables = 2 if self.index.policy.quantized else 1
+            batch_size = min(
+                batch_size, max(8, smem_entries // max(1, nprobe * tables))
+            )
             qpad = np.zeros((queries.shape[0], view.d_pad), np.float32)
             qpad[:, : self.index.dim] = queries
             arrays = (
@@ -555,6 +564,10 @@ class ShardedSpannIndex:
                     out_i.append(np.asarray(qi))
                     out_d.append(np.asarray(qd))
             except Exception as e:  # noqa: BLE001 — Mosaic compile failure
+                from spfresh_tpu.index.spann import _pallas_fallback_allowed
+
+                if not _pallas_fallback_allowed(interpret):
+                    raise
                 # Same policy as the single-chip engine: degrade to XLA
                 # (identical results by the parity invariant).
                 log.warning(

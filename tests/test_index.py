@@ -549,6 +549,7 @@ def test_pallas_search_compile_failure_falls_back_to_xla(tmp_path, rng, monkeypa
         raise RuntimeError("mosaic says no")
 
     monkeypatch.setattr(S, "_search_kernel_padded", boom)
+    monkeypatch.setattr(S, "_pallas_fallback_allowed", lambda interpret: True)
     ids, d = index.search(data[:5], 5, nprobe=4, engine="pallas")
     assert np.array_equal(ids, ref_i)
     np.testing.assert_allclose(d, ref_d, rtol=1e-6)

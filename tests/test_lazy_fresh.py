@@ -763,3 +763,33 @@ def test_stale_wal_after_lost_unlink_is_not_replayed(tmp_path):
     # 900 is in the post-compact BASE exactly once.
     assert sum(row.count(900) for row in got.values()) == 1
     st2.close()
+
+
+def test_legacy_manifest_compact_does_not_stamp_low_max_dup(tmp_path):
+    """A pre-round-4 manifest has no save-time max_dup.  compact() must NOT
+    stamp max(1, overlay hint) — the base's replica multiplicity is unknown
+    there, and a too-low bound breaks the one-id-per-result-row invariant.
+    The key stays absent and the next lazy open falls back to the scan."""
+    import json
+
+    from spfresh_tpu.index import LazySpannIndex
+
+    cfg, index, data, rng = _build_packed(tmp_path)
+    man_path = os.path.join(cfg.output_path, "manifest.json")
+    with open(man_path) as f:
+        man = json.load(f)
+    true_dup = man.pop("max_dup")  # simulate a legacy save
+    with open(man_path, "w") as f:
+        json.dump(man, f)
+    assert true_dup >= 1
+    st = PackedLireStorage(cfg.output_path)
+    v = rng.standard_normal(st.dim).astype(np.float32)
+    st.store_vector(st.posting_ids()[0], 7777, v)  # any update
+    st.compact()
+    st.close()
+    with open(man_path) as f:
+        man2 = json.load(f)
+    assert "max_dup" not in man2  # no fabricated (possibly too-low) bound
+    lazy = LazySpannIndex(cfg.output_path)
+    assert lazy.max_dup >= true_dup  # scan fallback found the real bound
+    lazy.close()

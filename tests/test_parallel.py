@@ -259,6 +259,9 @@ def test_sharded_pallas_compile_failure_falls_back(tmp_path, rng, monkeypatch):
     def boom(*a, **k):
         raise RuntimeError("mosaic says no")
 
+    import spfresh_tpu.index.spann as S
+
+    monkeypatch.setattr(S, "_pallas_fallback_allowed", lambda interpret: True)
     monkeypatch.setattr(SH, "_sharded_search_padded", boom)
     ids, d = sh.search(q, 5, nprobe=4, nprobe_mode="global")
     assert np.array_equal(ids, ref_i)
