@@ -39,6 +39,8 @@ def main():
     ap.add_argument("--cluster-size", type=int, default=256)
     ap.add_argument("--initial-k", type=int, default=16)
     ap.add_argument("--sweep", action="store_true", help="run an nprobe sweep")
+    ap.add_argument("--storage-dtype", default="float32",
+                    help="float32 | bfloat16 | int8 (residual IVF-SQ8)")
     args = ap.parse_args()
 
     if args.base:
@@ -61,6 +63,7 @@ def main():
                 "rng_seed": 42,
             },
             "output_path": "/tmp/spann_sift_eval",
+            "storage_dtype": args.storage_dtype,
         }
     )
     t0 = time.perf_counter()
