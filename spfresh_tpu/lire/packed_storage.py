@@ -226,9 +226,20 @@ class PackedLireStorage(RoutingTierMixin):
             return
         with open(self._wal_path, "rb") as f:
             magic = f.read(8)
-            if magic != _WAL_MAGIC:
+            if len(magic) < 8:
+                # Torn HEADER: power loss during the very first append left
+                # a partial (or empty) file — nothing is durable in it.
+                # Remove it so the next append rewrites the header (appends
+                # skip the header whenever the file exists).
+                pass
+            elif magic != _WAL_MAGIC:
                 raise LireStorageError(f"{self._wal_path}: bad WAL magic {magic!r}")
-            (dim,) = struct.unpack("<i", f.read(4))
+            dim_raw = f.read(4)
+            if len(magic) < 8 or len(dim_raw) < 4:
+                f.close()
+                os.remove(self._wal_path)
+                return
+            (dim,) = struct.unpack("<i", dim_raw)
             if dim != self.dim:
                 raise LireStorageError(f"{self._wal_path}: dim {dim} != {self.dim}")
             txn: Optional[List[tuple]] = None
