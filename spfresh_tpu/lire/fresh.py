@@ -252,25 +252,34 @@ class SpFreshIndex:
         from spfresh_tpu.lire.storage import LireStorageError
 
         versions = []
-        for pid in pids:
-            try:
-                res = self.protocol.delete(int(vector_id), pid)
+        if posting_id is not None:
+            # Explicit-posting form: delete that one copy only.
+            res = self.protocol.delete(int(vector_id), int(posting_id))
+            self._mirror_remove(int(vector_id), int(posting_id))
+            return [res.version]
+        # Re-resolve until no live copy remains (bounded rounds): one
+        # mark_deleted kills ONE entry per posting — a posting can briefly
+        # hold two copies of a vid (replicas reassigned into one destination
+        # before the move-collapse landed), and background ops can re-home
+        # copies between the map read and the tombstone.
+        for rnd in range(4):
+            cur = (
+                pids if rnd == 0
+                else sorted(self.storage.postings_of(int(vector_id)))
+            )
+            if not cur:
+                break
+            hit = False
+            for pid in cur:
+                try:
+                    res = self.protocol.delete(int(vector_id), pid)
+                except LireStorageError:
+                    continue  # retired mid-round: next round re-resolves
+                hit = True
                 versions.append(res.version)
-            except LireStorageError:
-                # Stale map entry: a background split/merge/reassign moved the
-                # vector after we read the map.  The storage's reverse index
-                # knows its current homes — tombstone EVERY live copy (a
-                # split's boundary closure can replicate the vector into
-                # more than one successor).
-                for other in self.storage.postings_of(int(vector_id)):
-                    try:
-                        res = self.protocol.delete(int(vector_id), other)
-                    except LireStorageError:
-                        continue
-                    versions.append(res.version)
-                    self._mirror_remove(int(vector_id), other)
-                continue
-            self._mirror_remove(int(vector_id), pid)
+                self._mirror_remove(int(vector_id), pid)
+            if not hit:
+                break
         if not versions:
             raise KeyError(f"vector {vector_id} not found in any live posting")
         return versions

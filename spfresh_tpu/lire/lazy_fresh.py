@@ -134,28 +134,34 @@ class LazySpFreshIndex:
         return list(versions)
 
     def delete(self, vector_id: int, posting_id: Optional[int] = None) -> List[int]:
-        """Tombstone a vector everywhere it lives (replicas included)."""
+        """Tombstone a vector everywhere it lives (replicas included).
+
+        Re-resolves until no live copy remains (bounded rounds, like
+        ``delete_batch``): one ``mark_deleted`` kills ONE entry per posting,
+        and a posting can briefly hold two copies of a vid (replicas from
+        different sources reassigned into one destination before the
+        move-collapse landed), or a background op can re-home a copy
+        between the reverse-index read and the tombstone."""
         vid = int(vector_id)
-        pids = [posting_id] if posting_id is not None else self.storage.postings_of(vid)
-        if not pids:
-            raise KeyError(f"vector {vector_id} not found")
         versions = []
-        for pid in pids:
-            try:
-                res = self.protocol.delete(vid, int(pid))
-            except LireStorageError:
-                # Stale route: a background split/merge/reassign retired the
-                # posting after we read the reverse index.  Re-resolve the
-                # vector's current homes and tombstone there (fresh.py has
-                # the same fallback for the in-RAM mirror).
-                for other in self.storage.postings_of(vid):
-                    try:
-                        res = self.protocol.delete(vid, int(other))
-                    except LireStorageError:
-                        continue
-                    versions.append(res.version)
-                continue
-            versions.append(res.version)
+        if posting_id is not None:
+            # Explicit-posting form: delete that one copy only.
+            res = self.protocol.delete(vid, int(posting_id))
+            return [res.version]
+        for _ in range(4):
+            pids = self.storage.postings_of(vid)
+            if not pids:
+                break
+            hit = False
+            for pid in pids:
+                try:
+                    res = self.protocol.delete(vid, int(pid))
+                except LireStorageError:
+                    continue  # retired mid-round: next round re-resolves
+                hit = True
+                versions.append(res.version)
+            if not hit:
+                break
         if not versions:
             raise KeyError(f"vector {vector_id} not found in any live posting")
         return versions

@@ -637,6 +637,24 @@ class PackedLireStorage(RoutingTierMixin):
                 i = pos.pop((int(vid), int(ev)), None)
                 if i is None:
                     continue  # entry changed since planning (or dup): skip
+                # COLLAPSE: if dst already holds a live copy of vid (from
+                # before, or appended earlier in THIS call — replicas of one
+                # vid reassigned from different sources to one destination),
+                # retire the src copy without appending a duplicate.  Two
+                # live copies in ONE posting would strand one of them past a
+                # single delete.
+                if int(dst) in self.postings_of(int(vid)):
+                    ev2 = self._tombstone_locked(
+                        int(src), int(vid), entry_version=int(ev)
+                    )
+                    v_del = self._next_version()
+                    records.append(
+                        (_OP_DEL, int(src), int(vid), v_del,
+                         self._del_payload(ev2))
+                    )
+                    moved.append(int(vid))
+                    versions.append(v_del)
+                    continue
                 v_add = self._append_locked(
                     int(dst), int(vid), np.asarray(vecs_s[i], np.float32),
                     records,

@@ -504,6 +504,25 @@ class LireStorage(RoutingTierMixin):
                         break
                 if j is None:
                     continue  # entry changed since planning: skip
+                # COLLAPSE: if dst already holds a live copy of vid (one it
+                # had before, or one appended earlier in THIS call —
+                # replicas of one vid from different sources reassigned to
+                # the same destination), do not append a duplicate — just
+                # retire the src copy.  Two live copies of one vid in ONE
+                # posting would strand one of them past a single delete.
+                dst_has = any(
+                    pd.ids[i2] == vid and not pd.deleted[i2]
+                    for i2 in range(len(pd.ids))
+                )
+                if dst_has:
+                    ev2 = self._tombstone_locked(
+                        ps, int(src), vid, entry_version=ev
+                    )
+                    v_del = self._next_version()
+                    entries.append((_OP_DEL, int(src), vid, v_del, ev2))
+                    moved.append(vid)
+                    versions.append(v_del)
+                    continue
                 vec = ps.vectors[j].copy()
                 v_add = self._next_version()
                 pd.ids.append(vid)
