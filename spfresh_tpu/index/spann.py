@@ -1059,6 +1059,28 @@ class SpannIndex:
         self._mult_hint = max(self._mult_hint, _max_multiplicity(all_ids))
         return self._dedup_bound()
 
+    def _append_scale_ok(self, view, row: int, c: int, vecs, old_len: int) -> bool:
+        """int8 append-fast-path admission: appended members quantize with
+        the slab's EXISTING scale, so the fast path is only exact when a
+        full rebuild would keep that scale — i.e. the appended residuals
+        stay within the slab's current abs-max.  Since posting_scales_np is
+        monotone, f(max(old, new)) == max(s_old, f(new)) EXACTLY, so the
+        check is f(new_max) <= s_old.  A slab at the 1.0 pin (empty or
+        all-zero residuals) is demoted unconditionally — the pin hides the
+        real abs-max.  Demotion (slab rewrite) is always exact, only
+        costlier."""
+        if not self.policy.quantized:
+            return True
+        from spfresh_tpu.core.dtypes import posting_scales_np
+
+        sh = self._view_scales_host(view)
+        s_old = float(sh[row])  # int row (1-D) or (shard, row) tuple (2-D)
+        if s_old == 1.0:
+            return False
+        res = np.asarray(vecs)[old_len:] - self.centroids[c][None, :]
+        new_max = np.float32(np.max(np.abs(res), initial=0.0))
+        return float(posting_scales_np(np.array([new_max]))[0]) <= s_old
+
     @staticmethod
     def _view_scales_host(view) -> np.ndarray:
         """Host mirror of the view's per-posting dequant scales (one lazy
@@ -1265,6 +1287,7 @@ class SpannIndex:
                     and c not in self._dirty_centroid
                     and len(ids) > len(old)
                     and np.array_equal(ids[: len(old)], old)
+                    and self._append_scale_ok(view, row, c, vecs, len(old))
                 ):
                     appends.append(
                         (row, len(old), ids[len(old):], vecs[len(old):],

@@ -332,6 +332,7 @@ class ShardedSpannIndex:
                     and idx._centroid_gen.get(c, 0) <= gen0
                     and len(ids) > len(old)
                     and np.array_equal(ids[: len(old)], old)
+                    and idx._append_scale_ok(view, loc, c, vecs, len(old))
                 ):
                     s, row = loc
                     appends[s].append(

@@ -32,7 +32,7 @@ def _sets_equal(a, b, ctx):
 
 
 @pytest.mark.parametrize("sd", ["float32", "int8"])
-@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("seed", [0, 1, 3])  # seed 3 caught the int8 append-scale divergence (r4)
 def test_view_update_fuzz(tmp_path, sd, seed):
     rng = np.random.default_rng(5000 + seed)
     centers = 3.0 * rng.standard_normal((6, DIM)).astype(np.float32)
