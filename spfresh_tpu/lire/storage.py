@@ -264,9 +264,17 @@ class LireStorage(RoutingTierMixin):
         }
         with open(self._wal_path, "rb") as f:
             magic = f.read(8)
-            if magic != _WAL_MAGIC:
+            if len(magic) == 8 and magic != _WAL_MAGIC:
                 raise LireStorageError(f"{self._wal_path}: bad WAL magic {magic!r}")
-            (dim,) = struct.unpack("<i", f.read(4))
+            dim_raw = f.read(4)
+            if len(magic) < 8 or len(dim_raw) < 4:
+                # Torn HEADER (power loss during the very first append):
+                # nothing durable — remove so the next append rewrites it
+                # (same policy as the packed tier's overlay WAL).
+                f.close()
+                os.remove(self._wal_path)
+                return
+            (dim,) = struct.unpack("<i", dim_raw)
             if dim != self.dim:
                 raise LireStorageError(f"{self._wal_path}: dim {dim} != {self.dim}")
             head = struct.Struct("<Bqqq")

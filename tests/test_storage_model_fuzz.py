@@ -308,3 +308,33 @@ def test_ram_storage_model_fuzz(tmp_path, seed):
             _assert_agree(st2, m, f"ram seed {seed} reopen@{step}")
             st = st2
     _assert_agree(st, m, f"ram seed {seed} final")
+
+
+def test_ram_wal_torn_header_reopens_empty(tmp_path):
+    """RAM-tier mirror of the packed-tier fix: a wal.log torn inside its
+    12-byte header (power loss during the very first append) must reopen
+    as if no WAL existed — and the dead file must be removed so the next
+    append rewrites the header."""
+    import glob
+
+    rng = np.random.default_rng(0)
+    st = LireStorage(str(tmp_path / "ram"), DIM)
+    for pid in range(2):
+        for j in range(3):
+            st.store_vector(pid, pid * 10 + j,
+                            rng.standard_normal(DIM).astype(np.float32))
+    wal = str(tmp_path / "ram" / "wal.log")
+    base_live = 0  # per-posting logs not yet folded: WAL holds everything
+    for cut_to in (0, 3, 11):
+        crash = str(tmp_path / f"crash{cut_to}")
+        shutil.copytree(str(tmp_path / "ram"), crash)
+        with open(os.path.join(crash, "wal.log"), "r+b") as f:
+            f.truncate(cut_to)
+        st2 = LireStorage(crash, DIM)  # must not raise
+        live = sum(st2.get_vector_count(p) for p in st2.posting_ids())
+        assert live == base_live
+        assert not os.path.exists(os.path.join(crash, "wal.log"))
+        # the next mutation recreates a well-formed WAL
+        st2.store_vector(0, 999, rng.standard_normal(DIM).astype(np.float32))
+        st3 = LireStorage(crash, DIM)
+        assert 999 in st3.get_posting(0)[0]
