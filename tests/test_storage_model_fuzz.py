@@ -338,3 +338,57 @@ def test_ram_wal_torn_header_reopens_empty(tmp_path):
         st2.store_vector(0, 999, rng.standard_normal(DIM).astype(np.float32))
         st3 = LireStorage(crash, DIM)
         assert 999 in st3.get_posting(0)[0]
+
+
+@pytest.mark.parametrize("crash_at", [1, 2, 3, 4, 5, 6])
+def test_packed_compact_crash_at_every_namespace_op(tmp_path, crash_at):
+    """Crash DURING compact() at each namespace operation (journal rename,
+    the three file swaps, the WAL unlink, the journal unlink): reopening
+    must recover EXACTLY the pre-compact live state — the swap is
+    all-or-nothing from the reader's perspective because every mutation was
+    already durable in the WAL or becomes durable in the new base."""
+    rng = np.random.default_rng(7)
+    path = _mk_packed(tmp_path, rng, n=80)
+    st = PackedLireStorage(path)
+    # Mutate so compact has real work: adds, deletes, a split-style swap.
+    pids = st.posting_ids()
+    for j in range(6):
+        st.store_vector(int(pids[j % len(pids)]), 900 + j, _rand_vec(rng))
+    st.mark_deleted(int(pids[0]), 900)
+    st.flush()
+    want = {
+        p: sorted(map(int, st.get_posting(p)[0])) for p in st.posting_ids()
+    }
+
+    import spfresh_tpu.lire.packed_storage as PS
+
+    calls = {"n": 0}
+    real_replace, real_remove = PS.os.replace, PS.os.remove
+
+    def counted(fn):
+        def wrapper(*a, **k):
+            calls["n"] += 1
+            if calls["n"] == crash_at:
+                raise OSError("simulated crash")
+            return fn(*a, **k)
+        return wrapper
+
+    PS.os.replace = counted(real_replace)
+    PS.os.remove = counted(real_remove)
+    try:
+        with pytest.raises((OSError, Exception)):
+            st.compact()
+    finally:
+        PS.os.replace, PS.os.remove = real_replace, real_remove
+    st.close()
+
+    st2 = PackedLireStorage(path)  # recovery rolls forward or discards
+    got = {
+        p: sorted(map(int, st2.get_posting(p)[0])) for p in st2.posting_ids()
+    }
+    assert got == want, f"crash at namespace op {crash_at} lost state"
+    # And the store keeps working + compacts cleanly afterwards.
+    st2.store_vector(int(st2.posting_ids()[0]), 990, _rand_vec(rng))
+    st2.compact()
+    assert 990 in st2.get_posting(int(st2.posting_ids()[0]))[0]
+    st2.close()
