@@ -262,24 +262,29 @@ class SpFreshIndex:
         # hold two copies of a vid (replicas reassigned into one destination
         # before the move-collapse landed), and background ops can re-home
         # copies between the map read and the tombstone.
-        for rnd in range(4):
+        for rnd in range(8):
             cur = (
                 pids if rnd == 0
                 else sorted(self.storage.postings_of(int(vector_id)))
             )
             if not cur:
                 break
-            hit = False
             for pid in cur:
                 try:
                     res = self.protocol.delete(int(vector_id), pid)
                 except LireStorageError:
-                    continue  # retired mid-round: next round re-resolves
-                hit = True
+                    # Copy moved / posting retired mid-round: the next round
+                    # re-resolves (a round with zero hits is NOT terminal —
+                    # under continuous splits it raised KeyError for a
+                    # vector that still existed).
+                    continue
                 versions.append(res.version)
                 self._mirror_remove(int(vector_id), pid)
-            if not hit:
-                break
+        if self.storage.postings_of(int(vector_id)):
+            # Success REQUIRES an empty reverse index (see lazy_fresh.delete).
+            raise LireStorageError(
+                f"vector {vector_id} kept moving during delete; retry"
+            )
         if not versions:
             raise KeyError(f"vector {vector_id} not found in any live posting")
         return versions

@@ -148,20 +148,30 @@ class LazySpFreshIndex:
             # Explicit-posting form: delete that one copy only.
             res = self.protocol.delete(vid, int(posting_id))
             return [res.version]
-        for _ in range(4):
+        for _ in range(8):
             pids = self.storage.postings_of(vid)
             if not pids:
                 break
-            hit = False
             for pid in pids:
                 try:
                     res = self.protocol.delete(vid, int(pid))
                 except LireStorageError:
-                    continue  # retired mid-round: next round re-resolves
-                hit = True
+                    # Copy moved / posting retired between the reverse-index
+                    # read and the tombstone: the NEXT round re-resolves.
+                    # (An earlier version broke out when a whole round
+                    # missed — under continuous background splits that
+                    # raised KeyError for a vector that still existed.)
+                    continue
                 versions.append(res.version)
-            if not hit:
-                break
+        if self.storage.postings_of(vid):
+            # Success REQUIRES an empty reverse index: returning while a
+            # copy still lives (it moved during the final round) would let
+            # a 'deleted' vector keep serving.  Tombstoned entries cannot
+            # resurrect (pinned moves, live-only split carries), so a
+            # caller retry converges.
+            raise LireStorageError(
+                f"vector {vector_id} kept moving during delete; retry"
+            )
         if not versions:
             raise KeyError(f"vector {vector_id} not found in any live posting")
         return versions

@@ -1,0 +1,126 @@
+"""Threaded stress over the disk-tier serving stack (round 4).
+
+Three concurrent actors on one ``LazySpFreshIndex`` for a bounded wall:
+a SEARCHER running full-probe queries nonstop, a MUTATOR interleaving
+inserts and deletes, and a COMPACTOR folding the overlay.  The hand audits
+fixed this surface piece by piece (retired-posting snapshots, pinned
+moves, the compact reader-writer gate, WAL transaction boundaries) — this
+test exercises the combination under real thread interleavings.
+
+Assertions: no thread raises; a deleted vid never appears in results
+after its delete returns; a known resident vid stays findable; the final
+flushed state matches the surviving-model live set."""
+
+import threading
+
+import numpy as np
+
+from spfresh_tpu.index import Config, SpannIndexBuilder
+from spfresh_tpu.lire import LireConfig, LireStorageError
+from spfresh_tpu.lire.lazy_fresh import LazySpFreshIndex
+
+DIM = 8
+
+
+def test_concurrent_search_update_compact(tmp_path):
+    rng = np.random.default_rng(0)
+    data = 2.0 * rng.standard_normal((200, DIM)).astype(np.float32)
+    cfg = Config.from_dict(
+        {
+            "clustering_params": {
+                "initial_k": 4,
+                "desired_cluster_size": 40,
+                "rng_seed": 42,
+            },
+            "output_path": str(tmp_path / "cc"),
+        }
+    )
+    SpannIndexBuilder(cfg).with_data(data).build(save=True)
+    fresh = LazySpFreshIndex(
+        cfg.output_path,
+        lire_config=LireConfig(max_partition_size=80, min_partition_size=2),
+    )
+    anchor_vid, anchor_vec = 0, data[0]
+    stop = threading.Event()
+    errors = []
+    deleted_lock = threading.Lock()
+    deleted_confirmed: set = set()  # vids whose delete() has RETURNED
+
+    def searcher():
+        q = np.stack([anchor_vec, data[5], data[9]])
+        try:
+            while not stop.is_set():
+                # Snapshot BEFORE the search: only vids whose delete
+                # returned before this search STARTED must be absent (an
+                # overlapping delete may legitimately race the search).
+                with deleted_lock:
+                    pre = set(deleted_confirmed)
+                ids, _ = fresh.search(q, 8, nprobe=fresh.num_clusters)
+                bad = set(ids.reshape(-1).tolist()) & pre
+                if bad:
+                    errors.append(f"deleted vids in results: {bad}")
+                    return
+                if anchor_vid not in ids[0]:
+                    errors.append("anchor vid vanished from its own query")
+                    return
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"searcher raised: {type(e).__name__}: {e}")
+
+    def mutator():
+        r = np.random.default_rng(1)
+        next_vid = 20_000
+        mine = []
+        try:
+            while not stop.is_set():
+                if mine and r.random() < 0.45:
+                    vid = mine.pop(int(r.integers(len(mine))))
+                    for attempt in range(20):
+                        try:
+                            fresh.delete(vid)
+                            break
+                        except LireStorageError:
+                            continue  # documented retry contract
+                    else:
+                        errors.append(f"delete({vid}) never converged")
+                        return
+                    with deleted_lock:
+                        deleted_confirmed.add(vid)
+                else:
+                    v = 2.0 * r.standard_normal(DIM).astype(np.float32)
+                    fresh.insert(v, next_vid)
+                    mine.append(next_vid)
+                    next_vid += 1
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"mutator raised: {type(e).__name__}: {e}")
+
+    def compactor():
+        try:
+            while not stop.is_set():
+                fresh.compact()
+                stop.wait(0.25)
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"compactor raised: {type(e).__name__}: {e}")
+
+    threads = [
+        threading.Thread(target=searcher),
+        threading.Thread(target=mutator),
+        threading.Thread(target=compactor),
+    ]
+    for t in threads:
+        t.start()
+    stop_timer = threading.Timer(8.0, stop.set)
+    stop_timer.start()
+    for t in threads:
+        t.join(60)
+        assert not t.is_alive(), "stress thread wedged (deadlock)"
+    stop_timer.cancel()
+    assert not errors, errors
+    # Post-stress coherence: flushed state serves; anchor still exact.
+    fresh.flush()
+    ids, d = fresh.search(anchor_vec[None, :], 1, nprobe=fresh.num_clusters)
+    assert int(ids[0, 0]) == anchor_vid
+    assert float(d[0, 0]) < 1e-4
+    with deleted_lock:
+        for vid in list(deleted_confirmed)[:10]:
+            assert fresh.storage.postings_of(vid) == []
+    fresh.close()
