@@ -124,3 +124,96 @@ def test_concurrent_search_update_compact(tmp_path):
         for vid in list(deleted_confirmed)[:10]:
             assert fresh.storage.postings_of(vid) == []
     fresh.close()
+
+
+def test_concurrent_search_update_ram_tier(tmp_path):
+    """Same stress on the in-RAM SpFreshIndex (search mirror + storage):
+    searcher vs mutator under continuous background splits."""
+    from spfresh_tpu.lire.fresh import SpFreshIndex
+
+    rng = np.random.default_rng(0)
+    data = 2.0 * rng.standard_normal((200, DIM)).astype(np.float32)
+    cfg = Config.from_dict(
+        {
+            "clustering_params": {
+                "initial_k": 4,
+                "desired_cluster_size": 40,
+                "rng_seed": 42,
+            },
+            "output_path": str(tmp_path / "ram_idx"),
+        }
+    )
+    index = SpannIndexBuilder(cfg).with_data(data).build(save=False)
+    fresh = SpFreshIndex(
+        index, str(tmp_path / "ram_lire"),
+        LireConfig(max_partition_size=80, min_partition_size=2),
+    )
+    anchor_vid, anchor_vec = 0, data[0]
+    stop = threading.Event()
+    errors = []
+    deleted_lock = threading.Lock()
+    deleted_confirmed: set = set()
+
+    def searcher():
+        q = np.stack([anchor_vec, data[5]])
+        try:
+            while not stop.is_set():
+                with deleted_lock:
+                    pre = set(deleted_confirmed)
+                ids, _ = fresh.search(q, 8, nprobe=index.num_clusters,
+                                      engine="xla")
+                bad = set(ids.reshape(-1).tolist()) & pre
+                if bad:
+                    errors.append(f"deleted vids in results: {bad}")
+                    return
+                if anchor_vid not in ids[0]:
+                    errors.append("anchor vid vanished")
+                    return
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"searcher raised: {type(e).__name__}: {e}")
+
+    def mutator():
+        from spfresh_tpu.lire import LireStorageError
+
+        r = np.random.default_rng(1)
+        next_vid = 30_000
+        mine = []
+        try:
+            while not stop.is_set():
+                if mine and r.random() < 0.45:
+                    vid = mine.pop(int(r.integers(len(mine))))
+                    for _ in range(20):
+                        try:
+                            fresh.delete(vid)
+                            break
+                        except LireStorageError:
+                            continue
+                    else:
+                        errors.append(f"delete({vid}) never converged")
+                        return
+                    with deleted_lock:
+                        deleted_confirmed.add(vid)
+                else:
+                    v = 2.0 * r.standard_normal(DIM).astype(np.float32)
+                    fresh.insert(v, next_vid)
+                    mine.append(next_vid)
+                    next_vid += 1
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"mutator raised: {type(e).__name__}: {e}")
+
+    threads = [threading.Thread(target=searcher),
+               threading.Thread(target=mutator)]
+    for t in threads:
+        t.start()
+    timer = threading.Timer(6.0, stop.set)
+    timer.start()
+    for t in threads:
+        t.join(60)
+        assert not t.is_alive(), "stress thread wedged"
+    timer.cancel()
+    assert not errors, errors
+    fresh.flush()
+    ids, d = fresh.search(anchor_vec[None, :], 1, nprobe=index.num_clusters,
+                          engine="xla")
+    assert int(ids[0, 0]) == anchor_vid and float(d[0, 0]) < 1e-4
+    fresh.close()
