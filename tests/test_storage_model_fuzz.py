@@ -158,7 +158,11 @@ def _step(st, m: Model, rng, next_vid, next_pid, is_packed):
                 for jj in range(len(m.postings[src]) - 1, -1, -1):
                     if m.postings[src][jj][0] == vid:
                         _, vec = m.postings[src].pop(jj)
-                        m.postings[dst].append((vid, vec))
+                        # COLLAPSE semantics (r4): a move whose destination
+                        # already holds a live copy of the vid retires the
+                        # src entry without appending a duplicate.
+                        if not any(v == vid for v, _ in m.postings[dst]):
+                            m.postings[dst].append((vid, vec))
                         break
     elif op == "import":
         pid = next_pid
