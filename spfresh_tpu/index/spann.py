@@ -1281,6 +1281,9 @@ class SpannIndex:
                 ids, vecs = self.postings[c]
                 row = view.cluster_rows.get(c, -1)
                 old = view.snapshot.get(c)
+                # Prefix-equal ids imply prefix-equal VALUES: a vector id's
+                # coordinates are immutable (updates mint fresh ids), so an
+                # id-prefix match certifies the resident slab rows verbatim.
                 if (
                     row >= 0
                     and old is not None

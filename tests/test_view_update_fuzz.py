@@ -86,12 +86,18 @@ def test_view_update_fuzz(tmp_path, sd, seed):
             )
             next_vid += kk
         elif op == "rewrite":
+            # Vector values are IMMUTABLE per id (the system contract the
+            # append fast path's prefix-equality check relies on): a value
+            # change ships as a fresh id, like the real delete+insert flow.
             c = int(rng.choice(cids))
             ids, vecs = index.postings[c]
+            ids = np.asarray(ids).copy()
             vecs = np.asarray(vecs).copy()
             if len(ids):
                 j = int(rng.integers(len(ids)))
-                vecs[j] = vecs[j] + 0.05  # member value change
+                vecs[j] = vecs[j] + 0.05
+                ids[j] = next_vid
+                next_vid += 1
             index.replace_posting(c, ids, vecs)
         elif op == "shrink":
             c = int(rng.choice(cids))
