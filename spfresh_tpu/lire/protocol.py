@@ -179,9 +179,15 @@ class LireProtocol:
             self._route_cache = rc
         return rc
 
-    def _route_dists(self, query_vec: np.ndarray) -> np.ndarray:
-        """(C,) centroid distances for one query, device-scanned at large C."""
-        _, pids, cents, dev = self._router()
+    def _route_dists(self, query_vec: np.ndarray, snap) -> np.ndarray:
+        """(C,) centroid distances for one query, device-scanned at large C.
+
+        ``snap`` is the caller's ``_router()`` snapshot: taking a fresh one
+        here raced concurrent topology changes — a pipeline split landing
+        between the caller's snapshot and this scan grew the centroid
+        matrix, so ``argmin(d)`` could index one past the caller's ``pids``
+        (caught by the threaded stress suite as an IndexError on insert)."""
+        _, pids, cents, dev = snap
         if dev is not None:
             import jax.numpy as jnp
 
@@ -195,10 +201,11 @@ class LireProtocol:
         return _dist(self.metric, cents, query_vec[None, :])
 
     def find_nearest_partition(self, vector: np.ndarray) -> Optional[int]:
-        _, pids, _, _ = self._router()
+        snap = self._router()
+        _, pids, _, _ = snap
         if len(pids) == 0:
             return None
-        d = self._route_dists(np.asarray(vector, np.float32))
+        d = self._route_dists(np.asarray(vector, np.float32), snap)
         return int(pids[int(np.argmin(d))])
 
     def _nearest_other_partition(
@@ -210,10 +217,11 @@ class LireProtocol:
             me = self.storage.get_posting_centroid(posting_id)
         except LireStorageError:
             return None
-        _, pids, _, _ = self._router()
+        snap = self._router()
+        _, pids, _, _ = snap
         if len(pids) == 0 or (len(pids) == 1 and int(pids[0]) == posting_id):
             return None
-        d = self._route_dists(me)
+        d = self._route_dists(me, snap)
         d = np.where(pids == posting_id, np.inf, d)
         if max_count is None:
             return int(pids[int(np.argmin(d))])
@@ -235,10 +243,11 @@ class LireProtocol:
             me = self.storage.get_posting_centroid(posting_id)
         except LireStorageError:
             return []
-        _, pids, _, _ = self._router()
+        snap = self._router()
+        _, pids, _, _ = snap
         if len(pids) == 0:
             return []
-        d = self._route_dists(me)
+        d = self._route_dists(me, snap)
         d = np.where(pids == posting_id, np.inf, d)
         order = np.argsort(d, kind="stable")
         out = []

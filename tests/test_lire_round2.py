@@ -286,3 +286,36 @@ def test_delete_then_reinsert_same_id_replays_exactly(tmp_path):
     ids, vecs, _ = s2.get_posting(0)
     assert ids.tolist() == [7]
     np.testing.assert_allclose(vecs[0], 5 * np.ones(2))
+
+
+def test_route_dists_uses_one_topology_snapshot(tmp_path):
+    """find_nearest_partition must route within ONE topology snapshot.
+
+    Regression (caught by the threaded stress suite): _route_dists took a
+    FRESH _router() snapshot, so a pipeline split landing between the
+    caller's snapshot and the distance scan grew the centroid matrix — the
+    argmin over the new (C+1,) distances indexed one past the caller's
+    (C,) pids (IndexError on a concurrent insert)."""
+    s = _mk(tmp_path, auto_create_postings=False)
+    s.import_posting(0, np.array([1]), np.zeros((1, 2)), np.zeros(2))
+    s.import_posting(1, np.array([2]), np.ones((1, 2)), np.ones(2))
+    proto = LireProtocol(s, LireConfig())
+
+    real_cm = s.centroid_matrix
+    state = {"n": 0}
+
+    def growing_cm():
+        # Simulate a background split landing between consecutive
+        # centroid-matrix reads: every read PAST the first one sees a new
+        # posting whose centroid is nearest to the query below.
+        state["n"] += 1
+        if state["n"] == 2:
+            s.centroid_matrix = real_cm  # restore before mutating
+            s.import_posting(5, np.array([9]), 5 * np.ones((1, 2)), 5 * np.ones(2))
+            s.centroid_matrix = growing_cm
+        return real_cm()
+
+    s.centroid_matrix = growing_cm
+    pid = proto.find_nearest_partition(5 * np.ones(2, np.float32))
+    # Routed consistently within the first snapshot: nearest of {0, 1}.
+    assert pid == 1
