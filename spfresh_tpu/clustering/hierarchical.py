@@ -1065,12 +1065,20 @@ class HierarchicalClustering:
         if use_res is None:
             platform = next(iter(self.data.devices())).platform
             use_res = "0" if platform == "cpu" else "1"
-        if self.mesh is None and use_res != "0":
+        if use_res != "0":
             # Device-resident big levels: membership stays on device as one
             # assignment vector; the host sees only per-cluster counts.
             # Hands the <=128k-row tail back to this loop (the host tail
             # path is SHARED with the mesh build — bit-equality contract).
-            level = self._subdivide_multiway_resident(cap, _p, level)
+            if self.mesh is None:
+                level = self._subdivide_multiway_resident(cap, _p, level)
+            elif self._corpus_layout == "sharded":
+                # Mesh analogue (round-4 lever 5): the per-point vector
+                # lives SHARDED like the corpus; per-level member-table
+                # uploads disappear the same way.  (The replicated layout
+                # keeps the upload path — it exists for the zero-upload
+                # view-pack handoff, where build dispatch is not the wall.)
+                level = self._subdivide_multiway_resident_mesh(cap, _p, level)
         while True:
             oversized = [i for i, c in enumerate(self.clusters) if len(c) > cap]
             if not oversized:
@@ -1330,6 +1338,175 @@ class HierarchicalClustering:
                 raise RuntimeError(
                     "resident subdivision count drift: device assignment "
                     "disagrees with host bookkeeping"
+                )
+            parts = np.split(order, np.cumsum(cnt)[:-1])
+            self.clusters = [
+                Cluster(seed_h[cid], parts[cid], depth_h[cid])
+                for cid in range(n_ids)
+            ]
+        return level
+
+    def _subdivide_multiway_resident_mesh(self, cap: int, _p, level: int) -> int:
+        """Mesh twin of ``_subdivide_multiway_resident`` for the row-sharded
+        corpus layout (round-4 lever 5): the persistent per-point cluster-id
+        vector lives SHARDED over the mesh like the corpus; each big level
+        costs two collective dispatches and KB-scale transfers instead of
+        the per-level member-table upload ``sharded_split_level_rows`` pays
+        (host deal + (P,)-scale pid/co/opos tables per level).  Seeds, RNG
+        draws, tie-breaks, degenerate handling and child-id numbering
+        replicate the single-device drivers exactly, so mesh and
+        single-device builds stay bit-identical (tested on the virtual
+        8-device CPU mesh)."""
+        max_ways = self.params.max_split_ways
+        from jax.sharding import NamedSharding, PartitionSpec
+        from spfresh_tpu.parallel.build import (
+            _resident_apply_call,
+            _resident_split_call,
+        )
+        from spfresh_tpu.utils.xfer import timed_pull, timed_put
+
+        counts_h = [len(c) for c in self.clusters]
+        big = [c for c in counts_h if c > cap]
+        if not big or (
+            sum(big) <= _HOST_SPLIT_MAX_P and self._host_data is not None
+        ):
+            return level  # nothing resident-sized to do
+        mesh = self.mesh
+        axis = mesh.axis_names[0]
+        shard = NamedSharding(mesh, PartitionSpec(axis))
+        rep = NamedSharding(mesh, PartitionSpec())
+        n = self._n
+        n_pad = int(self.data.shape[0])  # corpus carries mesh padding rows
+        with _p("subdiv/host_prep"):
+            gci_np = np.zeros(n_pad, np.int32)
+            for j, c in enumerate(self.clusters):
+                gci_np[c.points] = j
+            gci = timed_put(gci_np, shard)
+            seed_h = [int(c.centroid_idx) for c in self.clusters]
+            depth_h = [int(c.depth) for c in self.clusters]
+        while True:
+            counts_arr = np.asarray(counts_h, np.int64)
+            oversized = np.flatnonzero(counts_arr > cap)
+            if oversized.size == 0:
+                break
+            lens = counts_arr[oversized]
+            P = int(lens.sum())
+            if P <= _HOST_SPLIT_MAX_P and self._host_data is not None:
+                break  # hand the tail to the shared host path
+            level += 1
+            with _p("subdiv/host_prep"):
+                nm = int(oversized.size)
+                m_c = np.ceil(lens / cap).astype(np.int64)
+                m_c = np.clip(m_c, 2, min(max_ways, int(lens.max())))
+                m_c = np.minimum(m_c, lens)
+                M = next_pow2(int(m_c.max()))
+                S = next_pow2(nm)
+                seed_valid = np.zeros((S, M), bool)
+                seed_valid[:nm] = np.arange(M)[None, :] < m_c[:, None]
+                offs = np.zeros(S, np.int32)
+                offs[:nm] = self._level_rng(1000 + level).integers(
+                    0, np.maximum(lens, 1)
+                )
+                seg_map = np.full(len(counts_h), -1, np.int32)
+                seg_map[oversized] = np.arange(nm, dtype=np.int32)
+            with _p("subdiv/upload"):
+                seg_map_d = timed_put(seg_map, rep)
+                offs_d = timed_put(offs, rep)
+                sv_d = timed_put(seed_valid, rep)
+            with _p("subdiv/kernel", block=True):
+                assign_row, seeds_d, counts_d, d1_row = _resident_split_call(
+                    self.data, gci, seg_map_d, offs_d, sv_d,
+                    mesh=mesh, axis=axis, metric=self.params.metric,
+                    num_segments=S, m_ways=M, n=n,
+                )
+            with _p("subdiv/transfer"):
+                seeds = timed_pull(seeds_d)[:nm]
+                counts = timed_pull(counts_d)[:nm].astype(np.int64)
+            with _p("subdiv/host_build"):
+                degenerate = counts.max(axis=1) == lens
+                child_map = np.zeros(S * M, np.int32)
+                quantile_fix = []  # (parent_cid, [new child ids])
+                for r, ci in enumerate(oversized):
+                    ci = int(ci)
+                    depth = depth_h[ci] + 1
+                    if degenerate[r]:
+                        # All members in one child (duplicate-heavy): exact
+                        # balanced quantile split on d1, as the host paths.
+                        # Members materialize AFTER the apply below (all of
+                        # segment r's rows then carry exactly id ci), but
+                        # the child ids must be allocated HERE, in strict
+                        # r-order, to match the single-device numbering.
+                        # m_c <= lens structurally, so array_split yields
+                        # exactly m_c[r] non-empty parts — the child count
+                        # is known without the member rows; seeds/counts
+                        # are placeholders until the fix block.
+                        child_map[r * M : (r + 1) * M] = ci
+                        depth_h[ci] = depth
+                        nid_list = []
+                        for _ in range(int(m_c[r]) - 1):
+                            nid_list.append(len(counts_h))
+                            seed_h.append(-1)
+                            counts_h.append(0)
+                            depth_h.append(depth)
+                        quantile_fix.append((ci, nid_list))
+                        continue
+                    childs = [
+                        (int(seeds[r, j]), int(counts[r, j]), j)
+                        for j in range(M)
+                        if counts[r, j] > 0
+                    ]
+                    sd0, cnt0, j0 = childs[0]
+                    seed_h[ci], counts_h[ci], depth_h[ci] = sd0, cnt0, depth
+                    child_map[r * M + j0] = ci
+                    for sd, cnt2, j in childs[1:]:
+                        nid = len(counts_h)
+                        child_map[r * M + j] = nid
+                        seed_h.append(sd)
+                        counts_h.append(cnt2)
+                        depth_h.append(depth)
+            with _p("subdiv/kernel"):
+                cm_d = timed_put(child_map, rep)
+                gci = _resident_apply_call(
+                    gci, seg_map_d, assign_row, cm_d,
+                    mesh=mesh, axis=axis, m_ways=M, n=n,
+                )
+            if quantile_fix:
+                # Rare degenerate path: the single-device drivers read the
+                # member tables straight off the split kernel; here the
+                # sharded apply first parks every degenerate-segment row at
+                # the parent id, then ONE full pull + host quantile split +
+                # one re-put fills the reserved ids (cost bounded by
+                # degenerate frequency, not level count).
+                with _p("subdiv/transfer"):
+                    gci_np = np.array(timed_pull(gci))  # writable copy
+                    d1_np = timed_pull(d1_row)
+                with _p("subdiv/host_build"):
+                    for ci, nid_list in quantile_fix:
+                        # Scan only the real rows: mesh padding rows keep
+                        # their initial id (0) and must never join a split.
+                        mem = np.flatnonzero(gci_np[:n] == ci).astype(np.int64)
+                        order_r = np.argsort(d1_np[mem], kind="stable")
+                        qparts = np.array_split(mem[order_r], len(nid_list) + 1)
+                        seed_h[ci] = int(qparts[0][0])
+                        counts_h[ci] = len(qparts[0])
+                        for nid, p_rows in zip(nid_list, qparts[1:]):
+                            gci_np[p_rows] = nid
+                            seed_h[nid] = int(p_rows[0])
+                            counts_h[nid] = len(p_rows)
+                with _p("subdiv/upload"):
+                    gci = timed_put(gci_np, shard)
+        # Materialize Cluster objects from the final assignment vector: ONE
+        # pull + one global stable sort (members come out ascending).
+        with _p("subdiv/transfer"):
+            gci_np = timed_pull(gci)[:n]
+        with _p("subdiv/host_build"):
+            n_ids = len(counts_h)
+            order = np.argsort(gci_np, kind="stable").astype(np.int64)
+            cnt = np.bincount(gci_np, minlength=n_ids)
+            if cnt.tolist() != counts_h:
+                raise RuntimeError(
+                    "mesh resident subdivision count drift: device "
+                    "assignment disagrees with host bookkeeping"
                 )
             parts = np.split(order, np.cumsum(cnt)[:-1])
             self.clusters = [

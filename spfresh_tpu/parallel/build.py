@@ -166,6 +166,94 @@ def sharded_split_level(
 # ---------------------------------------------------------------------------
 
 
+def _fpoint_loop(
+    x_loc, pts, gpid, co_l, valid_l, opos_l, c1, sv,
+    *, axis, metric, S_seg, M, pbig,
+):
+    """Farthest-point M-way split loop over row-sharded members — the one
+    body shared by the upload kernel (`_rowsharded_split_call`) and the
+    resident kernel (`_resident_split_call`), op-for-op, so both stay
+    bit-identical to the single-device `_split_level_core`.
+
+    ``opos_l`` is the tie-break key: any per-entry value whose WITHIN-
+    segment ordering equals the single-device member order (position in the
+    concatenated ascending member lists, or equivalently the global row id
+    — member lists are always ascending); ``pbig`` is its padding sentinel
+    (strictly greater than every real key)."""
+    rps = x_loc.shape[0]
+    row0 = jax.lax.axis_index(axis) * rps
+
+    def gather_rows(rows):
+        """(m,) global row ids -> (m, d) replicated, via psum
+        contribution from the owning shard (zeros elsewhere)."""
+        in_sh = (rows >= row0) & (rows < row0 + rps)
+        li = jnp.clip(rows - row0, 0, rps - 1)
+        return jax.lax.psum(
+            jnp.where(in_sh[:, None], x_loc[li], 0.0), axis
+        )
+
+    c1v = gather_rows(c1)  # (S_seg, d) seed-0 vectors
+    d_min = rowwise_distance(pts, c1v[co_l], metric)
+    d1 = d_min
+    best_j = jnp.zeros_like(gpid)
+    taken = gpid == c1[co_l]
+    seeds = jnp.zeros((S_seg, M), jnp.int32).at[:, 0].set(
+        c1.astype(jnp.int32)
+    )
+    for j in range(1, M):
+        ok = sv[:, j]
+        d_masked = jnp.where(
+            valid_l & ~taken & ok[co_l], d_min, -jnp.inf
+        )
+        gmax = jax.lax.pmax(
+            jax.ops.segment_max(d_masked, co_l, num_segments=S_seg), axis
+        )
+        at_max = (
+            (d_masked == gmax[co_l]) & valid_l & ~taken & ok[co_l]
+        )
+        # First (by ORIGINAL position) point at the max — the exact
+        # single-device tie-break, carried as data so the per-shard
+        # repartition cannot change it.
+        gpos = jax.lax.pmin(
+            jax.ops.segment_min(
+                jnp.where(at_max, opos_l, pbig), co_l,
+                num_segments=S_seg,
+            ),
+            axis,
+        )
+        found = gpos < pbig
+        mine = at_max & (opos_l == gpos[co_l])  # unique winner entry
+        seed_j = jax.lax.psum(
+            jax.ops.segment_sum(
+                jnp.where(mine, gpid, 0), co_l, num_segments=S_seg
+            ),
+            axis,
+        )
+        seed_j = jnp.where(found, seed_j, c1.astype(jnp.int32))
+        seeds = seeds.at[:, j].set(seed_j)
+        sv_vec = jax.lax.psum(
+            jax.ops.segment_sum(
+                jnp.where(mine[:, None], pts, 0.0), co_l,
+                num_segments=S_seg,
+            ),
+            axis,
+        )  # (S_seg, d) winner vectors (zeros where not found; masked)
+        use = ok & found
+        d_new = rowwise_distance(pts, sv_vec[co_l], metric)
+        upd = use[co_l] & (d_new < d_min)
+        best_j = jnp.where(upd, j, best_j)
+        d_min = jnp.where(upd, d_new, d_min)
+        taken = taken | ((opos_l == gpos[co_l]) & use[co_l])
+    counts = jax.lax.psum(
+        jax.ops.segment_sum(
+            valid_l.astype(jnp.int32), co_l * M + best_j,
+            num_segments=S_seg * M,
+        ),
+        axis,
+    ).reshape(S_seg, M)
+    return best_j, seeds, counts, d1
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "axis", "metric", "num_segments", "m_ways", "pbig"),
@@ -180,78 +268,12 @@ def _rowsharded_split_call(
     def step(x_loc, pid, co_l, valid_l, opos_l, c1, sv):
         rps = x_loc.shape[0]
         row0 = jax.lax.axis_index(axis) * rps
-
-        def gather_rows(rows):
-            """(m,) global row ids -> (m, d) replicated, via psum
-            contribution from the owning shard (zeros elsewhere)."""
-            in_sh = (rows >= row0) & (rows < row0 + rps)
-            li = jnp.clip(rows - row0, 0, rps - 1)
-            return jax.lax.psum(
-                jnp.where(in_sh[:, None], x_loc[li], 0.0), axis
-            )
-
         pts = x_loc[pid]  # (L, d) — members this shard OWNS (local gather)
         gpid = (row0 + pid).astype(jnp.int32)  # global point ids
-        c1v = gather_rows(c1)  # (S_seg, d) seed-0 vectors
-        d_min = rowwise_distance(pts, c1v[co_l], metric)
-        d1 = d_min
-        best_j = jnp.zeros_like(pid)
-        taken = gpid == c1[co_l]
-        seeds = jnp.zeros((S_seg, M), jnp.int32).at[:, 0].set(
-            c1.astype(jnp.int32)
+        return _fpoint_loop(
+            x_loc, pts, gpid, co_l, valid_l, opos_l, c1, sv,
+            axis=axis, metric=metric, S_seg=S_seg, M=M, pbig=pbig,
         )
-        for j in range(1, M):
-            ok = sv[:, j]
-            d_masked = jnp.where(
-                valid_l & ~taken & ok[co_l], d_min, -jnp.inf
-            )
-            gmax = jax.lax.pmax(
-                jax.ops.segment_max(d_masked, co_l, num_segments=S_seg), axis
-            )
-            at_max = (
-                (d_masked == gmax[co_l]) & valid_l & ~taken & ok[co_l]
-            )
-            # First (by ORIGINAL position) point at the max — the exact
-            # single-device tie-break, carried as data so the per-shard
-            # repartition cannot change it.
-            gpos = jax.lax.pmin(
-                jax.ops.segment_min(
-                    jnp.where(at_max, opos_l, pbig), co_l,
-                    num_segments=S_seg,
-                ),
-                axis,
-            )
-            found = gpos < pbig
-            mine = at_max & (opos_l == gpos[co_l])  # unique winner entry
-            seed_j = jax.lax.psum(
-                jax.ops.segment_sum(
-                    jnp.where(mine, gpid, 0), co_l, num_segments=S_seg
-                ),
-                axis,
-            )
-            seed_j = jnp.where(found, seed_j, c1.astype(jnp.int32))
-            seeds = seeds.at[:, j].set(seed_j)
-            sv_vec = jax.lax.psum(
-                jax.ops.segment_sum(
-                    jnp.where(mine[:, None], pts, 0.0), co_l,
-                    num_segments=S_seg,
-                ),
-                axis,
-            )  # (S_seg, d) winner vectors (zeros where not found; masked)
-            use = ok & found
-            d_new = rowwise_distance(pts, sv_vec[co_l], metric)
-            upd = use[co_l] & (d_new < d_min)
-            best_j = jnp.where(upd, j, best_j)
-            d_min = jnp.where(upd, d_new, d_min)
-            taken = taken | ((opos_l == gpos[co_l]) & use[co_l])
-        counts = jax.lax.psum(
-            jax.ops.segment_sum(
-                valid_l.astype(jnp.int32), co_l * M + best_j,
-                num_segments=S_seg * M,
-            ),
-            axis,
-        ).reshape(S_seg, M)
-        return best_j, seeds, counts, d1
 
     return jax.shard_map(
         step,
@@ -335,6 +357,115 @@ def sharded_split_level_rows(
     assign_out[opos_flat[valid_flat]] = assign[valid_flat]
     d1_out[opos_flat[valid_flat]] = d1[valid_flat]
     return assign_out, seeds, counts, d1_out
+
+
+# ---------------------------------------------------------------------------
+# Device-resident subdivision over the row-sharded mesh (round-4 lever 5):
+# the persistent per-point cluster-id vector lives SHARDED on the mesh across
+# levels; each level's wire traffic is the KB-scale seg_map/offs/seed_valid
+# inputs and the (S, M) seeds/counts outputs — no more per-level member-table
+# uploads (the mesh analogue of hierarchical._subdivide_multiway_resident).
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "axis", "metric", "num_segments", "m_ways", "n"),
+)
+def _resident_split_call(
+    X, gci, seg_map, offs, seed_valid,
+    *, mesh, axis, metric, num_segments, m_ways, n,
+):
+    S_seg = num_segments
+    M = m_ways
+    nsh = mesh.devices.size
+
+    def step(x_loc, gci_loc, smap, off, sv):
+        rps = x_loc.shape[0]
+        myi = jax.lax.axis_index(axis)
+        row0 = (myi * rps).astype(jnp.int32)
+        lidx = jnp.arange(rps, dtype=jnp.int32)
+        grow = row0 + lidx  # global row ids of this shard's slice
+        seg = smap[gci_loc.astype(jnp.int32)]  # (rps,) -1 = not oversized
+        # Mesh-padding corpus rows (grow >= n) belong to no segment.
+        validp = (seg >= 0) & (grow < n)
+        segk = jnp.where(validp, seg, S_seg).astype(jnp.int32)
+        # Local lexicographic (segment, row) sort front-packs this shard's
+        # members in ascending-global-row order per segment — the same
+        # within-segment order as the host's concatenated member lists.
+        sort_seg, pid = jax.lax.sort((segk, lidx), num_keys=2)
+        valid_l = sort_seg < S_seg
+        co_l = jnp.where(valid_l, sort_seg, 0).astype(jnp.int32)
+        pid = jnp.where(valid_l, pid, 0)
+        pts = x_loc[pid]
+        gpid = (row0 + pid).astype(jnp.int32)
+        # Tie-break key: the global row id — within a segment its ordering
+        # equals the flat-member position the single-device kernels use.
+        opos_l = jnp.where(valid_l, gpid, jnp.int32(n))
+        # Seed-0 = the off[r]-th member of segment r in ascending global-row
+        # order (the host path's flat_members[bounds[:-1] + offs]): local
+        # per-segment counts meet in an all_gather, the shard holding global
+        # rank off[r] contributes the row id, one psum replicates it.
+        loc_cnt = jax.ops.segment_sum(
+            valid_l.astype(jnp.int32), co_l, num_segments=S_seg
+        )
+        all_cnt = jax.lax.all_gather(loc_cnt, axis)  # (nsh, S_seg)
+        before = jnp.arange(nsh, dtype=jnp.int32)[:, None] < myi
+        prefix = jnp.sum(jnp.where(before, all_cnt, 0), axis=0)
+        tgt = off.astype(jnp.int32) - prefix
+        seg_start = jnp.cumsum(loc_cnt) - loc_cnt  # exclusive, sorted order
+        has = (tgt >= 0) & (tgt < loc_cnt)
+        ppos = jnp.clip(seg_start + tgt, 0, rps - 1)
+        c1 = jax.lax.psum(jnp.where(has, gpid[ppos], 0), axis)  # (S_seg,)
+        best_j, seeds, counts, d1 = _fpoint_loop(
+            x_loc, pts, gpid, co_l, valid_l, opos_l, c1, sv,
+            axis=axis, metric=metric, S_seg=S_seg, M=M, pbig=n,
+        )
+        # Back to local-ROW order so the persistent-gci apply needs no
+        # member tables (int8 assign: m_ways <= 127 structurally).
+        tgt_rows = jnp.where(valid_l, pid, rps)
+        assign_row = jnp.zeros(rps, jnp.int8).at[tgt_rows].set(
+            best_j.astype(jnp.int8), mode="drop"
+        )
+        d1_row = jnp.zeros(rps, d1.dtype).at[tgt_rows].set(d1, mode="drop")
+        return assign_row, seeds, counts, d1_row
+
+    return jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(axis), P(axis), P(), P(), P()),
+        out_specs=(P(axis), P(), P(), P(axis)),
+        check_vma=False,
+    )(X, gci, seg_map, offs, seed_valid)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mesh", "axis", "m_ways", "n"),
+    donate_argnums=(0,),
+)
+def _resident_apply_call(
+    gci, seg_map, assign_row, child_map, *, mesh, axis, m_ways, n
+):
+    """Sharded level-assign apply: ``gci[i] = child_map[seg_i * m_ways +
+    assign_i]`` for this level's member rows; everything else unchanged."""
+
+    def step(gci_loc, smap, asg, cmap):
+        rps = gci_loc.shape[0]
+        row0 = jax.lax.axis_index(axis) * rps
+        grow = row0 + jnp.arange(rps, dtype=jnp.int32)
+        seg = smap[gci_loc.astype(jnp.int32)]
+        member = (seg >= 0) & (grow < n)
+        slot = jnp.clip(seg, 0, smap.shape[0]) * m_ways + asg.astype(jnp.int32)
+        newid = cmap[jnp.clip(slot, 0, cmap.shape[0] - 1)]
+        return jnp.where(member, newid, gci_loc)
+
+    return jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(P(axis), P(), P(axis), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )(gci, seg_map, assign_row, child_map)
 
 
 def kmeanspp_init_sharded(

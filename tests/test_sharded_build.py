@@ -366,3 +366,129 @@ def test_sharded_layout_never_replicates_corpus(rng, monkeypatch):
     )
     # And the build is still correct end-to-end.
     assert sum(len(c) for c in hc.clusters) >= n
+
+
+# ---------------------------------------------------------------------------
+# Mesh-resident subdivision (round-4 lever 5): the per-point assignment
+# vector lives SHARDED across levels; bit-equality with single-device
+# ---------------------------------------------------------------------------
+
+
+def _snap(hc):
+    return [(c.centroid_idx, c.depth, c.points.tolist()) for c in hc.clusters]
+
+
+def _mesh_resident_fit(monkeypatch, data, params_kw, host_tail_max,
+                       expect_resident=True):
+    """Single-device (default paths) vs mesh-resident fit of the same
+    corpus; asserts the mesh resident driver actually ran."""
+    import spfresh_tpu.clustering.hierarchical as H
+    import spfresh_tpu.parallel.build as PB
+
+    hc_ref = H.HierarchicalClustering(_params(**params_kw), data).fit()
+    monkeypatch.setattr(H, "_HOST_SPLIT_MAX_P", host_tail_max)
+    monkeypatch.setenv("SPF_SUBDIV_RESIDENT", "1")
+    calls = {"n": 0}
+    real = PB._resident_split_call
+
+    def spy(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(PB, "_resident_split_call", spy)
+    hc_mesh = H.HierarchicalClustering(
+        _params(**params_kw), data, mesh=_mesh()
+    ).fit()
+    assert hc_mesh._corpus_layout == "sharded"
+    if expect_resident:
+        assert calls["n"] > 0, "mesh resident kernel never ran"
+    return hc_ref, hc_mesh
+
+
+def test_mesh_resident_fit_matches_single_device(monkeypatch, rng):
+    centers = rng.standard_normal((6, 12)).astype(np.float32)
+    data = (
+        centers[rng.integers(0, 6, 3000)]
+        + 0.3 * rng.standard_normal((3000, 12))
+    ).astype(np.float32)
+    hc_ref, hc_mesh = _mesh_resident_fit(
+        monkeypatch, data,
+        dict(initial_k=4, desired_cluster_size=40, max_split_ways=8,
+             rng_seed=7),
+        host_tail_max=0,  # every level through the resident mesh kernel
+    )
+    assert _snap(hc_ref) == _snap(hc_mesh)
+
+
+def test_mesh_resident_handoff_to_host_tail_matches(monkeypatch, rng):
+    """Resident mesh big levels + shared host tail must continue the SAME
+    per-level Philox stream (level-counter continuity across the handoff)."""
+    centers = rng.standard_normal((5, 8)).astype(np.float32)
+    data = (
+        centers[rng.integers(0, 5, 2400)]
+        + 0.5 * rng.standard_normal((2400, 8))
+    ).astype(np.float32)
+    hc_ref, hc_mesh = _mesh_resident_fit(
+        monkeypatch, data,
+        dict(initial_k=3, desired_cluster_size=30, max_split_ways=4,
+             rng_seed=11),
+        host_tail_max=600,
+    )
+    assert _snap(hc_ref) == _snap(hc_mesh)
+
+
+def test_mesh_resident_degenerate_duplicates_match(monkeypatch, rng):
+    """Duplicate-heavy clusters hit the degenerate quantile branch: the
+    mesh driver's park-at-parent + pull + host quantile fix must reproduce
+    the single-device numbering, seeds and membership exactly."""
+    base = rng.standard_normal((4, 6)).astype(np.float32)
+    data = np.repeat(base, 300, axis=0)  # 1200 rows, only 4 distinct
+    hc_ref, hc_mesh = _mesh_resident_fit(
+        monkeypatch, data,
+        dict(initial_k=2, desired_cluster_size=50, max_split_ways=4,
+             rng_seed=3),
+        host_tail_max=0,
+    )
+    assert _snap(hc_ref) == _snap(hc_mesh)
+
+
+def test_mesh_resident_uneven_n_matches(monkeypatch, rng):
+    """n not divisible by the mesh: corpus padding rows must never join a
+    segment, win a seed, or survive into any cluster."""
+    centers = rng.standard_normal((4, 8)).astype(np.float32)
+    data = (
+        centers[rng.integers(0, 4, 1603)]
+        + 0.4 * rng.standard_normal((1603, 8))
+    ).astype(np.float32)
+    hc_ref, hc_mesh = _mesh_resident_fit(
+        monkeypatch, data,
+        dict(initial_k=3, desired_cluster_size=60, max_split_ways=4,
+             rng_seed=5),
+        host_tail_max=0,
+    )
+    assert _snap(hc_ref) == _snap(hc_mesh)
+    all_pts = np.concatenate([c.points for c in hc_mesh.clusters])
+    assert set(all_pts.tolist()) == set(range(1603))
+
+
+def test_mesh_resident_mixed_degenerate_and_normal_level(monkeypatch, rng):
+    """A level where SOME segments are degenerate (all duplicates) and others
+    split normally: the degenerate branch reserves child ids inline, so the
+    interleaved id numbering must still match the single-device drivers."""
+    centers = rng.standard_normal((3, 6)).astype(np.float32)
+    normal = (
+        centers[rng.integers(0, 3, 700)]
+        + 0.4 * rng.standard_normal((700, 6))
+    ).astype(np.float32)
+    dupes = np.repeat(rng.standard_normal((2, 6)).astype(np.float32), 350, axis=0)
+    # Interleave so duplicate blocks and spread points share initial clusters.
+    data = np.concatenate([normal, dupes])
+    perm = rng.permutation(len(data))
+    data = data[perm]
+    hc_ref, hc_mesh = _mesh_resident_fit(
+        monkeypatch, data,
+        dict(initial_k=2, desired_cluster_size=60, max_split_ways=4,
+             rng_seed=13),
+        host_tail_max=0,
+    )
+    assert _snap(hc_ref) == _snap(hc_mesh)
