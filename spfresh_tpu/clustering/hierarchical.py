@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import logging
 import os
 from typing import List, Optional, Sequence, Tuple
 
@@ -43,6 +44,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from spfresh_tpu.clustering.utils import masked_means, next_pow2
+
+log = logging.getLogger(__name__)
 from spfresh_tpu.core.dtypes import ACCUM_DTYPE
 from spfresh_tpu.ops.distances import (
     EUCLIDEAN,
@@ -1070,15 +1073,27 @@ class HierarchicalClustering:
             # assignment vector; the host sees only per-cluster counts.
             # Hands the <=128k-row tail back to this loop (the host tail
             # path is SHARED with the mesh build — bit-equality contract).
-            if self.mesh is None:
-                level = self._subdivide_multiway_resident(cap, _p, level)
-            elif self._corpus_layout == "sharded":
-                # Mesh analogue (round-4 lever 5): the per-point vector
-                # lives SHARDED like the corpus; per-level member-table
-                # uploads disappear the same way.  (The replicated layout
-                # keeps the upload path — it exists for the zero-upload
-                # view-pack handoff, where build dispatch is not the wall.)
-                level = self._subdivide_multiway_resident_mesh(cap, _p, level)
+            # Guarded: both drivers touch ``self.clusters`` only in their
+            # final materialization, so any mid-flight device failure
+            # (compile, allocation, link) leaves state intact and the
+            # proven upload path below simply takes over the whole job —
+            # a resident-path regression can never kill a build.
+            try:
+                if self.mesh is None:
+                    level = self._subdivide_multiway_resident(cap, _p, level)
+                elif self._corpus_layout == "sharded":
+                    # Mesh analogue (round-4 lever 5): the per-point vector
+                    # lives SHARDED like the corpus; per-level member-table
+                    # uploads disappear the same way.  (The replicated layout
+                    # keeps the upload path — it exists for the zero-upload
+                    # view-pack handoff, where build dispatch is not the wall.)
+                    level = self._subdivide_multiway_resident_mesh(cap, _p, level)
+            except Exception:  # noqa: BLE001 — deliberate safety net
+                log.exception(
+                    "resident subdivision failed at level %d; falling back "
+                    "to the member-table upload path", level,
+                )
+                level = 0  # the upload loop redoes the whole job from scratch
         while True:
             oversized = [i for i, c in enumerate(self.clusters) if len(c) > cap]
             if not oversized:

@@ -303,3 +303,30 @@ def test_resident_subdivision_with_empty_clusters(monkeypatch, rng):
         host_tail_max=0,
     )
     assert _clusters_snapshot(res) == _clusters_snapshot(classic)
+
+
+def test_resident_failure_falls_back_to_upload_path(monkeypatch, rng):
+    """A resident-driver failure (compile/allocation/link on a real device)
+    must never kill the build: the guard falls back to the member-table
+    upload path and produces exactly the upload-path clustering."""
+    from spfresh_tpu.clustering import hierarchical as H
+
+    centers = rng.standard_normal((5, 10)).astype(np.float32)
+    data = (
+        centers[rng.integers(0, 5, 2000)]
+        + 0.3 * rng.standard_normal((2000, 10))
+    ).astype(np.float32)
+    kw = dict(initial_k=3, desired_cluster_size=40, max_split_ways=4,
+              rng_seed=21)
+    monkeypatch.setattr(H, "_HOST_SPLIT_MAX_P", 0)
+    monkeypatch.setenv("SPF_SUBDIV_RESIDENT", "0")
+    classic = HierarchicalClustering(_params(**kw), data).fit()
+
+    def boom(self, cap, _p, level):
+        raise RuntimeError("injected resident-path device failure")
+
+    monkeypatch.setattr(H.HierarchicalClustering,
+                        "_subdivide_multiway_resident", boom)
+    monkeypatch.setenv("SPF_SUBDIV_RESIDENT", "1")
+    fallback = HierarchicalClustering(_params(**kw), data).fit()
+    assert _clusters_snapshot(fallback) == _clusters_snapshot(classic)
