@@ -44,6 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from spfresh_tpu.clustering.utils import masked_means, next_pow2
+from spfresh_tpu.utils import metrics
 
 log = logging.getLogger(__name__)
 from spfresh_tpu.core.dtypes import ACCUM_DTYPE
@@ -468,6 +469,13 @@ def _split_level_multiway_host(
 # Tail levels at or below this many member rows run on the host (the numpy
 # pass costs ~0.3 s at this size vs ~1 s of device dispatch + transfer).
 _HOST_SPLIT_MAX_P = 1 << 17
+
+
+class ResidentCountDrift(RuntimeError):
+    """Device assignment disagrees with host bookkeeping in a resident
+    subdivision — a correctness sentinel.  The resident-path fallback guard
+    re-raises this (masking it behind a silent upload-path redo would hide
+    a real kernel regression behind correct-but-doubled-cost builds)."""
 
 
 @functools.partial(
@@ -1050,7 +1058,6 @@ class HierarchicalClustering:
         — fewer rounds, fewer padded-shape compile buckets."""
         import contextlib
 
-        max_ways = self.params.max_split_ways
         timer = getattr(self, "_timer", None)
 
         def _p(name, block=False):
@@ -1088,11 +1095,14 @@ class HierarchicalClustering:
                     # keeps the upload path — it exists for the zero-upload
                     # view-pack handoff, where build dispatch is not the wall.)
                     level = self._subdivide_multiway_resident_mesh(cap, _p, level)
+            except ResidentCountDrift:
+                raise  # correctness sentinel — never trade it for a redo
             except Exception:  # noqa: BLE001 — deliberate safety net
                 log.exception(
                     "resident subdivision failed at level %d; falling back "
                     "to the member-table upload path", level,
                 )
+                metrics.inc("build.resident_fallbacks")
                 level = 0  # the upload loop redoes the whole job from scratch
         while True:
             oversized = [i for i, c in enumerate(self.clusters) if len(c) > cap]
@@ -1103,15 +1113,13 @@ class HierarchicalClustering:
                 members = [self.clusters[i].points for i in oversized]
                 nm = len(members)
                 lens = np.array([len(m) for m in members])
-                m_c = np.ceil(lens / cap).astype(np.int64)
-                m_c = np.clip(m_c, 2, min(max_ways, int(lens.max())))
-                m_c = np.minimum(m_c, lens)
-                M = next_pow2(int(m_c.max()))  # bucket: 2 / 4 / 8 variants
+                m_c, M, S, seed_valid, offs = self._level_split_params(
+                    lens, cap, level
+                )
                 bounds = np.zeros(nm + 1, np.int64)
                 np.cumsum(lens, out=bounds[1:])
                 P = int(bounds[-1])
                 Ppad = next_pow2(P)
-                S = next_pow2(nm)
                 point_list = np.zeros(Ppad, np.int32)
                 # int16 wire when the segment count allows: halves the
                 # cluster-table upload (values < S; the kernel upcasts).
@@ -1121,16 +1129,6 @@ class HierarchicalClustering:
                 point_list[:P] = flat_members
                 cluster_of_np = np.repeat(np.arange(nm, dtype=np.int32), lens)
                 cluster_of[:P] = cluster_of_np
-                seed_valid = np.zeros((S, M), bool)
-                seed_valid[:nm] = np.arange(M)[None, :] < m_c[:, None]
-                # Seed-1 positions from a HOST RNG derived from the build
-                # seed + level: the per-level device randint round-trip cost
-                # ~1 s/level through the tunnel (28 levels measured); host
-                # draws keep the same-seed determinism contract and the
-                # mesh/single-device bit-equality (both paths share this).
-                offs = self._level_rng(1000 + level).integers(
-                    0, np.maximum(lens, 1)
-                )
                 c1_idx = np.zeros(S, np.int32)
                 c1_idx[:nm] = flat_members[bounds[:-1] + offs]
             if P <= _HOST_SPLIT_MAX_P and self._host_data is not None:
@@ -1210,6 +1208,49 @@ class HierarchicalClustering:
                 cluster_of_np, flat_members, assign, seeds, counts, d1, _p,
             )
 
+    def _level_split_params(self, lens: np.ndarray, cap: int, level: int):
+        """The per-level split recipe shared by the upload, resident, and
+        mesh-resident drivers — ONE copy, because their bit-equality
+        contract depends on byte-identical ``m_c``/``M``/``S``/``seed_valid``
+        and the same per-level Philox draws.  ``offs`` comes from a HOST RNG
+        derived from the build seed + level: the per-level device randint
+        round-trip cost ~1 s/level through a tunnel (28 levels measured);
+        host draws keep the same-seed determinism contract across all
+        drivers.  Returns (m_c, M, S, seed_valid, offs) with ``offs`` shaped
+        (nm,) — resident callers pad it to S themselves."""
+        nm = len(lens)
+        m_c = np.ceil(lens / cap).astype(np.int64)
+        m_c = np.clip(m_c, 2, min(self.params.max_split_ways, int(lens.max())))
+        m_c = np.minimum(m_c, lens)
+        M = next_pow2(int(m_c.max()))  # bucket: 2 / 4 / 8 variants
+        S = next_pow2(nm)
+        seed_valid = np.zeros((S, M), bool)
+        seed_valid[:nm] = np.arange(M)[None, :] < m_c[:, None]
+        offs = self._level_rng(1000 + level).integers(0, np.maximum(lens, 1))
+        return m_c, M, S, seed_valid, offs
+
+    def _materialize_from_gci(
+        self, gci_np: np.ndarray, counts_h, seed_h, depth_h, driver: str
+    ) -> None:
+        """Build ``self.clusters`` from a final per-point assignment vector:
+        one global stable sort (members come out ascending, the order every
+        downstream consumer assumes), cross-checked against the host
+        bookkeeping — a mismatch raises the ``ResidentCountDrift`` sentinel
+        (never swallowed by the fallback guard)."""
+        n_ids = len(counts_h)
+        order = np.argsort(gci_np, kind="stable").astype(np.int64)
+        cnt = np.bincount(gci_np, minlength=n_ids)
+        if cnt.tolist() != counts_h:
+            raise ResidentCountDrift(
+                f"{driver} subdivision count drift: device assignment "
+                "disagrees with host bookkeeping"
+            )
+        parts = np.split(order, np.cumsum(cnt)[:-1])
+        self.clusters = [
+            Cluster(seed_h[cid], parts[cid], depth_h[cid])
+            for cid in range(n_ids)
+        ]
+
     def _subdivide_multiway_resident(self, cap: int, _p, level: int) -> int:
         """Device-resident subdivision driver for the big levels (single
         device).  The per-point cluster-id vector lives on device across
@@ -1223,7 +1264,6 @@ class HierarchicalClustering:
 
         Returns the level counter reached; the caller's loop continues the
         host Philox stream from there."""
-        max_ways = self.params.max_split_ways
         from spfresh_tpu.utils.xfer import timed_pull, timed_put
 
         counts_h = [len(c) for c in self.clusters]
@@ -1252,17 +1292,11 @@ class HierarchicalClustering:
             level += 1
             with _p("subdiv/host_prep"):
                 nm = int(oversized.size)
-                m_c = np.ceil(lens / cap).astype(np.int64)
-                m_c = np.clip(m_c, 2, min(max_ways, int(lens.max())))
-                m_c = np.minimum(m_c, lens)
-                M = next_pow2(int(m_c.max()))
-                S = next_pow2(nm)
-                seed_valid = np.zeros((S, M), bool)
-                seed_valid[:nm] = np.arange(M)[None, :] < m_c[:, None]
-                offs = np.zeros(S, np.int32)
-                offs[:nm] = self._level_rng(1000 + level).integers(
-                    0, np.maximum(lens, 1)
+                m_c, M, S, seed_valid, offs_nm = self._level_split_params(
+                    lens, cap, level
                 )
+                offs = np.zeros(S, np.int32)
+                offs[:nm] = offs_nm
                 seg_map = np.full(len(counts_h), -1, np.int32)
                 seg_map[oversized] = np.arange(nm, dtype=np.int32)
             with _p("subdiv/upload"):
@@ -1340,25 +1374,12 @@ class HierarchicalClustering:
                     gci = gci.at[jnp.asarray(np.concatenate(fix_idx))].set(
                         jnp.asarray(np.concatenate(fix_val))
                     )
-        # Materialize Cluster objects from the final assignment vector: ONE
-        # pull + one global stable sort (members come out ascending, the
-        # order every downstream consumer assumes).
         with _p("subdiv/transfer"):
             gci_np = timed_pull(gci)
         with _p("subdiv/host_build"):
-            n_ids = len(counts_h)
-            order = np.argsort(gci_np, kind="stable").astype(np.int64)
-            cnt = np.bincount(gci_np, minlength=n_ids)
-            if cnt.tolist() != counts_h:
-                raise RuntimeError(
-                    "resident subdivision count drift: device assignment "
-                    "disagrees with host bookkeeping"
-                )
-            parts = np.split(order, np.cumsum(cnt)[:-1])
-            self.clusters = [
-                Cluster(seed_h[cid], parts[cid], depth_h[cid])
-                for cid in range(n_ids)
-            ]
+            self._materialize_from_gci(
+                gci_np, counts_h, seed_h, depth_h, "resident"
+            )
         return level
 
     def _subdivide_multiway_resident_mesh(self, cap: int, _p, level: int) -> int:
@@ -1372,7 +1393,6 @@ class HierarchicalClustering:
         replicate the single-device drivers exactly, so mesh and
         single-device builds stay bit-identical (tested on the virtual
         8-device CPU mesh)."""
-        max_ways = self.params.max_split_ways
         from jax.sharding import NamedSharding, PartitionSpec
         from spfresh_tpu.parallel.build import (
             _resident_apply_call,
@@ -1411,17 +1431,11 @@ class HierarchicalClustering:
             level += 1
             with _p("subdiv/host_prep"):
                 nm = int(oversized.size)
-                m_c = np.ceil(lens / cap).astype(np.int64)
-                m_c = np.clip(m_c, 2, min(max_ways, int(lens.max())))
-                m_c = np.minimum(m_c, lens)
-                M = next_pow2(int(m_c.max()))
-                S = next_pow2(nm)
-                seed_valid = np.zeros((S, M), bool)
-                seed_valid[:nm] = np.arange(M)[None, :] < m_c[:, None]
-                offs = np.zeros(S, np.int32)
-                offs[:nm] = self._level_rng(1000 + level).integers(
-                    0, np.maximum(lens, 1)
+                m_c, M, S, seed_valid, offs_nm = self._level_split_params(
+                    lens, cap, level
                 )
+                offs = np.zeros(S, np.int32)
+                offs[:nm] = offs_nm
                 seg_map = np.full(len(counts_h), -1, np.int32)
                 seg_map[oversized] = np.arange(nm, dtype=np.int32)
             with _p("subdiv/upload"):
@@ -1510,24 +1524,14 @@ class HierarchicalClustering:
                             counts_h[nid] = len(p_rows)
                 with _p("subdiv/upload"):
                     gci = timed_put(gci_np, shard)
-        # Materialize Cluster objects from the final assignment vector: ONE
-        # pull + one global stable sort (members come out ascending).
+        # Materialize from the final assignment vector — sliced to the real
+        # rows (mesh padding rows keep their initial id and must not count).
         with _p("subdiv/transfer"):
             gci_np = timed_pull(gci)[:n]
         with _p("subdiv/host_build"):
-            n_ids = len(counts_h)
-            order = np.argsort(gci_np, kind="stable").astype(np.int64)
-            cnt = np.bincount(gci_np, minlength=n_ids)
-            if cnt.tolist() != counts_h:
-                raise RuntimeError(
-                    "mesh resident subdivision count drift: device "
-                    "assignment disagrees with host bookkeeping"
-                )
-            parts = np.split(order, np.cumsum(cnt)[:-1])
-            self.clusters = [
-                Cluster(seed_h[cid], parts[cid], depth_h[cid])
-                for cid in range(n_ids)
-            ]
+            self._materialize_from_gci(
+                gci_np, counts_h, seed_h, depth_h, "mesh resident"
+            )
         return level
 
     def _finish_multiway_level(

@@ -455,7 +455,10 @@ def _resident_apply_call(
         grow = row0 + jnp.arange(rps, dtype=jnp.int32)
         seg = smap[gci_loc.astype(jnp.int32)]
         member = (seg >= 0) & (grow < n)
-        slot = jnp.clip(seg, 0, smap.shape[0]) * m_ways + asg.astype(jnp.int32)
+        # maximum() only neutralizes the -1 non-member sentinel (those rows
+        # are masked by `member` below); the cmap read is guarded by the
+        # slot clip on the next line.
+        slot = jnp.maximum(seg, 0) * m_ways + asg.astype(jnp.int32)
         newid = cmap[jnp.clip(slot, 0, cmap.shape[0] - 1)]
         return jnp.where(member, newid, gci_loc)
 

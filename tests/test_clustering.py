@@ -330,3 +330,24 @@ def test_resident_failure_falls_back_to_upload_path(monkeypatch, rng):
     monkeypatch.setenv("SPF_SUBDIV_RESIDENT", "1")
     fallback = HierarchicalClustering(_params(**kw), data).fit()
     assert _clusters_snapshot(fallback) == _clusters_snapshot(classic)
+
+
+def test_resident_count_drift_is_never_swallowed(monkeypatch, rng):
+    """The fallback guard must RE-RAISE the ResidentCountDrift correctness
+    sentinel — masking it behind a silent upload-path redo would hide a real
+    kernel regression behind correct-but-doubled-cost builds."""
+    from spfresh_tpu.clustering import hierarchical as H
+
+    data = rng.standard_normal((1500, 8)).astype(np.float32)
+    monkeypatch.setattr(H, "_HOST_SPLIT_MAX_P", 0)
+    monkeypatch.setenv("SPF_SUBDIV_RESIDENT", "1")
+
+    def drift(self, cap, _p, level):
+        raise H.ResidentCountDrift("synthetic drift")
+
+    monkeypatch.setattr(H.HierarchicalClustering,
+                        "_subdivide_multiway_resident", drift)
+    with pytest.raises(H.ResidentCountDrift):
+        HierarchicalClustering(
+            _params(initial_k=3, desired_cluster_size=40, rng_seed=1), data
+        ).fit()
