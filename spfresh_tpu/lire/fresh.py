@@ -162,15 +162,20 @@ class SpFreshIndex:
         pid = res.partitions_affected[0]
         with self._lock:
             entry = self.index.postings.get(pid)
-            # Skip when a background op's mirror sync already included the
-            # new vector (it reads storage, where the append landed first).
-            if entry is not None and not (entry[0] == int(vector_id)).any():
-                ids, vecs = entry
-                self.index.replace_posting(
-                    pid,
-                    np.append(ids, np.int64(vector_id)),
-                    np.concatenate([vecs, vector[None, :]]),
-                )
+            # Skip the mirror append when a background op's sync already
+            # included the new vector (it reads storage, where the append
+            # landed first) — but still record the id->posting mapping: a
+            # Reassign's ``_after_op`` refreshes the mirror (``_sync_mirror``)
+            # BEFORE its own map pass, and a delete landing in that window
+            # saw an empty map and raised KeyError for a live vector.
+            if entry is not None:
+                if not (entry[0] == int(vector_id)).any():
+                    ids, vecs = entry
+                    self.index.replace_posting(
+                        pid,
+                        np.append(ids, np.int64(vector_id)),
+                        np.concatenate([vecs, vector[None, :]]),
+                    )
                 self._map_add(int(vector_id), pid)
             # else: a background split retired ``pid`` after the storage
             # append; the split's version guard re-read the posting including
@@ -247,6 +252,12 @@ class SpFreshIndex:
                 if posting_id is not None
                 else sorted(self._id_map.get(int(vector_id), ()))
             )
+        if not pids and posting_id is None:
+            # The map can lag storage by one background-callback window
+            # (e.g. a sync that mirrored this vid before its map pass ran):
+            # the storage reverse index is the truth — same resolution the
+            # lazy tier and delete_batch use.
+            pids = sorted(self.storage.postings_of(int(vector_id)))
         if not pids:
             raise KeyError(f"vector {vector_id} not found")
         from spfresh_tpu.lire.storage import LireStorageError
@@ -400,10 +411,14 @@ class SpFreshIndex:
         op, result = outcome.op, outcome.result
         # Reassign mutates postings without retiring them: resync those.
         if isinstance(op, Reassign):
-            self._sync_mirror(
-                [p for p in op.get_affected_partitions() if self.storage.has_posting(p)]
-            )
+            # ONE critical section for the mirror refresh AND the map pass
+            # (RLock nests): with them split, a foreground insert could
+            # observe the refreshed mirror, skip its own map add, and leave
+            # a live vector invisible to delete() until the map pass landed.
             with self._lock:
+                self._sync_mirror(
+                    [p for p in op.get_affected_partitions() if self.storage.has_posting(p)]
+                )
                 for pid in op.get_affected_partitions():
                     if not self.storage.has_posting(pid):
                         continue

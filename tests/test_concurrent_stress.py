@@ -12,6 +12,7 @@ after its delete returns; a known resident vid stays findable; the final
 flushed state matches the surviving-model live set."""
 
 import threading
+import traceback
 
 import numpy as np
 
@@ -64,7 +65,10 @@ def test_concurrent_search_update_compact(tmp_path):
                     errors.append("anchor vid vanished from its own query")
                     return
         except Exception as e:  # noqa: BLE001
-            errors.append(f"searcher raised: {type(e).__name__}: {e}")
+            errors.append(
+                f"searcher raised: {type(e).__name__}: {e}\n"
+                f"{traceback.format_exc()}"
+            )
 
     def mutator():
         r = np.random.default_rng(1)
@@ -91,7 +95,10 @@ def test_concurrent_search_update_compact(tmp_path):
                     mine.append(next_vid)
                     next_vid += 1
         except Exception as e:  # noqa: BLE001
-            errors.append(f"mutator raised: {type(e).__name__}: {e}")
+            errors.append(
+                f"mutator raised: {type(e).__name__}: {e}\n"
+                f"{traceback.format_exc()}"
+            )
 
     def compactor():
         try:
@@ -99,7 +106,10 @@ def test_concurrent_search_update_compact(tmp_path):
                 fresh.compact()
                 stop.wait(0.25)
         except Exception as e:  # noqa: BLE001
-            errors.append(f"compactor raised: {type(e).__name__}: {e}")
+            errors.append(
+                f"compactor raised: {type(e).__name__}: {e}\n"
+                f"{traceback.format_exc()}"
+            )
 
     threads = [
         threading.Thread(target=searcher),
@@ -170,7 +180,10 @@ def test_concurrent_search_update_ram_tier(tmp_path):
                     errors.append("anchor vid vanished")
                     return
         except Exception as e:  # noqa: BLE001
-            errors.append(f"searcher raised: {type(e).__name__}: {e}")
+            errors.append(
+                f"searcher raised: {type(e).__name__}: {e}\n"
+                f"{traceback.format_exc()}"
+            )
 
     def mutator():
         from spfresh_tpu.lire import LireStorageError
@@ -199,7 +212,10 @@ def test_concurrent_search_update_ram_tier(tmp_path):
                     mine.append(next_vid)
                     next_vid += 1
         except Exception as e:  # noqa: BLE001
-            errors.append(f"mutator raised: {type(e).__name__}: {e}")
+            errors.append(
+                f"mutator raised: {type(e).__name__}: {e}\n"
+                f"{traceback.format_exc()}"
+            )
 
     threads = [threading.Thread(target=searcher),
                threading.Thread(target=mutator)]

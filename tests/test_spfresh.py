@@ -376,3 +376,44 @@ def test_insert_batch_reroute_fallback_visible_in_search(tmp_path):
         assert np.allclose(np.asarray(dists)[:, 0], 0.0, atol=1e-5)
     finally:
         fresh.close()
+
+
+def test_insert_map_entry_survives_concurrent_mirror_sync(tmp_path):
+    """A background op's ``_sync_mirror`` can mirror a fresh insert BEFORE
+    insert()'s own mirror block runs (the sync reads storage, where the
+    append landed first).  insert() must still record the id->posting map
+    entry — pre-fix it skipped ``_map_add`` whenever the mirror already held
+    the vid, and an immediate delete() raised KeyError for a live vector
+    (caught by the threaded stress suite)."""
+    fresh, data, rng = build_fresh(tmp_path)
+    with fresh:
+        real_insert = fresh.protocol.insert
+
+        def insert_then_background_sync(vector, vector_id, posting_id=None):
+            res = real_insert(vector, vector_id, posting_id)
+            # Emulate a Reassign/_on_posting_created sync landing between
+            # the storage append and insert()'s mirror block.
+            fresh._sync_mirror(list(res.partitions_affected))
+            return res
+
+        fresh.protocol.insert = insert_then_background_sync
+        v = rng.standard_normal(4).astype(np.float32)
+        fresh.insert(v, 7777)
+        fresh.protocol.insert = real_insert
+        assert 7777 in fresh._id_map and fresh._id_map[7777]
+        fresh.delete(7777)  # pre-fix: KeyError('vector 7777 not found')
+        assert fresh.storage.postings_of(7777) == []
+
+
+def test_delete_falls_back_to_storage_reverse_index(tmp_path):
+    """Even with a lagging (empty) map entry, delete() must resolve live
+    copies through the storage reverse index — the same truth the lazy tier
+    and delete_batch consult."""
+    fresh, data, rng = build_fresh(tmp_path)
+    with fresh:
+        v = rng.standard_normal(4).astype(np.float32)
+        fresh.insert(v, 8888)
+        with fresh._lock:
+            fresh._id_map.pop(8888, None)  # simulate the lag window
+        versions = fresh.delete(8888)
+        assert versions and fresh.storage.postings_of(8888) == []
