@@ -41,64 +41,122 @@ def _timed(fn):
     return time.perf_counter() - t0
 
 
+def _error_payload(kind, detail, t_waited):
+    return {
+        "metric": "bench_error",
+        "value": 0.0,
+        "unit": "qps",
+        "vs_baseline": 0.0,
+        "error": kind,
+        "detail": str(detail)[:500],
+        "backend_wait_s": round(t_waited, 1),
+    }
+
+
 def _emit_error(kind, detail, t_waited):
     """One structured JSON line on stdout (still rc!=0) so a dead backend
     yields an interpretable driver artifact instead of a traceback
     (VERDICT r3: BENCH_r03.json was a raw stack trace)."""
-    print(
-        json.dumps(
-            {
-                "metric": "bench_error",
-                "value": 0.0,
-                "unit": "qps",
-                "vs_baseline": 0.0,
-                "error": kind,
-                "detail": str(detail)[:500],
-                "backend_wait_s": round(t_waited, 1),
-            }
-        ),
-        flush=True,
-    )
+    print(json.dumps(_error_payload(kind, detail, t_waited)), flush=True)
     sys.exit(2)
 
 
-def _await_backend(max_wait_s=None):
+def _hang_watchdog(budget_s):
+    """Last-ditch guard for the dead-tunnel mode retry/backoff can't catch:
+    backend init that HANGS instead of raising (observed live — a dead
+    tunnel wedges `jax.devices()` indefinitely; the watcher's probes each
+    burn their full 240 s timeout).  A daemon timer emits the structured
+    error line and hard-exits, so the driver still gets an interpretable
+    artifact instead of killing a silent process."""
+    import threading
+
+    def fire():
+        print(
+            json.dumps(_error_payload(
+                "tpu_unavailable", "backend init hang (watchdog)", budget_s
+            )),
+            flush=True,
+        )
+        os._exit(2)
+
+    t = threading.Timer(budget_s, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
+def _probe_backend_subprocess(timeout_s):
+    """(ok, why): can a FRESH interpreter init the backend and run a real
+    matmul within timeout_s?  Probing out of process means a hanging
+    backend init costs this probe its timeout — not the bench its life —
+    and the main process only touches the backend after a probe proves the
+    tunnel is answering."""
+    import subprocess
+
+    code = (
+        "import jax, jax.numpy as jnp; jax.devices(); "
+        "(jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready(); "
+        "print('BACKEND_OK')"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        return False, f"backend init hang (probe > {timeout_s:.0f}s)"
+    if r.returncode == 0 and "BACKEND_OK" in r.stdout:
+        return True, ""
+    tail = (r.stderr or r.stdout).strip().splitlines()
+    return False, (tail[-1][:300] if tail else f"probe rc={r.returncode}")
+
+
+def _await_backend(max_wait_s=None, hang_grace_s=120.0):
     """Bounded retry/backoff on backend init: the axon tunnel dies for
-    whole windows, and a first-contact `jax.devices()` then raises (or the
-    plugin wedges).  Retry with backoff up to SPF_BENCH_BACKEND_WAIT_S
-    (default 900 s), proving each attempt with a real matmul; on exhaustion
-    emit a structured error line instead of a traceback."""
+    whole windows, and a first-contact `jax.devices()` then raises OR
+    wedges.  Each attempt is proven in a throwaway subprocess (hangs cost
+    that probe its timeout); only then does the main process init the
+    backend, under a watchdog that turns an in-process wedge into the same
+    structured error.  Budget: SPF_BENCH_BACKEND_WAIT_S (default 900 s)."""
     if max_wait_s is None:
         max_wait_s = float(os.environ.get("SPF_BENCH_BACKEND_WAIT_S", 900))
     t0 = time.monotonic()
     delay = 5.0
     attempt = 0
+    watchdog = _hang_watchdog(max_wait_s + hang_grace_s)
     while True:
         attempt += 1
-        try:
-            devs = jax.devices()
-            import jax.numpy as jnp
-
-            (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
-            return devs
-        except Exception as e:  # noqa: BLE001 — backend init raises RuntimeError subclasses
-            waited = time.monotonic() - t0
-            if waited >= max_wait_s:
-                log(f"backend unavailable after {waited:.0f}s "
-                    f"({attempt} attempts): {e}")
-                _emit_error("tpu_unavailable", e, waited)
-            log(f"backend init attempt {attempt} failed ({e}); "
-                f"retry in {delay:.0f}s ({waited:.0f}/{max_wait_s:.0f}s)")
-            time.sleep(min(delay, max(max_wait_s - waited, 0.1)))
-            delay = min(delay * 2, 120.0)
+        remaining = max_wait_s - (time.monotonic() - t0)
+        ok, why = _probe_backend_subprocess(max(min(240.0, remaining), 60.0))
+        if ok:
             try:
-                # jax caches a failed backend init (_backend_errors); drop
-                # the cache before retrying or every attempt re-raises it.
-                import jax.extend.backend
+                devs = jax.devices()
+                import jax.numpy as jnp
 
-                jax.extend.backend.clear_backends()
-            except Exception:
-                pass
+                (jnp.ones((8, 8)) @ jnp.ones((8, 8))).block_until_ready()
+                watchdog.cancel()
+                return devs
+            except Exception as e:  # noqa: BLE001 — init raises RuntimeError subclasses
+                why = str(e)
+                try:
+                    # jax caches a failed backend init (_backend_errors);
+                    # drop the cache or every retry re-raises it.
+                    import jax.extend.backend
+
+                    jax.extend.backend.clear_backends()
+                except Exception:
+                    pass
+        waited = time.monotonic() - t0
+        log(f"backend init attempt {attempt} failed ({why}) "
+            f"({waited:.0f}/{max_wait_s:.0f}s)")
+        if waited >= max_wait_s:
+            # The timer must never outlive this function into a live
+            # process (it would os._exit a host importing us in-process).
+            watchdog.cancel()
+            _emit_error("tpu_unavailable", why, waited)
+        log(f"retry in {delay:.0f}s")
+        time.sleep(min(delay, max(max_wait_s - waited, 0.1)))
+        delay = min(delay * 2, 120.0)
 
 
 def main():

@@ -48,6 +48,33 @@ def test_dead_backend_emits_structured_error_and_nonzero_rc():
     assert "attempt 2" in res.stderr
 
 
+def test_hung_backend_watchdog_emits_structured_error():
+    """The OBSERVED dead-tunnel mode: backend init that HANGS instead of
+    raising (a dead tunnel wedges `jax.devices()` indefinitely).  The
+    in-process watchdog must turn that into the same one-line structured
+    artifact + rc=2 instead of a silent process the driver has to kill."""
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    code = (
+        f"import sys, time; sys.path.insert(0, {REPO!r})\n"
+        "import bench, jax\n"
+        "bench._probe_backend_subprocess = lambda t: (True, '')\n"
+        "jax.devices = lambda *a, **k: time.sleep(600)\n"
+        "bench._await_backend(max_wait_s=4, hang_grace_s=4)\n"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=120, env=env, cwd=REPO,
+    )
+    assert res.returncode == 2
+    lines = [ln for ln in res.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, f"stdout must be ONE JSON line, got: {res.stdout!r}"
+    payload = json.loads(lines[0])
+    assert payload["error"] == "tpu_unavailable"
+    assert "hang" in payload["detail"]
+
+
 def test_live_cpu_backend_passes_await(monkeypatch):
     # The retry helper returns immediately on a healthy backend.
     sys.path.insert(0, REPO)
