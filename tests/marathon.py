@@ -45,10 +45,11 @@ def run_storage(seed: int) -> None:
 def run_fresh(seed: int) -> None:
     import test_fresh_model_fuzz as t
 
-    with _tmp() as d:
-        from pathlib import Path
+    for sd in ("float32", "int8"):
+        with _tmp() as d:
+            from pathlib import Path
 
-        t.test_lazy_fresh_model_fuzz(Path(d), seed)
+            t.test_lazy_fresh_model_fuzz(Path(d), seed, sd)
 
 
 def run_spfresh(seed: int) -> None:

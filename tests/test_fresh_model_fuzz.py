@@ -30,7 +30,7 @@ def _live_map(storage):
     return out
 
 
-def _check(fresh, model, deleted, ctx):
+def _check(fresh, model, deleted, ctx, exact_dist=True):
     fresh.flush()
     live = _live_map(fresh.storage)
     assert set(live) == set(model), (
@@ -38,25 +38,32 @@ def _check(fresh, model, deleted, ctx):
         f"extra={set(live) - set(model)})"
     )
     for vid, vec in list(model.items())[:8]:
+        # Disk stays exact f32 under EVERY storage dtype (design contract).
         np.testing.assert_allclose(live[vid], vec, atol=1e-5, err_msg=ctx)
     assert not (set(live) & deleted), f"{ctx}: deleted vid resurrected"
-    # Exact-member searches hit their own vid.
+    # Exact-member searches hit their own vid.  Under int8 staging the
+    # serving slabs carry quantized residuals: top-1 identity must hold
+    # (quantization error << inter-point distance at this geometry), but
+    # the self-distance is only ~0 for exact slabs.
     probe = list(model.items())[:4]
     if probe:
         q = np.stack([v for _, v in probe])
         ids, d = fresh.search(q, 1, nprobe=fresh.num_clusters)
         for r, (vid, _) in enumerate(probe):
             assert int(ids[r, 0]) == vid, f"{ctx}: self-query missed"
-            assert float(d[r, 0]) < 1e-4, ctx
+            if exact_dist:
+                assert float(d[r, 0]) < 1e-4, ctx
 
 
+@pytest.mark.parametrize("sd", ["float32", "int8"])
 @pytest.mark.parametrize("seed", [0, 1])
-def test_lazy_fresh_model_fuzz(tmp_path, seed):
+def test_lazy_fresh_model_fuzz(tmp_path, seed, sd):
     rng = np.random.default_rng(3000 + seed)
     n = 150
     data = 2.0 * rng.standard_normal((n, DIM)).astype(np.float32)
     cfg = Config.from_dict(
         {
+            "storage_dtype": sd,
             "clustering_params": {
                 "initial_k": 4,
                 "desired_cluster_size": 30,
@@ -114,11 +121,11 @@ def test_lazy_fresh_model_fuzz(tmp_path, seed):
                     cfg.output_path, lire_config=lire_cfg
                 )
             if step % 12 == 11:
-                _check(fresh, model, deleted, f"seed {seed} step {step}")
-        _check(fresh, model, deleted, f"seed {seed} final")
+                _check(fresh, model, deleted, f"seed {seed} step {step}", exact_dist=sd != "int8")
+        _check(fresh, model, deleted, f"seed {seed} final", exact_dist=sd != "int8")
         # End-to-end durability: everything survives one more reopen.
         fresh.close()
         fresh = LazySpFreshIndex(cfg.output_path, lire_config=lire_cfg)
-        _check(fresh, model, deleted, f"seed {seed} post-final-reopen")
+        _check(fresh, model, deleted, f"seed {seed} post-final-reopen", exact_dist=sd != "int8")
     finally:
         fresh.close()
