@@ -14,6 +14,13 @@ y = (jnp.ones((128, 128)) @ jnp.ones((128, 128))).block_until_ready()
 print('live:', d[0])
 " >> "$LOG" 2>&1; then
     echo "TUNNEL LIVE $(date)" >> "$LOG"
+    # The 1-core host must belong to the TPU session: stop any CPU-side
+    # stress/fuzz campaign before firing (pid file, never pattern-kill).
+    if [ -f /tmp/r4_campaign.pid ]; then
+      kill "$(cat /tmp/r4_campaign.pid)" 2>/dev/null
+      rm -f /tmp/r4_campaign.pid
+      echo "campaign stopped for session $(date)" >> "$LOG"
+    fi
     exec bash "$SESSION"
   fi
   echo "dead $(date)" >> "$LOG"
