@@ -42,6 +42,7 @@ def _case(seed, n, C, d, dtype):
         (256, 512, 128, 8, "float32"),    # exactly one block each
         (400, 50, 128, 3, "bfloat16"),
         (513, 700, 96, 4, "bfloat16"),
+        (300, 200, 960, 4, "bfloat16"),   # GIST dims: d_pad spans 8 lanes of 128
     ],
 )
 def test_matches_xla_oracle(n, C, d, ne, dtype):
