@@ -23,6 +23,32 @@ from spfresh_tpu.lire.lazy_fresh import LazySpFreshIndex
 DIM = 8
 
 
+def _vid_state(fresh, vids):
+    """Failure forensics, captured AT detection time (the interleavings
+    here fire once in ~100 runs — the first trip must carry the evidence):
+    where does each vid live right now — storage reverse index, the RAM
+    tier's id map, and which mirror postings contain it."""
+    out = []
+    for vid in list(vids)[:8]:
+        vid = int(vid)
+        try:
+            rev = fresh.storage.postings_of(vid)
+        except Exception as e:  # noqa: BLE001 — forensics must not mask
+            rev = f"<{type(e).__name__}: {e}>"
+        imap = getattr(fresh, "_id_map", {}).get(vid)
+        mirror = []
+        idx = getattr(fresh, "index", None)
+        if idx is not None:
+            try:
+                for pid, (ids, _v) in list(idx.postings.items()):
+                    if (ids == vid).any():
+                        mirror.append(pid)
+            except RuntimeError:  # postings dict mutated mid-scan
+                mirror = ["<concurrently-changed>"]
+        out.append(f"vid {vid}: storage={rev} map={imap} mirror={mirror}")
+    return "; ".join(out)
+
+
 def test_concurrent_search_update_compact(tmp_path):
     rng = np.random.default_rng(0)
     data = 2.0 * rng.standard_normal((200, DIM)).astype(np.float32)
@@ -59,10 +85,16 @@ def test_concurrent_search_update_compact(tmp_path):
                 ids, _ = fresh.search(q, 8, nprobe=fresh.num_clusters)
                 bad = set(ids.reshape(-1).tolist()) & pre
                 if bad:
-                    errors.append(f"deleted vids in results: {bad}")
+                    errors.append(
+                        f"deleted vids in results: {bad} | "
+                        f"{_vid_state(fresh, bad)}"
+                    )
                     return
                 if anchor_vid not in ids[0]:
-                    errors.append("anchor vid vanished from its own query")
+                    errors.append(
+                        "anchor vid vanished from its own query | "
+                        f"{_vid_state(fresh, [anchor_vid])}"
+                    )
                     return
         except Exception as e:  # noqa: BLE001
             errors.append(
@@ -85,7 +117,10 @@ def test_concurrent_search_update_compact(tmp_path):
                         except LireStorageError:
                             continue  # documented retry contract
                     else:
-                        errors.append(f"delete({vid}) never converged")
+                        errors.append(
+                            f"delete({vid}) never converged | "
+                            f"{_vid_state(fresh, [vid])}"
+                        )
                         return
                     with deleted_lock:
                         deleted_confirmed.add(vid)
@@ -174,10 +209,16 @@ def test_concurrent_search_update_ram_tier(tmp_path):
                                       engine="xla")
                 bad = set(ids.reshape(-1).tolist()) & pre
                 if bad:
-                    errors.append(f"deleted vids in results: {bad}")
+                    errors.append(
+                        f"deleted vids in results: {bad} | "
+                        f"{_vid_state(fresh, bad)}"
+                    )
                     return
                 if anchor_vid not in ids[0]:
-                    errors.append("anchor vid vanished")
+                    errors.append(
+                        "anchor vid vanished | "
+                        f"{_vid_state(fresh, [anchor_vid])}"
+                    )
                     return
         except Exception as e:  # noqa: BLE001
             errors.append(
@@ -202,7 +243,10 @@ def test_concurrent_search_update_ram_tier(tmp_path):
                         except LireStorageError:
                             continue
                     else:
-                        errors.append(f"delete({vid}) never converged")
+                        errors.append(
+                            f"delete({vid}) never converged | "
+                            f"{_vid_state(fresh, [vid])}"
+                        )
                         return
                     with deleted_lock:
                         deleted_confirmed.add(vid)
