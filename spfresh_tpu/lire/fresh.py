@@ -298,6 +298,18 @@ class SpFreshIndex:
             )
         if not versions:
             raise KeyError(f"vector {vector_id} not found in any live posting")
+        # SUCCESS: storage holds no live copy anywhere — but the MIRROR can
+        # still serve one.  A round whose tombstone lost (map said pid, the
+        # copy had already been moved out by a background Reassign whose
+        # ``_after_op`` sync has not landed yet) took the LireStorageError
+        # path above and SKIPPED its _mirror_remove — leaving the pre-move
+        # mirror copy serving until that sync arrives.  Any mirror copy is
+        # stale by definition now; sweep the residual map entries.  (Caught
+        # by the threaded stress loop: delete() returned, storage=[], yet
+        # searches kept returning the vid from the pre-move posting.)
+        with self._lock:
+            for pid in sorted(self._id_map.get(int(vector_id), set())):
+                self._mirror_remove(int(vector_id), pid)
         return versions
 
     def _mirror_remove(self, vector_id: int, pid: int) -> None:

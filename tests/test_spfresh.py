@@ -417,3 +417,31 @@ def test_delete_falls_back_to_storage_reverse_index(tmp_path):
             fresh._id_map.pop(8888, None)  # simulate the lag window
         versions = fresh.delete(8888)
         assert versions and fresh.storage.postings_of(8888) == []
+
+
+def test_delete_sweeps_stale_mirror_copy_after_lagging_move(tmp_path):
+    """A background Reassign moves a copy OUT of a posting; before its
+    ``_after_op`` mirror sync lands, delete() resolves the stale map entry,
+    loses that round's tombstone (LireStorageError path), and succeeds via
+    the storage reverse index.  The pre-move MIRROR copy must not keep
+    serving after delete() returns — the threaded stress loop caught
+    exactly this state: storage=[] map={src} mirror=[src] with searches
+    still returning the vid."""
+    fresh, data, rng = build_fresh(tmp_path)
+    with fresh:
+        v = rng.standard_normal(4).astype(np.float32)
+        fresh.insert(v, 7777)
+        src = sorted(fresh._id_map[7777])[0]
+        dst = next(p for p in fresh.storage.posting_ids() if p != src)
+        ids, _, vers = fresh.storage.get_posting(src)
+        ev = int(vers[list(ids).index(7777)])
+        # Storage-level move WITHOUT the op callbacks = the lag window.
+        moved, _ = fresh.storage.move_vectors(src, dst, [7777], [ev])
+        assert list(moved) == [7777]
+        fresh.delete(7777)
+        assert fresh.storage.postings_of(7777) == []
+        assert not fresh._id_map.get(7777)
+        ids2, _ = fresh.search(
+            v[None, :], k=1, nprobe=fresh.index.num_clusters
+        )
+        assert int(ids2[0, 0]) != 7777, "deleted vid still serving from mirror"
