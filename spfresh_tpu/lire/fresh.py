@@ -347,7 +347,6 @@ class SpFreshIndex:
                         by_pid.setdefault(int(pid), []).append(vid)
             if not by_pid:
                 break
-            hit_any = False
             for pid, vids in sorted(by_pid.items()):
                 try:
                     hit_ids, _ = self.storage.mark_deleted_batch(pid, vids)
@@ -355,7 +354,6 @@ class SpFreshIndex:
                     continue  # retired mid-round: next round re-resolves
                 if not hit_ids:
                     continue
-                hit_any = True
                 deleted.update(hit_ids)
                 touched.add(pid)
                 metrics.inc("lire.delete", len(hit_ids))
@@ -369,8 +367,25 @@ class SpFreshIndex:
             pending = {
                 vid for vid in pending if self.storage.postings_of(vid)
             }
-            if not pending or not hit_any:
+            # A zero-hit round is NOT terminal (same rule delete() earned
+            # from the stress suite): with a stale round-0 map pid the
+            # tombstone misses, yet re-resolution finds the copy LIVE at
+            # its post-move home — breaking on ``not hit_any`` returned 0
+            # while the vector kept serving.  Rounds are bounded; pending
+            # is resolved fresh from storage each one.
+            if not pending:
                 break
+        # Same stale-mirror sweep as delete(): a round-0 stale map pid whose
+        # batch tombstone found nothing (the copy had already been moved out
+        # by a background Reassign whose _after_op sync has not landed) kept
+        # its pre-move MIRROR copy serving.  Once a vid has no live copy in
+        # storage, any mirror copy is stale by definition.
+        with self._lock:
+            for vid in deleted:
+                if self.storage.postings_of(vid):
+                    continue  # still live elsewhere (racing mover): not stale
+                for pid in sorted(self._id_map.get(vid, set())):
+                    self._mirror_remove(vid, pid)
         for pid in sorted(touched):
             if not self.storage.has_posting(pid):
                 continue

@@ -445,3 +445,26 @@ def test_delete_sweeps_stale_mirror_copy_after_lagging_move(tmp_path):
             v[None, :], k=1, nprobe=fresh.index.num_clusters
         )
         assert int(ids2[0, 0]) != 7777, "deleted vid still serving from mirror"
+
+
+def test_delete_batch_sweeps_stale_mirror_copy_after_lagging_move(tmp_path):
+    """delete_batch form of the stale-mirror sweep: the round-0 stale map
+    pid's batch tombstone hits nothing (``continue``), so without the sweep
+    the pre-move mirror copy keeps serving after the batch returns."""
+    fresh, data, rng = build_fresh(tmp_path)
+    with fresh:
+        v = rng.standard_normal(4).astype(np.float32)
+        fresh.insert(v, 6666)
+        src = sorted(fresh._id_map[6666])[0]
+        dst = next(p for p in fresh.storage.posting_ids() if p != src)
+        ids, _, vers = fresh.storage.get_posting(src)
+        ev = int(vers[list(ids).index(6666)])
+        moved, _ = fresh.storage.move_vectors(src, dst, [6666], [ev])
+        assert list(moved) == [6666]
+        assert fresh.delete_batch([6666]) == 1
+        assert fresh.storage.postings_of(6666) == []
+        assert not fresh._id_map.get(6666)
+        ids2, _ = fresh.search(
+            v[None, :], k=1, nprobe=fresh.index.num_clusters
+        )
+        assert int(ids2[0, 0]) != 6666, "deleted vid still serving from mirror"
