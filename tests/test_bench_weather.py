@@ -81,7 +81,10 @@ def test_live_cpu_backend_passes_await(monkeypatch):
     try:
         import bench
 
-        devs = bench._await_backend(max_wait_s=5)
+        # Budget must absorb one subprocess probe on a CONTENDED 1-core
+        # host (jax import alone can take ~60 s there); a healthy backend
+        # returns right after the first probe regardless of the budget.
+        devs = bench._await_backend(max_wait_s=240)
         assert len(devs) >= 1
     finally:
         sys.path.remove(REPO)
