@@ -199,22 +199,23 @@ class LazySpFreshIndex:
                     by_pid.setdefault(int(pid), []).append(vid)
             if not by_pid:
                 break
-            hit_any = False
             for pid, vids in sorted(by_pid.items()):
                 try:
                     hit_ids, _ = self.storage.mark_deleted_batch(pid, vids)
                 except LireStorageError:
                     continue  # retired mid-round: next round re-resolves
                 if hit_ids:
-                    hit_any = True
                     deleted.update(hit_ids)
                     touched.add(pid)
                     metrics.inc("lire.delete", len(hit_ids))
             # Only ids with NO remaining live copy leave the pending set.
+            # A zero-hit round is NOT terminal (same rule as the RAM tier):
+            # a copy re-homed between this round's resolve and its tombstone
+            # is still live — the next round's fresh resolve catches it.
             pending = {
                 vid for vid in pending if self.storage.postings_of(vid)
             }
-            if not pending or not hit_any:
+            if not pending:
                 break
         for pid in sorted(touched):
             if not self.storage.has_posting(pid):

@@ -842,3 +842,32 @@ def test_move_vectors_collapse_ram_tier(tmp_path, rng):
     ids2, _, _ = st.get_posting(2)
     assert (np.asarray(ids2) == 900).sum() == 1
     assert sorted(st.postings_of(900)) == [2]
+
+
+def test_lazy_delete_batch_zero_hit_round_not_terminal(tmp_path, monkeypatch):
+    """A round whose every tombstone loses a race to a concurrent move must
+    NOT end the batch: the next round's fresh resolve still sees the live
+    copy.  (The old ``not hit_any`` break returned 0 with the vector fully
+    live — the RAM tier had the same bug, caught by the threaded stress
+    grind.)  Simulated by making the FIRST mark_deleted_batch call report
+    zero hits."""
+    cfg, index, data, rng = _build_packed(tmp_path)
+    fresh = LazySpFreshIndex(cfg.output_path, lire_config=LireConfig(min_partition_size=2))
+    try:
+        v = np.full(data.shape[1], 3.25, np.float32)
+        fresh.insert(v, 5555)
+        real = fresh.storage.mark_deleted_batch
+        calls = {"n": 0}
+
+        def flaky(pid, vids):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                return [], []  # lost the race: nothing tombstoned this round
+            return real(pid, vids)
+
+        monkeypatch.setattr(fresh.storage, "mark_deleted_batch", flaky)
+        assert fresh.delete_batch([5555]) == 1
+        assert calls["n"] >= 2
+        assert fresh.storage.postings_of(5555) == []
+    finally:
+        fresh.close()
