@@ -109,6 +109,24 @@ def test_concurrent_search_update_compact(tmp_path):
         try:
             while not stop.is_set():
                 if mine and r.random() < 0.45:
+                    if len(mine) >= 3 and r.random() < 0.3:
+                        # Batch form: exercises the zero-hit-round and
+                        # stale-mirror-sweep paths delete_batch owns.
+                        vids = [mine.pop(int(r.integers(len(mine))))
+                                for _ in range(3)]
+                        n_del = fresh.delete_batch(vids)
+                        confirmed = [v for v in vids
+                                     if not fresh.storage.postings_of(v)]
+                        if n_del < len(vids) and len(confirmed) == len(vids):
+                            errors.append(
+                                f"delete_batch({vids}) undercounted {n_del} | "
+                                f"{_vid_state(fresh, vids)}"
+                            )
+                            return
+                        with deleted_lock:
+                            deleted_confirmed.update(confirmed)
+                        mine.extend(v for v in vids if v not in confirmed)
+                        continue
                     vid = mine.pop(int(r.integers(len(mine))))
                     for attempt in range(20):
                         try:
@@ -235,6 +253,22 @@ def test_concurrent_search_update_ram_tier(tmp_path):
         try:
             while not stop.is_set():
                 if mine and r.random() < 0.45:
+                    if len(mine) >= 3 and r.random() < 0.3:
+                        vids = [mine.pop(int(r.integers(len(mine))))
+                                for _ in range(3)]
+                        n_del = fresh.delete_batch(vids)
+                        confirmed = [v for v in vids
+                                     if not fresh.storage.postings_of(v)]
+                        if n_del < len(vids) and len(confirmed) == len(vids):
+                            errors.append(
+                                f"delete_batch({vids}) undercounted {n_del} | "
+                                f"{_vid_state(fresh, vids)}"
+                            )
+                            return
+                        with deleted_lock:
+                            deleted_confirmed.update(confirmed)
+                        mine.extend(v for v in vids if v not in confirmed)
+                        continue
                     vid = mine.pop(int(r.integers(len(mine))))
                     for _ in range(20):
                         try:
