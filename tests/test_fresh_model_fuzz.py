@@ -12,6 +12,10 @@ exact member vectors must return their vid at distance ~0, and deleted
 vids must never reappear (including across compact and reopen)."""
 
 import numpy as np
+import os
+
+_STEPS = int(os.environ.get("SPF_FUZZ_STEPS", "150"))  # idle grinds go deeper; CI default unchanged
+
 import pytest
 
 from spfresh_tpu.index import Config, SpannIndexBuilder
@@ -81,7 +85,7 @@ def test_lazy_fresh_model_fuzz(tmp_path, seed, sd):
     deleted: set = set()
     next_vid = 10_000
     try:
-        for step in range(150):  # 150 steps: the depth that caught the same-posting duplicate (r4)
+        for step in range(_STEPS):  # default 150: the depth that caught the same-posting duplicate (r4)
             op = rng.choice(
                 ["insert", "insert_batch", "delete", "delete_batch",
                  "compact", "reopen"],

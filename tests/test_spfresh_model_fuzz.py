@@ -9,6 +9,10 @@ model: the storage live set, the search mirror (``index.postings``), and
 full-probe self-query results."""
 
 import numpy as np
+import os
+
+_STEPS = int(os.environ.get("SPF_FUZZ_STEPS", "150"))  # idle grinds go deeper; CI default unchanged
+
 import pytest
 
 from spfresh_tpu.index import Config, SpannIndexBuilder
@@ -81,7 +85,7 @@ def test_spfresh_model_fuzz(tmp_path, seed):
     deleted: set = set()
     next_vid = 10_000
     try:
-        for step in range(150):
+        for step in range(_STEPS):
             op = rng.choice(
                 ["insert", "insert_batch", "delete", "delete_batch"],
                 p=[0.4, 0.2, 0.27, 0.13],
