@@ -97,6 +97,24 @@ def available() -> bool:
 # ---------------------------------------------------------------------------
 
 
+class _MmapView(np.ndarray):
+    """ndarray view into the reader's mmap that keeps the reader alive.
+
+    ``np.ctypeslib.as_array`` alone would leave the view dangling if the
+    ``NativeCsr`` were garbage-collected (``__del__`` munmaps); subclassing
+    lets the view carry a strong reference.  An explicit ``close()`` still
+    invalidates outstanding views — documented on :meth:`NativeCsr.posting`.
+    """
+
+    _keepalive = None
+
+
+def _view_with_owner(arr: np.ndarray, owner) -> np.ndarray:
+    v = arr.view(_MmapView)
+    v._keepalive = owner
+    return v
+
+
 class NativeCsr:
     """mmap'd packed-postings reader (zero-copy per-posting views)."""
 
@@ -117,14 +135,20 @@ class NativeCsr:
         return np.ctypeslib.as_array(p, shape=(self.num_clusters,)).copy()
 
     def posting(self, index: int):
-        """(ids, vectors) zero-copy views for posting at ``index``."""
+        """(ids, vectors) zero-copy views for posting at ``index``.
+
+        The views hold a reference to this reader, so dropping the reader
+        while views are alive is safe; an explicit ``close()`` invalidates
+        them (copy first if the data must outlive the reader)."""
         ids_p = ctypes.POINTER(ctypes.c_int64)()
         vec_p = ctypes.POINTER(ctypes.c_float)()
         n = self._lib.spf_csr_posting(self._h, index, ctypes.byref(ids_p), ctypes.byref(vec_p))
         if n < 0:
             raise IndexError(index)
-        ids = np.ctypeslib.as_array(ids_p, shape=(int(n),))
-        vecs = np.ctypeslib.as_array(vec_p, shape=(int(n), self.dim))
+        ids = _view_with_owner(np.ctypeslib.as_array(ids_p, shape=(int(n),)), self)
+        vecs = _view_with_owner(
+            np.ctypeslib.as_array(vec_p, shape=(int(n), self.dim)), self
+        )
         return ids, vecs
 
     def gather_padded(self, indices: np.ndarray, pad: int):

@@ -38,6 +38,20 @@ def test_native_csr_reads(tmp_path, rng):
     csr.close()
 
 
+def test_native_csr_posting_views_survive_reader_gc(tmp_path, rng):
+    """posting() views keep the mmap alive: dropping the only reader
+    reference while views are outstanding must not invalidate them."""
+    import gc
+
+    path, offsets, ids, vecs = _write_csr(tmp_path, rng)
+    csr = native.NativeCsr(path)
+    got_ids, got_vecs = csr.posting(2)
+    del csr
+    gc.collect()
+    np.testing.assert_array_equal(got_ids, ids[5:9])
+    np.testing.assert_allclose(got_vecs, vecs[5:9])
+
+
 def test_native_csr_gather_padded(tmp_path, rng):
     path, offsets, ids, vecs = _write_csr(tmp_path, rng)
     csr = native.NativeCsr(path)
