@@ -28,7 +28,7 @@ import gzip
 import json
 import os
 import threading
-from typing import Optional, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -176,6 +176,26 @@ def _apply_patches(vecs, ids, lens, pids, patches, pad: int, dim: int):
     return vecs, ids, lens
 
 
+class _RouteSnap(NamedTuple):
+    """One search's immutable view of the routing tier.
+
+    Captured under ``_refresh_lock`` so its fields are mutually consistent;
+    every batch of a search reads THIS, never ``self``.  Without it a
+    concurrent search's overlay refresh could land between a batch's
+    centroid scan and its route-row lookup — rows computed against the old
+    matrix indexing a rebuilt (possibly SHORTER) ``_route_pids`` is an
+    IndexError at best and a wrong slab-to-centroid pairing at worst."""
+
+    centroids: object       # (Cpad, d) device matrix
+    cent_valid: object      # (Cpad,) device mask or None
+    route_pids: np.ndarray  # (Cpad,) row -> live pid (-1 = free slot)
+    row_base: np.ndarray    # (Cpad,) row -> base CSR row (-1 = overlay-only)
+    cent_host: Optional[np.ndarray]  # host mirror (overlay mode) or None
+    num_clusters: int
+    pad: int
+    max_dup: int
+
+
 class LazySpannIndex:
     """Open a saved packed index without loading posting vectors into memory.
 
@@ -254,6 +274,10 @@ class LazySpannIndex:
         self._row_base = np.arange(self.num_clusters, dtype=np.int64)
         # Searches read, reload_base (compact swap) writes — see _RwGate.
         self._gate = _RwGate()
+        # Serializes routing-tier refreshes AND snapshot capture: the read
+        # gate admits many searchers, so two could otherwise interleave
+        # inside _refresh_overlay and leave a mixed slot layout behind.
+        self._refresh_lock = threading.Lock()
         if overlay is not None:
             self._refresh_overlay()
 
@@ -267,6 +291,19 @@ class LazySpannIndex:
         first sync, growth past the pad, or bulk churn.  Plain appends/
         tombstones only refresh the cheap scalar bounds (pad, dedup hint) —
         the slab patches themselves are fetched per batch."""
+        with self._refresh_lock:
+            self._refresh_overlay_locked()
+
+    def _routing_snapshot(self) -> _RouteSnap:
+        """Capture one mutually-consistent view of the routing tier."""
+        with self._refresh_lock:
+            return _RouteSnap(
+                self._centroids, self._cent_valid, self._route_pids,
+                self._row_base, self._cent_host, self.num_clusters,
+                self.pad, self.max_dup,
+            )
+
+    def _refresh_overlay_locked(self) -> None:
         ov = self._overlay
         gen = ov.topology_gen()
         if gen != self._overlay_gen:
@@ -345,7 +382,11 @@ class LazySpannIndex:
         slot_pids = slot_pids.copy()
         slot_pids[removed] = -1
         slot_pids[assign] = pids[new_idx]
+        # Copy-on-write: searches hold _RouteSnap references to the OLD
+        # mirror; mutating it in place would tear their int8 residual origin.
+        cent_host = cent_host.copy()
         cent_host[rows] = vals
+        self._cent_host = cent_host
         rb = self._row_base.copy()
         rb[removed] = -1
         rb[assign] = [self._base_pos.get(int(p), -1) for p in pids[new_idx]]
@@ -377,16 +418,16 @@ class LazySpannIndex:
 
     # -- staging -----------------------------------------------------------
 
-    def _cent_rows_host(self, route_rows: np.ndarray) -> np.ndarray:
+    def _cent_rows_host(self, route_rows: np.ndarray, snap: _RouteSnap) -> np.ndarray:
         """Host centroid rows for the given ROUTE rows — the residual
         origin for int8 staging (must equal what the rerank reconstructs
         with; both sides receive this same array)."""
-        if self._overlay is not None and self._cent_host is not None:
-            return self._cent_host[route_rows, : self.dim]
+        if self._overlay is not None and snap.cent_host is not None:
+            return snap.cent_host[route_rows, : self.dim]
         return self._cent_np[route_rows]
 
     def _stage_async(self, rows: np.ndarray, sd_np, patch_info=None,
-                     cent_rows=None):
+                     cent_rows=None, pad: Optional[int] = None):
         """Start staging on a background thread; returns an object whose
         .join() -> DEVICE arrays (vecs, ids, lens) in the wire dtype.
 
@@ -399,12 +440,14 @@ class LazySpannIndex:
         ``patch_info`` = (pids, patches) applies the live-update overlay to
         the gathered base slabs before the cast/upload (still on the
         staging thread, so it hides behind device compute too)."""
+        if pad is None:
+            pad = self.pad
 
         def to_device(vecs, ids, lens):
             if patch_info is not None:
                 vecs, ids, lens = _apply_patches(
                     vecs, ids, lens, patch_info[0], patch_info[1],
-                    self.pad, self.dim,
+                    pad, self.dim,
                 )
             if self.policy.quantized:
                 from spfresh_tpu.core.dtypes import posting_scales_np, quantize_np
@@ -434,14 +477,14 @@ class LazySpannIndex:
 
         if not self._pipeline:
             class _Sync:
-                def join(_s, _outer=self, _r=rows):
-                    return to_device(*_outer._stage(_r))
+                def join(_s, _outer=self, _r=rows, _p=pad):
+                    return to_device(*_outer._stage(_r, _p))
 
             return _Sync()
         # Kick the native gather immediately on its own C++ thread; the
         # worker thread then joins it, casts, and uploads.
         native_job = (
-            self._native.gather_padded_async(rows.reshape(-1).astype(np.int32), self.pad)
+            self._native.gather_padded_async(rows.reshape(-1).astype(np.int32), pad)
             if self._native is not None else None
         )
         from concurrent.futures import ThreadPoolExecutor
@@ -450,7 +493,7 @@ class LazySpannIndex:
             self._executor = ThreadPoolExecutor(max_workers=1)
 
         def work():
-            staged = native_job.join() if native_job is not None else self._stage(rows)
+            staged = native_job.join() if native_job is not None else self._stage(rows, pad)
             return to_device(*staged)
 
         fut = self._executor.submit(work)
@@ -461,19 +504,21 @@ class LazySpannIndex:
 
         return _Join()
 
-    def _stage(self, rows: np.ndarray) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    def _stage(self, rows: np.ndarray, pad: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Host-gather probed postings into a (m, pad, d) slab batch."""
+        if pad is None:
+            pad = self.pad
         flat = rows.reshape(-1)
         if self._native is not None:
-            return self._native.gather_padded(flat.astype(np.int32), self.pad)
+            return self._native.gather_padded(flat.astype(np.int32), pad)
         m = len(flat)
-        vecs = np.zeros((m, self.pad, self.dim), np.float32)
-        ids = np.full((m, self.pad), -1, np.int64)
+        vecs = np.zeros((m, pad, self.dim), np.float32)
+        ids = np.full((m, pad), -1, np.int64)
         lens = np.empty((m,), np.int32)
         offs = np.asarray(self._offsets)
         for i, r in enumerate(flat):
             s, e = int(offs[r]), int(offs[r + 1])
-            ln = min(e - s, self.pad)
+            ln = min(e - s, pad)
             lens[i] = ln
             vecs[i, :ln] = self._vectors[s : s + ln]
             ids[i, :ln] = self._ids[s : s + ln]
@@ -497,7 +542,10 @@ class LazySpannIndex:
                       batch_size: int) -> Tuple[np.ndarray, np.ndarray]:
         if self._overlay is not None:
             self._refresh_overlay()
-        nprobe = max(1, min(int(nprobe or self.config.search.nprobe or k), self.num_clusters))
+        # One consistent routing view for ALL batches of this search; a
+        # concurrent search's refresh must not swap the tier under us.
+        snap = self._routing_snapshot()
+        nprobe = max(1, min(int(nprobe or self.config.search.nprobe or k), snap.num_clusters))
         out_i, out_d = [], []
 
         sd_np = np.dtype(self.policy.storage_dtype)
@@ -515,7 +563,7 @@ class LazySpannIndex:
                 cent_d,
                 k=int(k),
                 metric=self.metric,
-                max_dup=self.max_dup,
+                max_dup=snap.max_dup,
             )
             out_i.append(np.asarray(qi))
             out_d.append(np.asarray(qd))
@@ -529,7 +577,7 @@ class LazySpannIndex:
         for s in range(0, queries.shape[0], batch_size):
             qb = queries[s : s + batch_size]
             cent_d, rows = self._centroid_topk(
-                jnp.asarray(qb), self._centroids, self._cent_valid,
+                jnp.asarray(qb), snap.centroids, snap.cent_valid,
                 nprobe, self.metric,
             )
             rows_np = np.asarray(rows)
@@ -542,15 +590,16 @@ class LazySpannIndex:
             if self._overlay is not None:
                 # Route rows -> base CSR rows (-1 = overlay-only posting:
                 # gather row 0, the patch replaces the slab wholesale).
-                uniq_pids = self._route_pids[uniq]
-                base = self._row_base[uniq]
+                uniq_pids = snap.route_pids[uniq]
+                base = snap.row_base[uniq]
                 stage_rows = np.where(base >= 0, base, 0)
                 patches = self._overlay.stage_patches(uniq_pids.tolist())
                 patch_info = (uniq_pids, patches) if patches else None
             cent_rows = (
-                self._cent_rows_host(uniq) if self.policy.quantized else None
+                self._cent_rows_host(uniq, snap) if self.policy.quantized else None
             )
-            job = self._stage_async(stage_rows, sd_np, patch_info, cent_rows)
+            job = self._stage_async(stage_rows, sd_np, patch_info, cent_rows,
+                                    pad=snap.pad)
             if pending is not None:
                 finish(*pending)
             pending = (qb, cent_d, inv.reshape(Q, nprobe).astype(np.int32), job)

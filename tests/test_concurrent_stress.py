@@ -1,8 +1,10 @@
 """Threaded stress over the disk-tier serving stack (round 4).
 
-Three concurrent actors on one ``LazySpFreshIndex`` for a bounded wall:
-a SEARCHER running full-probe queries nonstop, a MUTATOR interleaving
-inserts and deletes, and a COMPACTOR folding the overlay.  The hand audits
+Four concurrent actors on one ``LazySpFreshIndex`` for a bounded wall:
+TWO SEARCHERS running full-probe queries nonstop (two, so routing-tier
+refreshes race each other — the _RouteSnap/_refresh_lock surface), a
+MUTATOR interleaving inserts and deletes, and a COMPACTOR folding the
+overlay.  The hand audits
 fixed this surface piece by piece (retired-posting snapshots, pinned
 moves, the compact reader-writer gate, WAL transaction boundaries) — this
 test exercises the combination under real thread interleavings.
@@ -73,8 +75,8 @@ def test_concurrent_search_update_compact(tmp_path):
     deleted_lock = threading.Lock()
     deleted_confirmed: set = set()  # vids whose delete() has RETURNED
 
-    def searcher():
-        q = np.stack([anchor_vec, data[5], data[9]])
+    def searcher(qsel=(5, 9)):
+        q = np.stack([anchor_vec] + [data[j] for j in qsel])
         try:
             while not stop.is_set():
                 # Snapshot BEFORE the search: only vids whose delete
@@ -166,6 +168,7 @@ def test_concurrent_search_update_compact(tmp_path):
 
     threads = [
         threading.Thread(target=searcher),
+        threading.Thread(target=searcher, kwargs={"qsel": (17, 42)}),
         threading.Thread(target=mutator),
         threading.Thread(target=compactor),
     ]

@@ -567,6 +567,100 @@ def test_search_survives_split_commit_mid_search(tmp_path):
         fresh.close()
 
 
+def test_search_snapshot_survives_concurrent_routing_rebuild(tmp_path, monkeypatch):
+    """A search must hold ONE routing-tier snapshot across all its batches.
+
+    A concurrent search's overlay refresh can REBUILD the routing tier with
+    a smaller padded centroid matrix (mass merges shrink Cpad).  Before the
+    _RouteSnap fix, every batch re-read self._route_pids AFTER its centroid
+    scan — rows computed against the old (larger) matrix then indexed the
+    new (shorter) table: IndexError at best, wrong slab-to-centroid pairing
+    at worst.  This drives that interleaving deterministically by committing
+    the merges + refresh between a batch's centroid scan and its route-row
+    lookup (exactly where another searcher thread could land them)."""
+    import spfresh_tpu.index.lazy as lazy_mod
+
+    # Shrink the rebuild bucket (256 -> 32) so the Cpad shrink is reachable
+    # with a test-sized topology; every other _round_up call keeps its m.
+    real_ru = lazy_mod._round_up
+    monkeypatch.setattr(
+        lazy_mod, "_round_up", lambda x, m: real_ru(x, 32 if m == 256 else m)
+    )
+
+    cfg, index, data, rng = _build_packed(tmp_path, n=240)
+    st = PackedLireStorage(cfg.output_path, auto_create_postings=False)
+    lazy = lazy_mod.LazySpannIndex(cfg.output_path, overlay=st)
+    try:
+        def split_once():
+            pid = max(st.posting_ids(), key=lambda p: st.get_posting(p)[0].size)
+            ids0, vecs0, _ = st.get_posting(pid)
+            assert len(ids0) >= 2
+            v = st.get_posting_version(pid)
+            h = len(ids0) // 2
+            n1, n2 = st.allocate_posting_id(), st.allocate_posting_id()
+            assert st.atomic_replace(
+                [pid], [v],
+                [(n1, ids0[:h], vecs0[:h], vecs0[:h].mean(axis=0)),
+                 (n2, ids0[h:], vecs0[h:], vecs0[h:].mean(axis=0))],
+            )
+
+        def merge_once():
+            p1, p2 = sorted(
+                st.posting_ids(), key=lambda p: st.get_posting(p)[0].size
+            )[:2]
+            i1, v1, _ = st.get_posting(p1)
+            i2, v2, _ = st.get_posting(p2)
+            mids = np.concatenate([i1, i2])
+            mvecs = np.concatenate([v1, v2])
+            n = st.allocate_posting_id()
+            assert st.atomic_replace(
+                [p1, p2],
+                [st.get_posting_version(p1), st.get_posting_version(p2)],
+                [(n, mids, mvecs, mvecs.mean(axis=0))],
+            )
+
+        # Grow past one 32-slot bucket, then sync: Cpad lands at 64.
+        while len(st.posting_ids()) < 36:
+            split_once()
+        lazy.search(data[:1], 1, nprobe=4)
+        assert len(lazy._route_pids) == 64
+        c_before = lazy.num_clusters  # 36 live pids in rows 0..35
+
+        fired = {"done": False}
+        real_topk = type(lazy)._centroid_topk
+
+        def topk_then_rebuild(qb, cents, valid, nprobe, metric):
+            out = real_topk(qb, cents, valid, nprobe, metric)
+            if not fired["done"]:
+                fired["done"] = True
+                # The concurrent searcher's interleaving: merges land and
+                # ITS refresh rebuilds the tier (28 live -> Cpad 32 < 64)
+                # after OUR centroid scan, before OUR route-row lookup.
+                while len(st.posting_ids()) > 28:
+                    merge_once()
+                lazy._refresh_overlay()
+                assert len(lazy._route_pids) == 32  # rebuild shrank the tier
+            return out
+
+        lazy._centroid_topk = topk_then_rebuild
+        q = data[:16]
+        ids, dists = lazy.search(q, 3, nprobe=c_before)  # full probe
+        assert fired["done"]
+        # The in-flight search used its own snapshot: rows 32..35 resolved
+        # against the OLD 64-slot table, retired pids served their
+        # pre-retire snapshots — self-queries stay exact.
+        assert np.all(np.asarray(ids)[:, 0] == np.arange(16))
+        assert np.allclose(np.asarray(dists)[:, 0], 0.0, atol=1e-4)
+        # A FRESH search takes a new snapshot over the rebuilt tier.
+        lazy._centroid_topk = real_topk
+        ids2, dists2 = lazy.search(q, 3, nprobe=lazy.num_clusters)
+        assert np.all(np.asarray(ids2)[:, 0] == np.arange(16))
+        assert np.allclose(np.asarray(dists2)[:, 0], 0.0, atol=1e-4)
+    finally:
+        lazy.close()
+        st.close()
+
+
 def test_move_vectors_pinned_semantics(tmp_path):
     """storage.move_vectors moves ONLY entries still live at their planned
     version: a concurrent delete (tombstoned entry) or insert (newer entry)
