@@ -64,6 +64,10 @@ run_step replica_bench_oc 1200 - python benchmarks/replica_bench.py --n 500000 -
 
 # 3. top-k rounds crossover -> wire-or-delete smallest_k_rounds (VERDICT weak-3)
 run_step topk_bench 900 - python benchmarks/topk_bench.py --q 4096 --c 12500
+# 3b. end-to-end confirm: stage-1 selection through the rounds engine
+# (SPF_TOPK_ENGINE=rounds is now wired into centroid_topk behind the flag)
+run_step bench_small_rounds 1200 "$OUT/bench_small_rounds.json" \
+  env SPF_TOPK_ENGINE=rounds python bench.py --small
 
 # 4. mr=4 vs mr=8 clean-window 1M pair (VERDICT weak-7; mr=4 run is step 1's)
 run_step bench_mr8 5400 "$OUT/bench_mr8.json" python bench.py --max-replicas 8

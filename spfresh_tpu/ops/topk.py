@@ -11,6 +11,7 @@ deduplicates implicitly only through its pruning quirks).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -21,9 +22,29 @@ import jax.numpy as jnp
 LARGE_C_THRESHOLD = 32_768
 
 
-@functools.partial(jax.jit, static_argnames=("nprobe", "metric", "chunk"))
+def _topk_engine() -> str:
+    """Stage-1 selection engine: "sort" (``lax.top_k``, default) or
+    "rounds" (k masked-argmin rounds) via ``SPF_TOPK_ENGINE=rounds``.
+
+    Identical results either way (tie semantics match — tested); the flag
+    exists so benchmarks/topk_bench.py's device crossover can be confirmed
+    END-TO-END before flipping the default.  The engine is a static jit
+    key in the chunked scan, so in-process flips retrace correctly."""
+    return "rounds" if os.environ.get("SPF_TOPK_ENGINE") == "rounds" else "sort"
+
+
+def _probe_select(dists: jnp.ndarray, nprobe: int, engine: str):
+    if engine == "rounds":
+        return smallest_k_rounds(dists, nprobe)
+    return smallest_k(dists, nprobe)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("nprobe", "metric", "chunk", "engine")
+)
 def chunked_centroid_topk(qf, centroids, cent_valid, nprobe: int,
-                          metric: str = "Euclidean", chunk: int = 8192):
+                          metric: str = "Euclidean", chunk: int = 8192,
+                          engine: str = "sort"):
     """Fused centroid scan + running top-nprobe for LARGE centroid counts.
 
     Streams the (C, d) centroid matrix in ``chunk``-row tiles: each step
@@ -53,7 +74,7 @@ def chunked_centroid_topk(qf, centroids, cent_valid, nprobe: int,
         D = jnp.where(bval[None, :] & (col < C), D, jnp.inf)
         cat_d = jnp.concatenate([best_d, D], axis=1)
         cat_i = jnp.concatenate([best_i, col], axis=1)
-        vals, idx = smallest_k(cat_d, nprobe)
+        vals, idx = _probe_select(cat_d, nprobe, engine)
         return vals, jnp.take_along_axis(cat_i, idx, axis=1)
 
     init = (jnp.full((Q, nprobe), jnp.inf), jnp.zeros((Q, nprobe), jnp.int32))
@@ -82,10 +103,12 @@ def centroid_topk(qf, centroids, cent_valid, nprobe: int, metric: str):
 
         return windowed_centroid_topk(qf, centroids, cent_valid, nprobe)
     if C > LARGE_C_THRESHOLD and nprobe <= 1024:
-        return chunked_centroid_topk(qf, centroids, cent_valid, nprobe, metric)
+        return chunked_centroid_topk(
+            qf, centroids, cent_valid, nprobe, metric, engine=_topk_engine()
+        )
     Dc = pairwise_distance(qf, centroids, metric)
     Dc = jnp.where(cent_valid[None, :], Dc, jnp.inf)
-    return smallest_k(Dc, nprobe)
+    return _probe_select(Dc, nprobe, _topk_engine())
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
