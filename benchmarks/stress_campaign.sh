@@ -30,4 +30,29 @@ for i in $(seq 1 "$ITERS"); do
   tail -n 1 /tmp/stress_iter.out
 done
 echo "STRESS LOOP CLEAN ($ITERS iters); marathon seeds [$LO, $HI)"
-exec python tests/marathon.py --seeds "$LO" "$HI"
+# The marathon can die ENVIRONMENTALLY (a long-lived process starved LLVM's
+# allocator at seed 225 before marathon.py cleared caches per seed).  A real
+# fuzz failure prints a FAIL line and must stop the campaign; an environmental
+# crash (no FAIL) restarts from the seed after the last completed one.
+MLOG=/tmp/r4_marathon.log
+cur=$LO
+while [ "$cur" -lt "$HI" ]; do
+  : > "$MLOG.cur"
+  python tests/marathon.py --seeds "$cur" "$HI" > "$MLOG.cur" 2>&1
+  rc=$?
+  cat "$MLOG.cur" >> "$MLOG"
+  if [ "$rc" -eq 0 ]; then
+    echo "MARATHON DONE (seeds $LO-$HI)"
+    exit 0
+  fi
+  if grep -q "^FAIL " "$MLOG.cur"; then
+    echo "MARATHON FOUND A FAILURE — full output follows"
+    cat "$MLOG.cur"
+    exit 1
+  fi
+  last=$(grep -oE 'seed=[0-9]+' "$MLOG.cur" | tail -1 | cut -d= -f2)
+  next=$(( ${last:-$cur} + 1 ))
+  echo "marathon crashed environmentally (rc=$rc, last seed ${last:-none}); restarting at $next"
+  cur=$next
+done
+echo "MARATHON DONE (seeds $LO-$HI)"

@@ -115,6 +115,14 @@ def main() -> int:
                 return 1
             ran += 1
             print(f"ok {name} seed={seed}", flush=True)
+        # Every seed compiles fresh shapes; after ~150 executions in one
+        # process the accumulated executables starved LLVM's allocator
+        # ("LLVM compilation error: Cannot allocate memory" killed a run at
+        # seed 225).  Dropping the in-memory caches frees them — recompiles
+        # mostly reload from the persistent JAX_COMPILATION_CACHE_DIR.
+        import jax
+
+        jax.clear_caches()
     print(f"MARATHON DONE executions={ran} fails=0", flush=True)
     return 0
 
