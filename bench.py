@@ -41,8 +41,48 @@ def _timed(fn):
     return time.perf_counter() - t0
 
 
-def _error_payload(kind, detail, t_waited):
+def _last_good_run():
+    """Most relevant successful bench JSON from this round's measurement
+    session (benchmarks/r4_tpu_session.sh tees into /tmp/r4_tpu).  The
+    tunnel dies for whole windows: if it is dead at the DRIVER's capture
+    time but the session ran earlier, the error artifact should still
+    carry the round's real device numbers — clearly labeled with their
+    source and age, never substituted for the live result."""
+    import glob
+
+    dirs = os.environ.get(
+        "SPF_BENCH_LASTGOOD_DIRS", "/tmp/r4_tpu:/tmp/r3_tpu"
+    ).split(":")
+    prefer = ("bench_1m.json", "bench_1m_int8.json", "bench_mr8.json",
+              "bench_small.json")
+    found = []
+    for d in dirs:
+        for p in glob.glob(os.path.join(d, "bench*.json")):
+            try:
+                with open(p) as f:
+                    lines = [ln for ln in f.read().splitlines() if ln.strip()]
+                j = json.loads(lines[-1])
+            except Exception:  # noqa: BLE001 — partial/garbled file: skip
+                continue
+            if "error" in j or "value" not in j:
+                continue
+            name = os.path.basename(p)
+            rank = prefer.index(name) if name in prefer else len(prefer)
+            found.append((rank, -os.path.getmtime(p), p, j))
+    if not found:
+        return None
+    _, neg_mtime, p, j = sorted(found)[0]
+    keep = ("metric", "value", "unit", "vs_baseline", "recall", "nprobe",
+            "qps_engine", "build_wall_s", "build_device_s", "build_xfer_s")
     return {
+        "source": p,
+        "age_s": round(time.time() + neg_mtime, 1),
+        **{k: j[k] for k in keep if k in j},
+    }
+
+
+def _error_payload(kind, detail, t_waited):
+    payload = {
         "metric": "bench_error",
         "value": 0.0,
         "unit": "qps",
@@ -51,6 +91,13 @@ def _error_payload(kind, detail, t_waited):
         "detail": str(detail)[:500],
         "backend_wait_s": round(t_waited, 1),
     }
+    try:
+        lg = _last_good_run()
+    except Exception:  # noqa: BLE001 — enrichment must never mask the error
+        lg = None
+    if lg is not None:
+        payload["last_good_run"] = lg
+    return payload
 
 
 def _emit_error(kind, detail, t_waited):

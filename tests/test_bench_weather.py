@@ -15,7 +15,7 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _run_dead_bench(wait_s):
+def _run_dead_bench(wait_s, lastgood_dirs=None):
     env = dict(os.environ)
     # Empty pool-IP list skips axon registration (a dead tunnel otherwise
     # hangs the interpreter at sitecustomize); JAX_PLATFORMS=tpu then makes
@@ -23,6 +23,8 @@ def _run_dead_bench(wait_s):
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["JAX_PLATFORMS"] = "tpu"
     env["SPF_BENCH_BACKEND_WAIT_S"] = str(wait_s)
+    if lastgood_dirs is not None:
+        env["SPF_BENCH_LASTGOOD_DIRS"] = lastgood_dirs
     return subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py"), "--small"],
         capture_output=True,
@@ -73,6 +75,36 @@ def test_hung_backend_watchdog_emits_structured_error():
     payload = json.loads(lines[0])
     assert payload["error"] == "tpu_unavailable"
     assert "hang" in payload["detail"]
+
+
+def test_dead_backend_error_carries_last_good_session_run(tmp_path):
+    """A tunnel dead at the DRIVER's capture time must not erase the
+    round's evidence: when the measurement session produced a successful
+    bench JSON earlier, the error payload embeds it (source + age kept,
+    clearly separated from the live result)."""
+    good = {
+        "metric": "qps_per_chip_at_recall@10>=0.9_gauss1000k_128d_euclidean",
+        "value": 25000.0, "unit": "qps", "vs_baseline": 2.5,
+        "recall": 0.92, "nprobe": 8, "build_wall_s": 48.2,
+        "build_device_s": 30.6,
+    }
+    (tmp_path / "bench_small.json").write_text(
+        json.dumps({**good, "value": 1.0}) + "\n"
+    )
+    (tmp_path / "bench_1m.json").write_text(json.dumps(good) + "\n")
+    (tmp_path / "bench_b2048.json").write_text("{ garbled")  # must be skipped
+    res = _run_dead_bench(wait_s=8, lastgood_dirs=str(tmp_path))
+    assert res.returncode != 0
+    payload = json.loads(res.stdout.strip().splitlines()[-1])
+    assert payload["error"] == "tpu_unavailable"
+    lg = payload["last_good_run"]
+    assert lg["source"].endswith("bench_1m.json")  # headline preferred
+    assert lg["value"] == 25000.0 and lg["recall"] == 0.92
+    assert lg["age_s"] >= 0
+    # No session artifacts at all -> no last_good_run key (never fabricate).
+    res2 = _run_dead_bench(wait_s=8, lastgood_dirs=str(tmp_path / "none"))
+    payload2 = json.loads(res2.stdout.strip().splitlines()[-1])
+    assert "last_good_run" not in payload2
 
 
 def test_live_cpu_backend_passes_await(monkeypatch):
