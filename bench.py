@@ -50,8 +50,13 @@ def _last_good_run():
     source and age, never substituted for the live result."""
     import glob
 
+    here = os.path.dirname(os.path.abspath(__file__))
     dirs = os.environ.get(
-        "SPF_BENCH_LASTGOOD_DIRS", "/tmp/r4_tpu:/tmp/r3_tpu"
+        "SPF_BENCH_LASTGOOD_DIRS",
+        ":".join(
+            ["/tmp/r4_tpu", "/tmp/r3_tpu",
+             os.path.join(here, "benchmarks", "r4_results")]
+        ),
     ).split(":")
     prefer = ("bench_1m.json", "bench_1m_int8.json", "bench_mr8.json",
               "bench_small.json")
