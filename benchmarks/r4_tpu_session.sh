@@ -35,6 +35,15 @@ run_step() {
   fi
   if [ "$rc" -eq 0 ] && { [ "$json" = "-" ] || ! grep -q '"error"' "$json"; }; then
     touch "$OUT/$name.ok"
+    # Persist the artifact into the repo as soon as it lands: /tmp does not
+    # survive a VM restart, and bench.py's dead-backend error path reports
+    # the last good run from benchmarks/r4_results too.
+    mkdir -p /root/repo/benchmarks/r4_results
+    if [ "$json" != "-" ]; then
+      cp -f "$json" /root/repo/benchmarks/r4_results/
+    else
+      cp -f "$OUT/$name.log" /root/repo/benchmarks/r4_results/
+    fi
   fi
   probe_or_rearm
 }
