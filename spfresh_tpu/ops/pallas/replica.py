@@ -323,6 +323,7 @@ def pallas_replica_topk(
     db: jax.Array | None = None,  # (n,) f32 dist(p, c_base); None = computed
     soar_lambda: float = 0.0,
     interpret: bool = False,
+    row_tile: int | None = None,
 ):
     """Top-``n_extra`` closure replicas per point (squared-L2 metric).
     Returns (idx (n, n_extra) int32, ranks (n, n_extra) f32 ascending);
@@ -332,11 +333,33 @@ def pallas_replica_topk(
     (the out-of-core contract); otherwise it is computed here with the same
     expansion arithmetic the distance tiles use.  ``soar_lambda`` > 0 ranks
     admitted candidates by the SOAR score D + lambda (r_j.r_1)^2/|r_1|^2
-    instead of plain distance (returned values are then scores)."""
+    instead of plain distance (returned values are then scores).
+
+    Rows are processed in bounded tiles: the impl stages ~4 (rows, d_pad)
+    arrays (padded rows + base-centroid rows, each plus its transpose) —
+    whole-corpus at 1M x 960-d f32 is ~16 GB of staging next to the corpus,
+    an OOM on a 16 GB chip.  Per-point independence makes row tiling exact;
+    ``row_tile`` (tests) overrides the ~256 MB-per-staging-array default."""
     assert 1 <= n_extra <= _NE8, n_extra
-    z = jnp.zeros((X.shape[0],), jnp.float32)
-    return _replica_topk_impl(
-        X, base, cents, bt,
-        db if db is not None else z,
-        n_extra, interpret, db is not None, float(soar_lambda or 0.0),
-    )
+    n, d = X.shape
+    d_pad = ((d + 127) // 128) * 128
+    if row_tile is None:
+        row_tile = max(_BR, (1 << 28) // (d_pad * 4))
+    row_tile = ((row_tile + _BR - 1) // _BR) * _BR
+    z = jnp.zeros((n,), jnp.float32)
+    dbx = db if db is not None else z
+    if n <= row_tile:
+        return _replica_topk_impl(
+            X, base, cents, bt, dbx,
+            n_extra, interpret, db is not None, float(soar_lambda or 0.0),
+        )
+    outs_i, outs_d = [], []
+    for s in range(0, n, row_tile):
+        e = min(s + row_tile, n)
+        oi, od = _replica_topk_impl(
+            X[s:e], base[s:e], cents, bt, dbx[s:e],
+            n_extra, interpret, db is not None, float(soar_lambda or 0.0),
+        )
+        outs_i.append(oi)
+        outs_d.append(od)
+    return jnp.concatenate(outs_i, axis=0), jnp.concatenate(outs_d, axis=0)

@@ -278,3 +278,32 @@ def test_build_with_pallas_replica_pass(monkeypatch, tmp_path):
     for row in ids:
         real = row[row >= 0]
         assert len(set(real.tolist())) == len(real)
+
+
+def test_row_tiled_matches_untiled():
+    """Row tiling is exact (per-point independence): forcing multiple tiles
+    including a ragged last one must be bit-identical to the one-shot call.
+    The tiling exists because the impl stages ~4 (rows, d_pad) arrays —
+    whole-corpus at 1M x 960-d f32 would OOM a 16 GB chip."""
+    X, base, cents = _case(7, 900, 130, 48, "float32")
+    i0, d0 = pallas_replica_topk(X, base, cents, 1.3, 3, interpret=True)
+    # row_tile=256 -> tiles of 256/256/256/132 (ragged tail).
+    i1, d1 = pallas_replica_topk(
+        X, base, cents, 1.3, 3, interpret=True, row_tile=256
+    )
+    np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+    np.testing.assert_array_equal(np.asarray(d0), np.asarray(d1))
+    # The db-supplied contract tiles db alongside the rows.
+    db = np.asarray(
+        ((np.asarray(X) - np.asarray(cents)[np.asarray(base)]) ** 2).sum(1),
+        np.float32,
+    )
+    i2, d2 = pallas_replica_topk(
+        X, base, cents, 1.3, 3, db=jnp.asarray(db), interpret=True,
+        row_tile=256,
+    )
+    i3, d3 = pallas_replica_topk(
+        X, base, cents, 1.3, 3, db=jnp.asarray(db), interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(i2), np.asarray(i3))
+    np.testing.assert_array_equal(np.asarray(d2), np.asarray(d3))
