@@ -192,10 +192,15 @@ def _await_backend(max_wait_s=None, hang_grace_s=120.0):
                 why = str(e)
                 try:
                     # jax caches a failed backend init (_backend_errors);
-                    # drop the cache or every retry re-raises it.
-                    import jax.extend.backend
+                    # drop the cache or every retry re-raises it.  NB: a
+                    # bare `import jax.extend.backend` here would rebind
+                    # `jax` as a function-local and make the jax.devices()
+                    # above raise UnboundLocalError on EVERY attempt.
+                    import importlib
 
-                    jax.extend.backend.clear_backends()
+                    importlib.import_module(
+                        "jax.extend.backend"
+                    ).clear_backends()
                 except Exception:
                     pass
         waited = time.monotonic() - t0

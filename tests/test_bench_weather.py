@@ -107,7 +107,7 @@ def test_dead_backend_error_carries_last_good_session_run(tmp_path):
     assert "last_good_run" not in payload2
 
 
-def test_live_cpu_backend_passes_await(monkeypatch):
+def test_live_cpu_backend_passes_await(monkeypatch, capfd):
     # The retry helper returns immediately on a healthy backend.
     sys.path.insert(0, REPO)
     try:
@@ -118,5 +118,10 @@ def test_live_cpu_backend_passes_await(monkeypatch):
         # returns right after the first probe regardless of the budget.
         devs = bench._await_backend(max_wait_s=240)
         assert len(devs) >= 1
+        # ON THE FIRST ATTEMPT: a bare `import jax.extend.backend` in the
+        # retry path once made `jax` function-local, so every attempt 1
+        # raised UnboundLocalError, wasted a probe cycle, and ran
+        # clear_backends() against a healthy (live-tunnel) backend.
+        assert "attempt 1 failed" not in capfd.readouterr().err
     finally:
         sys.path.remove(REPO)
