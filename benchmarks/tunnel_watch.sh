@@ -16,8 +16,16 @@ print('live:', d[0])
     echo "TUNNEL LIVE $(date)" >> "$LOG"
     # The 1-core host must belong to the TPU session: stop any CPU-side
     # stress/fuzz campaign before firing (pid file, never pattern-kill).
+    # Kill the WHOLE TREE by parent-pid walk — killing just the campaign
+    # bash orphans its running marathon/pytest python, which would hog
+    # the core for hours alongside the measurement session.
+    kill_tree() {
+      local p
+      for p in $(ps -o pid= --ppid "$1" 2>/dev/null); do kill_tree "$p"; done
+      kill "$1" 2>/dev/null
+    }
     if [ -f /tmp/r4_campaign.pid ]; then
-      kill "$(cat /tmp/r4_campaign.pid)" 2>/dev/null
+      kill_tree "$(cat /tmp/r4_campaign.pid)"
       rm -f /tmp/r4_campaign.pid
       echo "campaign stopped for session $(date)" >> "$LOG"
     fi
