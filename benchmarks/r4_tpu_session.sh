@@ -44,6 +44,14 @@ run_step() {
     else
       cp -f "$OUT/$name.log" /root/repo/benchmarks/r4_results/
     fi
+    # Commit the artifact immediately (durable across a VM restart; the
+    # driver only commits at round end).  Pathspec-scoped so a concurrent
+    # interactive `git add` elsewhere in the repo is never swept up; best
+    # effort under index.lock contention.
+    ( cd /root/repo \
+      && git add benchmarks/r4_results \
+      && git commit -q -m "r4 session artifact: $name" \
+           -- benchmarks/r4_results ) || true
   fi
   probe_or_rearm
 }
