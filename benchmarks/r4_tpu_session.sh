@@ -94,6 +94,10 @@ run_step soar_1m 7200 - python benchmarks/soar_sweep.py --n 1000000 --nq 2000 --
 
 # 6. Manhattan 0.90 on the GIST-realistic latent manifold (VERDICT weak-5)
 run_step bench_manhattan 7200 "$OUT/bench_manhattan.json" python bench.py --metric Manhattan --dim 960 --latent-dim 32
+# 6b. Euclidean twin at the same shape: completes the LID story across
+# metrics AND exercises the row-tiled Pallas replica kernel at the
+# 1M x 960 staging shape (the whole-corpus OOM the tiling guards).
+run_step bench_gist_euclid 7200 "$OUT/bench_gist_euclid.json" python bench.py --dim 960 --latent-dim 32
 
 # 7. criterion-parity 1M row, probe cap removed (VERDICT weak-6)
 run_step criterion_1m 7200 - python benchmarks/clustering_benchmark.py --sizes 1000000 --json "$OUT/criterion_1m.json"
