@@ -531,6 +531,10 @@ def main():
                 # both reported) and device/host engine seconds — the
                 # weather-robust number the <60 s target judges.
                 "recall": round(float(rec), 4),
+                # Disambiguates the int8/bf16/f32 artifacts: the metric name
+                # encodes only the corpus, so side-by-side storage-tier runs
+                # are otherwise identical payloads.
+                "storage_dtype": args.storage_dtype,
                 "query_wire": args.query_wire or "float32",
                 "qps_engine": round(qps_engine, 1),
                 "query_link_ms_per_batch": round(link_ms_batch, 1),

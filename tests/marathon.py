@@ -83,12 +83,22 @@ def run_mesh(seed: int) -> None:
         mp.undo()
 
 
+def run_oc(seed: int) -> None:
+    import test_outofcore_model_fuzz as t
+
+    with _tmp() as d:
+        from pathlib import Path
+
+        t.run_outofcore_model_fuzz(Path(d), seed)
+
+
 SUITES = {
     "storage": run_storage,
     "fresh": run_fresh,
     "spfresh": run_spfresh,
     "view": run_view,
     "mesh": run_mesh,
+    "oc": run_oc,
 }
 
 

@@ -114,9 +114,11 @@ def test_live_cpu_backend_passes_await(monkeypatch, capfd):
         import bench
 
         # Budget must absorb one subprocess probe on a CONTENDED 1-core
-        # host (jax import alone can take ~60 s there); a healthy backend
-        # returns right after the first probe regardless of the budget.
-        devs = bench._await_backend(max_wait_s=240)
+        # host (jax import alone can take ~60 s there; with a fuzz
+        # marathon + benchmarks sharing the core, one probe has been seen
+        # to blow 240 s).  A healthy backend returns right after the first
+        # probe regardless of the budget.
+        devs = bench._await_backend(max_wait_s=600)
         assert len(devs) >= 1
         # ON THE FIRST ATTEMPT: a bare `import jax.extend.backend` in the
         # retry path once made `jax` function-local, so every attempt 1
