@@ -24,6 +24,8 @@ print('live:', d[0])
       for p in $(ps -o pid= --ppid "$1" 2>/dev/null); do kill_tree "$p"; done
       kill "$1" 2>/dev/null
     }
+    # Stands down the grind supervisor permanently (grind_forever.sh).
+    touch /tmp/r4_tpu/session_running
     if [ -f /tmp/r4_campaign.pid ]; then
       kill_tree "$(cat /tmp/r4_campaign.pid)"
       rm -f /tmp/r4_campaign.pid
