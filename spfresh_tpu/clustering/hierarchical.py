@@ -1280,6 +1280,24 @@ class HierarchicalClustering:
             gci = timed_put(gci_np)
             seed_h = [int(c.centroid_idx) for c in self.clusters]
             depth_h = [int(c.depth) for c in self.clusters]
+            # Level-INVARIANT kernel shapes (round-4 fix for the measured
+            # 255 s subdiv/kernel phase at 1M: every level's fresh
+            # (seg_map-length, S, M) combination forced a fresh XLA compile
+            # — ~2 kernels x ~11 levels x ~10-20 s through the tunnel).
+            # m_ways pads to the build's max bucket and S/seg_map pad to
+            # build constants, so `_split_level_resident` and
+            # `_apply_level_assign` compile ONCE per build.  Correctness is
+            # unchanged: padded child columns are seed_valid-masked (zero
+            # counts, never assigned), padded segments carry no members,
+            # and padded seg_map slots are -1.  Extra device work is a few
+            # masked full-N distance passes per level — microseconds of VPU
+            # time against tens of seconds of compiles.
+            M_pad = next_pow2(max(2, int(self.params.max_split_ways)))
+            # nm at any level <= (points inside oversized clusters) / (cap+1),
+            # and that point population only shrinks level over level.
+            seg_budget = max(1, int(sum(big)) // (cap + 1))
+            S_pad = next_pow2(seg_budget)
+            seg_pad = next_pow2(max(len(counts_h), 4 * seg_budget))
         while True:
             counts_arr = np.asarray(counts_h, np.int64)
             oversized = np.flatnonzero(counts_arr > cap)
@@ -1295,19 +1313,25 @@ class HierarchicalClustering:
                 m_c, M, S, seed_valid, offs_nm = self._level_split_params(
                     lens, cap, level
                 )
-                offs = np.zeros(S, np.int32)
+                # Pad the host tables to the build-constant kernel shapes.
+                S_use = S_pad if S_pad >= S else next_pow2(nm)  # safety net
+                if len(counts_h) > seg_pad:
+                    seg_pad = next_pow2(len(counts_h))
+                offs = np.zeros(S_use, np.int32)
                 offs[:nm] = offs_nm
-                seg_map = np.full(len(counts_h), -1, np.int32)
+                sv_pad = np.zeros((S_use, M_pad), bool)
+                sv_pad[:nm, :M] = seed_valid[:nm]
+                seg_map = np.full(seg_pad, -1, np.int32)
                 seg_map[oversized] = np.arange(nm, dtype=np.int32)
             with _p("subdiv/upload"):
                 seg_map_d = timed_put(seg_map)
                 offs_d = timed_put(offs)
-                sv_d = timed_put(seed_valid)
+                sv_d = timed_put(sv_pad)
             with _p("subdiv/kernel", block=True):
                 assign, seeds_d, counts_d, d1, point_list, cluster_of, p_count = (
                     _split_level_resident(
                         self.data, gci, seg_map_d, offs_d, sv_d,
-                        self.params.metric, num_segments=S, m_ways=M,
+                        self.params.metric, num_segments=S_use, m_ways=M_pad,
                     )
                 )
             with _p("subdiv/transfer"):
@@ -1317,9 +1341,14 @@ class HierarchicalClustering:
                 bounds = np.zeros(nm + 1, np.int64)
                 np.cumsum(lens, out=bounds[1:])
                 degenerate = counts.max(axis=1) == lens
-                child_map = np.zeros(S * M, np.int32)
+                child_map = np.zeros(S_use * M_pad, np.int32)
                 fix_idx: List[np.ndarray] = []
                 fix_val: List[np.ndarray] = []
+                if degenerate.any():
+                    # ONE bulk pull each (per-cluster device slices would
+                    # compile a fresh dynamic-slice per unique length).
+                    pl_np = np.asarray(point_list)
+                    d1_np = np.asarray(d1)
                 for r, ci in enumerate(oversized):
                     ci = int(ci)
                     depth = depth_h[ci] + 1
@@ -1327,15 +1356,13 @@ class HierarchicalClustering:
                         # All members in one child (duplicate-heavy): exact
                         # balanced quantile split on d1, as the host path.
                         lo, hi = int(bounds[r]), int(bounds[r + 1])
-                        mem = np.asarray(point_list[lo:hi]).astype(np.int64)
-                        order_r = np.argsort(
-                            np.asarray(d1[lo:hi]), kind="stable"
-                        )
+                        mem = pl_np[lo:hi].astype(np.int64)
+                        order_r = np.argsort(d1_np[lo:hi], kind="stable")
                         qparts = np.array_split(mem[order_r], int(m_c[r]))
                         childs = [
                             (int(p[0]), len(p), None) for p in qparts if len(p)
                         ]
-                        child_map[r * M : (r + 1) * M] = ci  # fixed below
+                        child_map[r * M_pad : (r + 1) * M_pad] = ci  # fixed below
                         for p in qparts[:1]:
                             fix_idx.append(p.astype(np.int32))
                             fix_val.append(np.full(len(p), ci, np.int32))
@@ -1349,7 +1376,7 @@ class HierarchicalClustering:
                     else:
                         childs = [
                             (int(seeds[r, j]), int(counts[r, j]), j)
-                            for j in range(M)
+                            for j in range(M_pad)
                             if counts[r, j] > 0
                         ]
                     # child 0 keeps the parent's id; the rest get fresh ids
@@ -1357,22 +1384,31 @@ class HierarchicalClustering:
                     sd0, cnt0, j0 = childs[0]
                     seed_h[ci], counts_h[ci], depth_h[ci] = sd0, cnt0, depth
                     if j0 is not None:
-                        child_map[r * M + j0] = ci
+                        child_map[r * M_pad + j0] = ci
                     for sd, cnt2, j in childs[1:]:
                         nid = len(counts_h)
                         if j is not None:
-                            child_map[r * M + j] = nid
+                            child_map[r * M_pad + j] = nid
                         seed_h.append(sd)
                         counts_h.append(cnt2)
                         depth_h.append(depth)
             with _p("subdiv/kernel"):
                 cm_d = timed_put(child_map)
                 gci = _apply_level_assign(
-                    gci, point_list, cluster_of, assign, cm_d, p_count, M
+                    gci, point_list, cluster_of, assign, cm_d, p_count, M_pad
                 )
                 if fix_idx:
-                    gci = gci.at[jnp.asarray(np.concatenate(fix_idx))].set(
-                        jnp.asarray(np.concatenate(fix_val))
+                    # Pow2-padded drop-mode scatter: bounds the compile
+                    # variants of the degenerate fix-up to log2 buckets.
+                    fi = np.concatenate(fix_idx)
+                    fv = np.concatenate(fix_val)
+                    pad = next_pow2(len(fi))
+                    fi2 = np.full(pad, n, np.int32)  # n = out of range: drop
+                    fi2[: len(fi)] = fi
+                    fv2 = np.zeros(pad, np.int32)
+                    fv2[: len(fv)] = fv
+                    gci = gci.at[jnp.asarray(fi2)].set(
+                        jnp.asarray(fv2), mode="drop"
                     )
         with _p("subdiv/transfer"):
             gci_np = timed_pull(gci)
