@@ -1455,6 +1455,14 @@ class HierarchicalClustering:
             gci = timed_put(gci_np, shard)
             seed_h = [int(c.centroid_idx) for c in self.clusters]
             depth_h = [int(c.depth) for c in self.clusters]
+            # Level-invariant kernel shapes — same reasoning (and same
+            # padding semantics) as `_subdivide_multiway_resident`: one
+            # compile of the split/apply collectives per build, not one
+            # per level.
+            M_pad = next_pow2(max(2, int(self.params.max_split_ways)))
+            seg_budget = max(1, int(sum(big)) // (cap + 1))
+            S_pad = next_pow2(seg_budget)
+            seg_pad = next_pow2(max(len(counts_h), 4 * seg_budget))
         while True:
             counts_arr = np.asarray(counts_h, np.int64)
             oversized = np.flatnonzero(counts_arr > cap)
@@ -1470,26 +1478,31 @@ class HierarchicalClustering:
                 m_c, M, S, seed_valid, offs_nm = self._level_split_params(
                     lens, cap, level
                 )
-                offs = np.zeros(S, np.int32)
+                S_use = S_pad if S_pad >= S else next_pow2(nm)  # safety net
+                if len(counts_h) > seg_pad:
+                    seg_pad = next_pow2(len(counts_h))
+                offs = np.zeros(S_use, np.int32)
                 offs[:nm] = offs_nm
-                seg_map = np.full(len(counts_h), -1, np.int32)
+                sv_pad = np.zeros((S_use, M_pad), bool)
+                sv_pad[:nm, :M] = seed_valid[:nm]
+                seg_map = np.full(seg_pad, -1, np.int32)
                 seg_map[oversized] = np.arange(nm, dtype=np.int32)
             with _p("subdiv/upload"):
                 seg_map_d = timed_put(seg_map, rep)
                 offs_d = timed_put(offs, rep)
-                sv_d = timed_put(seed_valid, rep)
+                sv_d = timed_put(sv_pad, rep)
             with _p("subdiv/kernel", block=True):
                 assign_row, seeds_d, counts_d, d1_row = _resident_split_call(
                     self.data, gci, seg_map_d, offs_d, sv_d,
                     mesh=mesh, axis=axis, metric=self.params.metric,
-                    num_segments=S, m_ways=M, n=n,
+                    num_segments=S_use, m_ways=M_pad, n=n,
                 )
             with _p("subdiv/transfer"):
                 seeds = timed_pull(seeds_d)[:nm]
                 counts = timed_pull(counts_d)[:nm].astype(np.int64)
             with _p("subdiv/host_build"):
                 degenerate = counts.max(axis=1) == lens
-                child_map = np.zeros(S * M, np.int32)
+                child_map = np.zeros(S_use * M_pad, np.int32)
                 quantile_fix = []  # (parent_cid, [new child ids])
                 for r, ci in enumerate(oversized):
                     ci = int(ci)
@@ -1505,7 +1518,7 @@ class HierarchicalClustering:
                         # exactly m_c[r] non-empty parts — the child count
                         # is known without the member rows; seeds/counts
                         # are placeholders until the fix block.
-                        child_map[r * M : (r + 1) * M] = ci
+                        child_map[r * M_pad : (r + 1) * M_pad] = ci
                         depth_h[ci] = depth
                         nid_list = []
                         for _ in range(int(m_c[r]) - 1):
@@ -1517,15 +1530,15 @@ class HierarchicalClustering:
                         continue
                     childs = [
                         (int(seeds[r, j]), int(counts[r, j]), j)
-                        for j in range(M)
+                        for j in range(M_pad)
                         if counts[r, j] > 0
                     ]
                     sd0, cnt0, j0 = childs[0]
                     seed_h[ci], counts_h[ci], depth_h[ci] = sd0, cnt0, depth
-                    child_map[r * M + j0] = ci
+                    child_map[r * M_pad + j0] = ci
                     for sd, cnt2, j in childs[1:]:
                         nid = len(counts_h)
-                        child_map[r * M + j] = nid
+                        child_map[r * M_pad + j] = nid
                         seed_h.append(sd)
                         counts_h.append(cnt2)
                         depth_h.append(depth)
@@ -1533,7 +1546,7 @@ class HierarchicalClustering:
                 cm_d = timed_put(child_map, rep)
                 gci = _resident_apply_call(
                     gci, seg_map_d, assign_row, cm_d,
-                    mesh=mesh, axis=axis, m_ways=M, n=n,
+                    mesh=mesh, axis=axis, m_ways=M_pad, n=n,
                 )
             if quantile_fix:
                 # Rare degenerate path: the single-device drivers read the
