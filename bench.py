@@ -58,8 +58,8 @@ def _last_good_run():
              os.path.join(here, "benchmarks", "r4_results")]
         ),
     ).split(":")
-    prefer = ("bench_1m.json", "bench_1m_int8.json", "bench_mr8.json",
-              "bench_small.json")
+    prefer = ("bench_1m_fixed2.json", "bench_1m_fixed.json", "bench_1m.json",
+              "bench_1m_int8.json", "bench_mr8.json", "bench_small.json")
     found = []
     for d in dirs:
         for p in glob.glob(os.path.join(d, "bench*.json")):
@@ -257,6 +257,10 @@ def main():
     ap.add_argument("--boundary-threshold", type=float, default=None,
                     help="replica admission d(p,c_j) < bt * d(p,c_base) "
                          "(default: Config's)")
+    ap.add_argument("--soar-lambda", type=float, default=None,
+                    help="SOAR replica ranking weight (Euclidean only); the "
+                         "1M recall sweep showed +0.009 recall@nprobe=8 at "
+                         "~1%% storage cost for lambda=0.5")
     ap.add_argument("--replica-overflow", type=float, default=None,
                     help="posting replica headroom factor (default: Config's)")
     ap.add_argument("--query-wire", default="bfloat16",
@@ -350,6 +354,7 @@ def main():
             ("boundary_threshold", args.boundary_threshold),
             ("replica_overflow", args.replica_overflow),
             ("max_split_ways", args.max_split_ways),
+            ("soar_lambda", args.soar_lambda),
         )
         if v is not None
     }
@@ -540,6 +545,20 @@ def main():
                 "query_link_ms_per_batch": round(link_ms_batch, 1),
                 "query_link_ms_total": round(link_s * 1e3, 1),
                 "nprobe": int(nprobe),
+                # Which closure-pass engine actually ran: the Pallas route
+                # marks itself unavailable on a real-Mosaic failure and the
+                # build silently falls back to XLA — the artifact must say
+                # which engine produced build_phases['fit/replica_pass'].
+                "replica_engine": ",".join(
+                    sorted(
+                        k.rsplit(".", 1)[1]
+                        for k in __import__(
+                            "spfresh_tpu.utils.metrics",
+                            fromlist=["snapshot"],
+                        ).snapshot()
+                        if k.startswith("build.replica_engine.")
+                    )
+                ) or "none",
                 "clusters": int(index.num_clusters),
                 "stored_x": round(index.num_vectors / n, 2),
                 "build_wall_s": round(build_s, 1),

@@ -56,4 +56,17 @@ run_step bench_1m_fixed 5400 "$OUT/bench_1m_fixed.json" python bench.py
 #    sample makes the build number interpretable.
 run_step bench_1m_fixed2 5400 "$OUT/bench_1m_fixed2.json" python bench.py
 
+# 3. SOAR QPS confirm at the 1M operating point: the recall sweep
+#    (soar_1m.log) measured +0.0085 recall@nprobe=8 for lambda=0.5 at
+#    stored x2.57 vs x2.54 — this measures the QPS side of the default
+#    decision end-to-end (same nprobe, replica pass ~1% more work).
+run_step bench_1m_soar 5400 "$OUT/bench_1m_soar.json" \
+  python bench.py --soar-lambda 0.5
+
+# 4. Bisect the real-Mosaic replica-kernel abort replica_bench hit
+#    (each hypothesis in its own subprocess; the in-build pallas call
+#    succeeded — bench_mr8.json says replica_engine=pallas — so this
+#    isolates what the *bench harness* does differently).
+run_step replica_probe 3600 - python benchmarks/replica_probe.py
+
 date | tee -a "$OUT/session2_end.log"

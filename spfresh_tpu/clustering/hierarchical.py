@@ -995,12 +995,16 @@ class HierarchicalClustering:
                     interpret=jax.devices()[0].platform != "tpu",
                 )
                 tiles = [(0, timed_pull(idx), timed_pull(dists))]
+                metrics.inc("build.replica_engine.pallas")
             except Exception:  # Mosaic compile failure: XLA route instead
+                log.exception("pallas replica kernel failed; XLA route")
                 _rk.mark_unavailable()
                 tiles = None
             if tiles is None:
+                metrics.inc("build.replica_engine.xla_fallback")
                 tiles = self._replica_pass_xla(base, cents, n_extra)
         else:
+            metrics.inc("build.replica_engine.xla")
             tiles = self._replica_pass_xla(base, cents, n_extra)
         for s, idx, dists in tiles:
             valid = np.isfinite(dists)
