@@ -63,10 +63,26 @@ run_step bench_1m_fixed2 5400 "$OUT/bench_1m_fixed2.json" python bench.py
 run_step bench_1m_soar 5400 "$OUT/bench_1m_soar.json" \
   python bench.py --soar-lambda 0.5
 
+# 3b. topk crossover re-run: the main session's attempt hung its whole
+#     900 s window — it started 50 s after the replica_bench ABORTs, in
+#     what looks like a sick-backend window (the next step 16 min later
+#     ran fine).  Re-run in a healthy window, longer timeout, before the
+#     abort-inducing probe below.
+run_step topk_bench2 1800 - python benchmarks/topk_bench.py --q 4096 --c 12500
+
 # 4. Bisect the real-Mosaic replica-kernel abort replica_bench hit
 #    (each hypothesis in its own subprocess; the in-build pallas call
 #    succeeded — bench_mr8.json says replica_engine=pallas — so this
 #    isolates what the *bench harness* does differently).
 run_step replica_probe 3600 - python benchmarks/replica_probe.py
+
+# 5. DEEP-100M device build, LAST: it can eat hours (100M x 32-d streamed
+#    through a ~15 MB/s link), so it must not sit in front of the round's
+#    headline evidence — the main session's copy was pre-marked .ok to
+#    defer it here (oc100m.ok touched by hand; this step re-runs it under
+#    a fresh name).
+run_step oc100m_dev 14400 "$OUT/oc100m_dev.json" python benchmarks/outofcore_build_bench.py \
+  --n 100000000 --dim 32 --cluster-size 4096 --sample 1000000 --nq 256 \
+  --workdir /root/oc100m
 
 date | tee -a "$OUT/session2_end.log"

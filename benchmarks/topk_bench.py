@@ -33,10 +33,13 @@ def main():
     rng = np.random.default_rng(0)
     D = jnp.asarray(rng.standard_normal((args.q, args.c)).astype(np.float32))
     jax.block_until_ready(D)
-    print(f"(Q, C) = ({args.q}, {args.c})")
+    # flush every line: the r4 session's run was killed by its timeout and
+    # block-buffered stdout would have eaten any progress evidence.
+    print(f"(Q, C) = ({args.q}, {args.c})", flush=True)
     for k in (int(s) for s in args.ks.split(",")):
         rows = {}
         for name, fn in (("top_k", smallest_k), ("rounds", smallest_k_rounds)):
+            print(f"  compiling {name} k={k} ...", file=sys.stderr, flush=True)
             out = jax.block_until_ready(fn(D, k))
             ts = []
             for _ in range(5):
@@ -48,7 +51,8 @@ def main():
         same = np.array_equal(np.asarray(ot[1]), np.asarray(orr[1]))
         print(
             f"k={k:3d}  top_k {tt * 1e3:7.2f} ms   rounds {tr * 1e3:7.2f} ms"
-            f"   speedup {tt / tr:4.2f}x   identical={same}"
+            f"   speedup {tt / tr:4.2f}x   identical={same}",
+            flush=True,
         )
 
 
