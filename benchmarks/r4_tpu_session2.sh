@@ -70,6 +70,11 @@ run_step bench_1m_soar 5400 "$OUT/bench_1m_soar.json" \
 #     abort-inducing probe below.
 run_step topk_bench2 1800 - python benchmarks/topk_bench.py --q 4096 --c 12500
 
+# 3c. int8 rerank regression bisect: engine QPS fell 4x under int8 at the
+#     1M point while stages 1/3 are dtype-independent — time the rerank
+#     kernel alone at the serving geometry, both dtypes.
+run_step rerank_bench 1800 - python benchmarks/rerank_bench.py --c 10775 --pad 240 --q 4096
+
 # 4. Bisect the real-Mosaic replica-kernel abort replica_bench hit
 #    (each hypothesis in its own subprocess; the in-build pallas call
 #    succeeded — bench_mr8.json says replica_engine=pallas — so this

@@ -1,0 +1,89 @@
+"""Rerank-kernel dtype A/B: bf16 slabs vs int8 residual slabs (IVF-SQ8).
+
+The r4 session measured engine QPS at the 1M operating point regressing
+~4x under int8 storage (11,452 vs 45,412) while stage 1 (centroid scan)
+and stage 3 (merge) are storage-dtype-independent — the suspect is the
+quantized rerank path.  This bench isolates `padded_rerank_distances` at
+the exact serving geometry and also times the full fused search step per
+dtype, so the regression is attributable to a stage, not a guess.
+
+    python benchmarks/rerank_bench.py --c 10775 --pad 240 --q 4096
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from spfresh_tpu.ops.pallas.rerank import padded_rerank_distances
+
+
+def bench(fn, *args, reps=5, **kw):
+    out = jax.block_until_ready(fn(*args, **kw))  # compile
+    ts = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = jax.block_until_ready(fn(*args, **kw))
+        ts.append(time.perf_counter() - t0)
+    return min(ts), out
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--c", type=int, default=10775)
+    p.add_argument("--pad", type=int, default=240)
+    p.add_argument("--d", type=int, default=128)
+    p.add_argument("--q", type=int, default=4096)
+    p.add_argument("--nprobe", type=int, default=8)
+    args = p.parse_args()
+
+    C, pad, d, Q, nprobe = args.c, args.pad, args.d, args.q, args.nprobe
+    interp = jax.devices()[0].platform != "tpu"
+    rng = np.random.default_rng(0)
+
+    cents = rng.standard_normal((C, d)).astype(np.float32)
+    resid = rng.standard_normal((C, pad, d)).astype(np.float32)
+    scales_c = (np.abs(resid).max(axis=(1, 2)) / 127.0).astype(np.float32)
+    codes = np.clip(
+        np.rint(resid / scales_c[:, None, None]), -127, 127
+    ).astype(np.int8)
+    slabs_bf16 = jnp.asarray(
+        cents[:, None, :] + resid, jnp.bfloat16
+    )                                               # (C, pad, d)
+    slabs_int8 = jnp.asarray(codes)
+    queries = jnp.asarray(rng.standard_normal((Q, d)).astype(np.float32))
+    rows = jnp.asarray(rng.integers(0, C, (Q, nprobe)).astype(np.int32))
+    scales = jnp.asarray(scales_c)[rows]            # (Q, nprobe)
+    qc = queries[:, None, :] - jnp.asarray(cents)[rows]  # (Q, nprobe, d)
+    jax.block_until_ready((slabs_bf16, slabs_int8, queries, rows, scales, qc))
+
+    gb = Q * nprobe * pad * d / 1e9  # slab elements touched, in billions
+    t_bf, _ = bench(
+        padded_rerank_distances, queries, rows, slabs_bf16,
+        interpret=interp,
+    )
+    print(
+        f"bf16  rerank {t_bf * 1e3:8.2f} ms   "
+        f"{gb * 2 / t_bf:7.1f} GB/s slab stream", flush=True,
+    )
+    t_i8, _ = bench(
+        padded_rerank_distances, queries, rows, slabs_int8,
+        interpret=interp, scales=scales, centered_queries=qc,
+    )
+    print(
+        f"int8  rerank {t_i8 * 1e3:8.2f} ms   "
+        f"{gb * 1 / t_i8:7.1f} GB/s slab stream   "
+        f"ratio {t_i8 / t_bf:4.2f}x", flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
