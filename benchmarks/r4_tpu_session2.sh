@@ -81,6 +81,14 @@ run_step rerank_bench 1800 - python benchmarks/rerank_bench.py --c 10775 --pad 2
 #    isolates what the *bench harness* does differently).
 run_step replica_probe 3600 - python benchmarks/replica_probe.py
 
+# 4b. Manhattan 1M retry with dispatch-bounded replica groups: the main
+#     session's attempt died UNAVAILABLE mid-build when the L1 closure
+#     pass ran its whole ~minutes-long tile walk as ONE dispatch; the
+#     grouped pass (bit-identical, ~10 s/dispatch) removes that failure
+#     mode.  GT is cached from the first attempt, so this is build+search.
+run_step bench_manhattan2 7200 "$OUT/bench_manhattan2.json" \
+  python bench.py --metric Manhattan --dim 960 --latent-dim 32
+
 # 5. DEEP-100M device build, LAST: it can eat hours (100M x 32-d streamed
 #    through a ~15 MB/s link), so it must not sit in front of the round's
 #    headline evidence — the main session's copy was pre-marked .ok to

@@ -910,24 +910,49 @@ class HierarchicalClustering:
         Tile size balances the two (tile, C) distance workspaces (<= ~1 GB
         each) against top_k width; the tile walk runs as ONE fused program
         (fori_loop inside jit), so tile count costs only workspace HBM, not
-        dispatch round-trips."""
+        dispatch round-trips.
+
+        Elementwise metrics (L1/Linf) additionally bound the WALL TIME of a
+        single dispatch: they have no matmul factorization, so the closure
+        pass costs ~2 n C d VPU ops — at 1M x 960 x 10.8k clusters that is
+        minutes of device time, and the r4 Manhattan 1M session step died
+        UNAVAILABLE ("TPU device error") mid-build when the whole walk ran
+        as one dispatch through the tunnel.  Row groups are dispatch-
+        bounded (~SPF_REPLICA_DISPATCH_OPS element-ops each, default ~10 s
+        of VPU time); every output row depends only on its own (X[r],
+        base[r]), so any grouping is bit-identical.  Euclidean rides the
+        MXU two orders faster and keeps the one-dispatch form."""
         from spfresh_tpu.utils.xfer import timed_pull
 
         n = self._n
-        tile = min(n, max(256, (1 << 28) // max(1, len(self.clusters))))
+        C = max(1, len(self.clusters))
+        tile = min(n, max(256, (1 << 28) // C))
         bt = jnp.float32(self.params.boundary_threshold)
-        idx, dists = _final_replica_pass_fused(
-            self.data,
-            jnp.asarray(base, jnp.int32),
-            cents,
-            self.params.metric,
-            bt,
-            n_extra,
-            tile,
-            -(-n // tile),
-            soar_lambda=float(self.params.soar_lambda or 0.0),
-        )
-        return [(0, timed_pull(idx), timed_pull(dists))]
+        d = int(self.data.shape[1])
+        if canonical_metric(self.params.metric) == EUCLIDEAN:
+            group = n
+        else:
+            budget = float(os.environ.get("SPF_REPLICA_DISPATCH_OPS", 2.5e14))
+            group = min(n, max(256, int(budget / max(1, 2 * C * d))))
+        base_dev = jnp.asarray(base, jnp.int32)
+        soar = float(self.params.soar_lambda or 0.0)
+        tiles = []
+        for s in range(0, n, group):
+            e = min(s + group, n)
+            g_tile = min(tile, e - s)
+            idx, dists = _final_replica_pass_fused(
+                self.data[s:e],
+                base_dev[s:e],
+                cents,
+                self.params.metric,
+                bt,
+                n_extra,
+                g_tile,
+                -(-(e - s) // g_tile),
+                soar_lambda=soar,
+            )
+            tiles.append((s, timed_pull(idx), timed_pull(dists)))
+        return tiles
 
     def _finalize_replication(self) -> None:
         """SPANN multi-replica assignment: one global closure pass adding at

@@ -200,6 +200,25 @@ def test_fused_replica_pass_matches_tiled_oracle(rng):
         np.testing.assert_allclose(np.asarray(fd), od, rtol=0, atol=0)
 
 
+def test_replica_pass_dispatch_grouping_identical(monkeypatch, rng):
+    # Elementwise metrics bound the per-dispatch work of the XLA closure
+    # pass (the r4 Manhattan 1M session step died UNAVAILABLE when the
+    # whole walk ran as one multi-minute dispatch).  Every output row
+    # depends only on its own inputs, so a tiny forced budget (many row
+    # groups) must reproduce the single-dispatch clustering EXACTLY.
+    data = rng.standard_normal((700, 24)).astype(np.float32)
+    kw = dict(
+        metric=MANHATTAN, initial_k=2, desired_cluster_size=60,
+        max_replicas=4,
+    )
+    monkeypatch.delenv("SPF_REPLICA_DISPATCH_OPS", raising=False)
+    ref = HierarchicalClustering(_params(**kw), data).fit()
+    # ~700 * C * 24 element-ops total; a 100k budget forces many groups.
+    monkeypatch.setenv("SPF_REPLICA_DISPATCH_OPS", "100000")
+    grouped = HierarchicalClustering(_params(**kw), data).fit()
+    assert _clusters_snapshot(ref) == _clusters_snapshot(grouped)
+
+
 # ---------------------------------------------------------------------------
 # Device-resident subdivision (round 4): bit-equality with the upload path
 # ---------------------------------------------------------------------------
