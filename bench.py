@@ -577,5 +577,33 @@ def main():
     )
 
 
+def _run_weatherproof():
+    """Mid-run device failures must also yield ONE structured JSON line:
+    the r4 Manhattan session step died with a raw traceback when a
+    too-long dispatch tripped the tunnel's RPC deadline mid-build
+    (UNAVAILABLE) — the same interpretability hole VERDICT r3 flagged for
+    init-time deaths.  Init-time paths exit via _emit_error themselves;
+    anything else that escapes main() lands here."""
+    t0 = time.monotonic()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except KeyboardInterrupt:
+        raise
+    except BaseException as e:  # noqa: BLE001 — one artifact, then rc=2
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        kind = (
+            "device_error"
+            if "jax" in type(e).__module__ or "Runtime" in type(e).__name__
+            else "bench_crash"
+        )
+        _emit_error(
+            kind, f"{type(e).__name__}: {e}", time.monotonic() - t0
+        )
+
+
 if __name__ == "__main__":
-    main()
+    _run_weatherproof()

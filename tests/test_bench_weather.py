@@ -107,6 +107,40 @@ def test_dead_backend_error_carries_last_good_session_run(tmp_path):
     assert "last_good_run" not in payload2
 
 
+def test_midrun_device_error_emits_structured_json():
+    """Init-time deaths were weatherproofed in r4's first pass — then the
+    session's Manhattan 1M step died MID-BUILD (a too-long dispatch
+    tripped the tunnel's RPC deadline, UNAVAILABLE at readback) and left a
+    raw traceback.  Any failure escaping main() must still produce the
+    one-line structured artifact + rc=2."""
+    env = dict(os.environ)
+    env["PALLAS_AXON_POOL_IPS"] = ""
+    env["JAX_PLATFORMS"] = "cpu"
+    code = (
+        f"import sys; sys.path.insert(0, {REPO!r})\n"
+        "import jax, bench\n"
+        "import spfresh_tpu.utils.xfer as xfer\n"
+        "def boom():\n"
+        "    raise jax.errors.JaxRuntimeError(\n"
+        "        'UNAVAILABLE: TPU device error')\n"
+        "xfer.calibrate = boom\n"
+        "sys.argv = ['bench.py', '--small', '--n', '512', '--nq', '16']\n"
+        "bench._run_weatherproof()\n"
+    )
+    res = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO,
+    )
+    assert res.returncode == 2, res.stderr[-1000:]
+    lines = [ln for ln in res.stdout.strip().splitlines() if ln.strip()]
+    assert len(lines) == 1, f"stdout must be ONE JSON line, got: {res.stdout!r}"
+    payload = json.loads(lines[0])
+    assert payload["error"] == "device_error"
+    assert "UNAVAILABLE" in payload["detail"]
+    # The full traceback still lands on stderr for the session log.
+    assert "JaxRuntimeError" in res.stderr
+
+
 def test_live_cpu_backend_passes_await(monkeypatch, capfd):
     # The retry helper returns immediately on a healthy backend.
     sys.path.insert(0, REPO)
