@@ -83,6 +83,31 @@ def main():
         f"{gb * 1 / t_i8:7.1f} GB/s slab stream   "
         f"ratio {t_i8 / t_bf:4.2f}x", flush=True,
     )
+    # Cost isolation: int8 slabs through the FLOAT kernel path (wrong math,
+    # right cost structure) — separates the int8->f32 convert + int8 VMEM
+    # relayout cost from the quantized variant's extra machinery (per-probe
+    # centered-query block, dynamic qc row select, scale multiply).
+    t_i8f, _ = bench(
+        padded_rerank_distances, queries, rows, slabs_int8,
+        interpret=interp,
+    )
+    print(
+        f"int8-as-float (cost probe, wrong math) {t_i8f * 1e3:8.2f} ms   "
+        f"ratio {t_i8f / t_bf:4.2f}x vs bf16", flush=True,
+    )
+    # And the quantized machinery at f32 convert cost: bf16 slabs through
+    # the QUANTIZED path with scale=1 codes (bf16 'codes' are just the
+    # residuals; math valid).
+    slabs_resid = jnp.asarray(resid, jnp.bfloat16)
+    ones = jnp.ones_like(scales)
+    t_bfq, _ = bench(
+        padded_rerank_distances, queries, rows, slabs_resid,
+        interpret=interp, scales=ones, centered_queries=qc,
+    )
+    print(
+        f"bf16-residual-quantized-path {t_bfq * 1e3:8.2f} ms   "
+        f"ratio {t_bfq / t_bf:4.2f}x vs bf16", flush=True,
+    )
 
 
 if __name__ == "__main__":
