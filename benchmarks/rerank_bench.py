@@ -108,6 +108,39 @@ def main():
         f"bf16-residual-quantized-path {t_bfq * 1e3:8.2f} ms   "
         f"ratio {t_bfq / t_bf:4.2f}x vs bf16", flush=True,
     )
+    # Expansion-form IVF-SQ8 (int8-MXU): quantized centered queries, the
+    # r.qc dot on the MXU, per-element VPU work ~1 op (f32-accum) or 0
+    # (native int8).  Each guarded: a Mosaic refusal prints FAIL and the
+    # earlier rows stand.
+    from spfresh_tpu.ops.pallas.rerank import (
+        padded_rerank_distances_int8mxu,
+        quantize_centered_queries,
+    )
+
+    codesT = jnp.asarray(np.ascontiguousarray(codes.transpose(0, 2, 1)))
+    norms2 = jnp.asarray(
+        (codes.astype(np.int64) ** 2).sum(axis=2).astype(np.int32)
+    )
+    qcodes, qscale, qnorm2 = quantize_centered_queries(
+        queries, jnp.asarray(cents), rows
+    )
+    jax.block_until_ready((codesT, norms2, qcodes, qscale, qnorm2))
+    for name, native in (("int8-mxu-f32acc", False), ("int8-mxu-native", True)):
+        try:
+            t_mxu, _ = bench(
+                padded_rerank_distances_int8mxu,
+                qcodes, qscale, qnorm2, rows, codesT, norms2,
+                jnp.asarray(scales_c), interpret=interp, native_int8=native,
+            )
+            print(
+                f"{name} {t_mxu * 1e3:8.2f} ms   "
+                f"{gb * 1 / t_mxu:7.1f} GB/s slab stream   "
+                f"ratio {t_mxu / t_bf:4.2f}x vs bf16   "
+                f"{t_mxu / t_i8:4.2f}x vs int8-elementwise", flush=True,
+            )
+        except Exception as e:  # noqa: BLE001 — report, keep earlier rows
+            print(f"{name} FAIL {type(e).__name__}: {str(e)[:300]}",
+                  flush=True)
 
 
 if __name__ == "__main__":

@@ -213,3 +213,218 @@ def padded_rerank_distances(
             centered_queries.astype(jnp.float32), vectors3d,
         )
     return call(rows_flat, queries, vectors3d)
+
+
+# ---------------------------------------------------------------------------
+# IVF-SQ8 rerank, expansion form: the MXU does the per-element work
+# ---------------------------------------------------------------------------
+#
+# The elementwise quantized path above computes |s*r - (q - c)| with ~5 VPU
+# ops per slab element (int8 convert + scale + sub + square + reduce) — it
+# measured ~4x SLOWER than the bf16 path at the 1M serving point even though
+# it moves 1/4 the DMA bytes.  For Euclidean the distance factorizes:
+#
+#   |x - q|^2 = |qc|^2 - 2 s_j (r . qc) + s_j^2 |r|^2,     qc = q - c_j
+#
+# and with the centered query ALSO quantized (qcq = round(qc/s_q), the ScaNN
+# recipe), r . qc ~= s_q (r . qcq) rides the MXU on int8 inputs while the
+# VPU touches only per-ROW vectors.  |r|^2 is a pack-time constant per slab
+# row (int32; 127^2 * d < 2^31 for d <= 130k).  The dot itself is EXACT in
+# both forms — integer dots exactly, and the f32-accumulated dot over int8
+# values exactly too (every partial sum is an integer < 2^24 for
+# d <= 1040) — so kernel and oracle dots agree bit-for-bit; the final
+# scalar combine (qn2 - k*dot + s^2*n2) may differ by 1 ulp between the
+# two compiled programs (XLA is free to contract mul+add into FMA
+# differently), which cannot reorder distinct candidates on continuous
+# data — the engine-parity contract for this scorer is id-level.
+#
+# Accuracy: the query-side quantization adds error ~s_q per coordinate on
+# top of the storage quantization — the double-quantized score, not a new
+# approximation class (ScaNN serves SQ8 exactly this way).
+
+
+def _make_int8mxu_kernel(nprobe: int, nbuf: int, native_int8: bool):
+    def kernel(rows_ref, sj_ref, sq_ref, qn2_ref, qc_ref, v_hbm, n2_hbm,
+               out_ref, slab, n2s, sems, n2sems):
+        # Scalar tables (SMEM, 1-D, like the elementwise quantized path):
+        #   rows  — slab index per (q, probe)
+        #   sj    — slab dequant scale per (q, probe)
+        #   sq    — query-side dequant scale per (q, probe)
+        #   qn2   — exact f32 |q - c_row|^2 per (q, probe)
+        q = pl.program_id(0)
+
+        def get_dma(slot, j):
+            row = rows_ref[q * nprobe + j]
+            return (
+                pltpu.make_async_copy(v_hbm.at[row], slab.at[slot],
+                                      sems.at[slot]),
+                pltpu.make_async_copy(n2_hbm.at[row], n2s.at[slot],
+                                      n2sems.at[slot]),
+            )
+
+        for j in range(nbuf - 1):
+            if j < nprobe:
+                for c in get_dma(j, j):
+                    c.start()
+        qc_i8 = qc_ref[0, :, :]               # (nprobe, d) int8 query codes
+        # f32 copy up front: dynamic sublane selection on a VALUE is the
+        # proven pattern at f32 (the elementwise quantized path); int8
+        # sublane granularity is 32, so the native-int8 variant slices the
+        # int8 value directly and relies on Mosaic's select lowering.
+        qc_f32 = None if native_int8 else qc_i8.astype(jnp.float32)
+
+        def body(j, _):
+            slot = j % nbuf
+
+            @pl.when(j + nbuf - 1 < nprobe)
+            def _():
+                for c in get_dma((j + nbuf - 1) % nbuf, j + nbuf - 1):
+                    c.start()
+
+            for c in get_dma(slot, j):
+                c.wait()
+            codesT = slab[slot]                             # (d, pad) int8
+            if native_int8:
+                # int8 x int8 -> int32 on the MXU (2x bf16 rate when the
+                # Mosaic version lowers it; rerank_bench reports a compile
+                # failure as FAIL and the f32-accum form stands — results
+                # are identical either way, see module comment).
+                qrow = jax.lax.dynamic_slice_in_dim(qc_i8, j, 1, 0)  # (1, d)
+                dot = jax.lax.dot_general(
+                    qrow, codesT,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32)                       # (1, pad)
+            else:
+                # f32-accumulated contraction over int8 VALUES: exact (all
+                # partial sums < 2^24) and guaranteed lowerable.
+                qrow = jax.lax.dynamic_slice_in_dim(qc_f32, j, 1, 0)
+                dot = jax.lax.dot_general(
+                    qrow, codesT.astype(jnp.float32),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )                                           # (1, pad)
+            sj = sj_ref[q * nprobe + j]
+            sq = sq_ref[q * nprobe + j]
+            qn2 = qn2_ref[q * nprobe + j]
+            n2 = n2s[slot][0, :].astype(jnp.float32)        # (pad,)
+            out_ref[0, j, :] = (
+                qn2 - (2.0 * sj * sq) * dot[0, :] + (sj * sj) * n2
+            )
+            return 0
+
+        jax.lax.fori_loop(0, nprobe, body, 0)
+
+    return kernel
+
+
+def int8mxu_rerank_oracle(qcodes, qscale, qnorm2, rows, codesT3d, norms2,
+                          scales):
+    """jnp oracle: identical math via XLA gather (parity target for the
+    kernel, CPU route, and the recall-accounting reference).  ``codesT3d``
+    is the TRANSPOSED layout (C, d, pad) the kernel streams — the dot's
+    pad axis must land on lanes."""
+    r = codesT3d[rows].astype(jnp.float32)             # (Q, np, d, pad)
+    qc = qcodes.astype(jnp.float32)                    # (Q, np, d)
+    dot = jnp.einsum("qjdp,qjd->qjp", r, qc)
+    sj = scales[rows].astype(jnp.float32)              # (Q, np)
+    n2 = norms2[rows].astype(jnp.float32)              # (Q, np, pad)
+    return (
+        qnorm2[..., None]
+        - (2.0 * sj * qscale)[..., None] * dot
+        + (sj * sj)[..., None] * n2
+    )
+
+
+def quantize_centered_queries(queries, centroids, rows):
+    """(qcodes int8, qscale f32, qnorm2 f32) for the int8-MXU rerank:
+    per-(query, probe) symmetric scalar quantization of qc = q - c_row."""
+    qc = (
+        queries.astype(jnp.float32)[:, None, :]
+        - centroids[rows].astype(jnp.float32)
+    )                                                   # (Q, np, d)
+    qscale = jnp.max(jnp.abs(qc), axis=-1) / 127.0      # (Q, np)
+    safe = jnp.maximum(qscale, 1e-30)
+    qcodes = jnp.clip(
+        jnp.round(qc / safe[..., None]), -127, 127
+    ).astype(jnp.int8)
+    qnorm2 = jnp.sum(qc * qc, axis=-1)                  # (Q, np) exact f32
+    return qcodes, qscale, qnorm2
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "native_int8"))
+def padded_rerank_distances_int8mxu(
+    qcodes: jax.Array,   # (Q, nprobe, d) int8 — quantized centered queries
+    qscale: jax.Array,   # (Q, nprobe) f32
+    qnorm2: jax.Array,   # (Q, nprobe) f32 — exact |q - c_row|^2
+    rows: jax.Array,     # (Q, nprobe) int32
+    codesT3d: jax.Array,  # (C, d, pad) int8 residual codes, TRANSPOSED
+    norms2: jax.Array,   # (C, pad) int32 — pack-time per-row |r|^2
+    scales: jax.Array,   # (C,) f32 slab dequant
+    interpret: bool | None = None,
+    native_int8: bool = False,
+) -> jax.Array:
+    """Euclidean IVF-SQ8 rerank in expansion form (see module comment):
+    (Q, nprobe, pad) f32 double-quantized squared distances, bit-identical
+    to ``int8mxu_rerank_oracle``.  Callers must clamp Q so the FOUR SMEM
+    tables (rows + 3 f32 scalars, Q * nprobe entries each) fit the 1 MB
+    SMEM — the engine's existing bs_p clamp with tables=4."""
+    if interpret is None:
+        interpret = not _on_tpu()
+    Q, nprobe, d = qcodes.shape
+    C, d2, pad = codesT3d.shape
+    assert d == d2, (d, d2)
+    assert norms2.shape == (C, pad), (norms2.shape, (C, pad))
+    slab_bytes = pad * d  # int8
+    q_block = nprobe * d  # int8 codes block
+    avail = (10 << 20) - 2 * q_block - 2 * nprobe * pad * 4
+    nbuf = int(max(2, min(8, avail // max(1, slab_bytes + pad * 4), nprobe)))
+    n2_3d = norms2.reshape(C, 1, pad)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(Q,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, nprobe, d),
+                lambda q, r_, a_, b_, c_: (q, 0, 0),
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),          # codes stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),          # norms stay in HBM
+        ],
+        out_specs=pl.BlockSpec(
+            (1, nprobe, pad), lambda q, r_, a_, b_, c_: (q, 0, 0)
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nbuf, d, pad), jnp.int8),
+            pltpu.VMEM((nbuf, 1, pad), jnp.int32),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+            pltpu.SemaphoreType.DMA((nbuf,)),
+        ],
+    )
+    call = pl.pallas_call(
+        _make_int8mxu_kernel(nprobe, nbuf, native_int8),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Q, nprobe, pad), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(
+                nbuf * (slab_bytes + pad * 4)
+                + 2 * q_block + 2 * nprobe * pad * 4 + (2 << 20)
+            ),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Q * nprobe * pad * d,
+            bytes_accessed=Q * nprobe * pad * (d + 4) + 2 * Q * nprobe * pad * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )
+    flat = rows.astype(jnp.int32).reshape(-1)
+    return call(
+        flat,
+        scales.astype(jnp.float32)[flat],
+        qscale.astype(jnp.float32).reshape(-1),
+        qnorm2.astype(jnp.float32).reshape(-1),
+        qcodes,
+        codesT3d,
+        n2_3d,
+    )
