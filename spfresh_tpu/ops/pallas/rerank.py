@@ -38,6 +38,21 @@ def _on_tpu() -> bool:
         return False
 
 
+def _dyn_row(mat: jnp.ndarray, j) -> jnp.ndarray:
+    """Row ``j`` (traced) of a loaded (R, d) VALUE as (1, d), via masked
+    reduce.  Mosaic TC has NO dynamic_slice lowering (first real-Mosaic
+    compile of the quantized kernels failed on it, r4 session2), and
+    dynamic sublane REF reads are only proven for f32 blocks — select +
+    sum is core-op-only and exact (one surviving row).  Cost R*d VPU ops,
+    tiny next to the pad*d distance work per step."""
+    sel = jax.lax.broadcasted_iota(jnp.int32, mat.shape, 0) == j
+    acc = jnp.float32 if mat.dtype != jnp.int8 else jnp.int32
+    return jnp.sum(
+        jnp.where(sel, mat, jnp.zeros_like(mat)).astype(acc),
+        axis=0, keepdims=True,
+    ).astype(mat.dtype if mat.dtype == jnp.int8 else jnp.float32)
+
+
 def _reduce(metric: str, diff: jnp.ndarray) -> jnp.ndarray:
     if metric == EUCLIDEAN:
         return jnp.sum(diff * diff, axis=1)
@@ -99,7 +114,7 @@ def _make_kernel(metric: str, nprobe: int, nbuf: int, quantized: bool):
                 # constant (second scalar-prefetch table); the query side is
                 # this probe's CENTERED row, so v*s - qc == x - q.
                 v = v * scales_ref[q * nprobe + j]
-                qcv = jax.lax.dynamic_slice_in_dim(qc_all, j, 1, axis=0)
+                qcv = _dyn_row(qc_all, j)
                 out_ref[0, j, :] = _reduce(metric, v - qcv)
             else:
                 out_ref[0, j, :] = _reduce(metric, v - qv)
@@ -289,7 +304,7 @@ def _make_int8mxu_kernel(nprobe: int, nbuf: int, native_int8: bool):
                 # Mosaic version lowers it; rerank_bench reports a compile
                 # failure as FAIL and the f32-accum form stands — results
                 # are identical either way, see module comment).
-                qrow = jax.lax.dynamic_slice_in_dim(qc_i8, j, 1, 0)  # (1, d)
+                qrow = _dyn_row(qc_i8, j)                            # (1, d)
                 dot = jax.lax.dot_general(
                     qrow, codesT,
                     dimension_numbers=(((1,), (0,)), ((), ())),
@@ -298,7 +313,7 @@ def _make_int8mxu_kernel(nprobe: int, nbuf: int, native_int8: bool):
             else:
                 # f32-accumulated contraction over int8 VALUES: exact (all
                 # partial sums < 2^24) and guaranteed lowerable.
-                qrow = jax.lax.dynamic_slice_in_dim(qc_f32, j, 1, 0)
+                qrow = _dyn_row(qc_f32, j)
                 dot = jax.lax.dot_general(
                     qrow, codesT.astype(jnp.float32),
                     dimension_numbers=(((1,), (0,)), ((), ())),
