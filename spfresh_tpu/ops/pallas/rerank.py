@@ -44,7 +44,12 @@ def _dyn_row(mat: jnp.ndarray, j) -> jnp.ndarray:
     compile of the quantized kernels failed on it, r4 session2), and
     dynamic sublane REF reads are only proven for f32 blocks — select +
     sum is core-op-only and exact (one surviving row).  Cost R*d VPU ops,
-    tiny next to the pad*d distance work per step."""
+    tiny next to the pad*d distance work per step.
+
+    Dtype contract: int8 rows come back int8 (summed in int32 — exact, one
+    surviving row); everything else comes back f32 regardless of input
+    dtype, because callers feed the row straight into f32 distance math."""
+    assert mat.dtype in (jnp.int8, jnp.float32), mat.dtype
     sel = jax.lax.broadcasted_iota(jnp.int32, mat.shape, 0) == j
     acc = jnp.float32 if mat.dtype != jnp.int8 else jnp.int32
     return jnp.sum(
@@ -282,10 +287,10 @@ def _make_int8mxu_kernel(nprobe: int, nbuf: int, native_int8: bool):
                 for c in get_dma(j, j):
                     c.start()
         qc_i8 = qc_ref[0, :, :]               # (nprobe, d) int8 query codes
-        # f32 copy up front: dynamic sublane selection on a VALUE is the
-        # proven pattern at f32 (the elementwise quantized path); int8
-        # sublane granularity is 32, so the native-int8 variant slices the
-        # int8 value directly and relies on Mosaic's select lowering.
+        # Both paths read row j via _dyn_row's masked select+sum (no slicing
+        # on the TC).  The f32 copy exists so _dyn_row hands the non-native
+        # path an f32 row ready for the distance math; the native-int8 path
+        # keeps the codes int8 for the int8 x int8 MXU dot.
         qc_f32 = None if native_int8 else qc_i8.astype(jnp.float32)
 
         def body(j, _):

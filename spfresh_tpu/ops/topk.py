@@ -11,7 +11,6 @@ deduplicates implicitly only through its pruning quirks).
 from __future__ import annotations
 
 import functools
-import os
 
 import jax
 import jax.numpy as jnp
@@ -21,30 +20,16 @@ import jax.numpy as jnp
 # for XLA's selection at ~100k+ columns (VMEM blowout + O(C log C) select).
 LARGE_C_THRESHOLD = 32_768
 
-
-def _topk_engine() -> str:
-    """Stage-1 selection engine: "sort" (``lax.top_k``, default) or
-    "rounds" (k masked-argmin rounds) via ``SPF_TOPK_ENGINE=rounds``.
-
-    Identical results either way (tie semantics match — tested); the flag
-    exists so benchmarks/topk_bench.py's device crossover can be confirmed
-    END-TO-END before flipping the default.  The engine is a static jit
-    key in the chunked scan, so in-process flips retrace correctly."""
-    return "rounds" if os.environ.get("SPF_TOPK_ENGINE") == "rounds" else "sort"
+# Stage-1 selection is lax.top_k everywhere.  A k-masked-argmin-rounds
+# variant (`smallest_k_rounds`) was built and measured as an alternative;
+# on device it lost at every k at the bench's operating shape (C=12,500,
+# Q=4096: 0.90x/0.85x/0.79x/0.45x top_k at k=4/8/16/32 —
+# benchmarks/r4_results/topk_bench2.log), so it was deleted in round 5.
 
 
-def _probe_select(dists: jnp.ndarray, nprobe: int, engine: str):
-    if engine == "rounds":
-        return smallest_k_rounds(dists, nprobe)
-    return smallest_k(dists, nprobe)
-
-
-@functools.partial(
-    jax.jit, static_argnames=("nprobe", "metric", "chunk", "engine")
-)
+@functools.partial(jax.jit, static_argnames=("nprobe", "metric", "chunk"))
 def chunked_centroid_topk(qf, centroids, cent_valid, nprobe: int,
-                          metric: str = "Euclidean", chunk: int = 8192,
-                          engine: str = "sort"):
+                          metric: str = "Euclidean", chunk: int = 8192):
     """Fused centroid scan + running top-nprobe for LARGE centroid counts.
 
     Streams the (C, d) centroid matrix in ``chunk``-row tiles: each step
@@ -74,7 +59,7 @@ def chunked_centroid_topk(qf, centroids, cent_valid, nprobe: int,
         D = jnp.where(bval[None, :] & (col < C), D, jnp.inf)
         cat_d = jnp.concatenate([best_d, D], axis=1)
         cat_i = jnp.concatenate([best_i, col], axis=1)
-        vals, idx = _probe_select(cat_d, nprobe, engine)
+        vals, idx = smallest_k(cat_d, nprobe)
         return vals, jnp.take_along_axis(cat_i, idx, axis=1)
 
     init = (jnp.full((Q, nprobe), jnp.inf), jnp.zeros((Q, nprobe), jnp.int32))
@@ -103,12 +88,10 @@ def centroid_topk(qf, centroids, cent_valid, nprobe: int, metric: str):
 
         return windowed_centroid_topk(qf, centroids, cent_valid, nprobe)
     if C > LARGE_C_THRESHOLD and nprobe <= 1024:
-        return chunked_centroid_topk(
-            qf, centroids, cent_valid, nprobe, metric, engine=_topk_engine()
-        )
+        return chunked_centroid_topk(qf, centroids, cent_valid, nprobe, metric)
     Dc = pairwise_distance(qf, centroids, metric)
     Dc = jnp.where(cent_valid[None, :], Dc, jnp.inf)
-    return _probe_select(Dc, nprobe, _topk_engine())
+    return smallest_k(Dc, nprobe)
 
 
 @functools.partial(jax.jit, static_argnames=("k",))
@@ -116,35 +99,6 @@ def smallest_k(dists: jnp.ndarray, k: int):
     """Per-row k smallest values of ``dists`` (..., n) -> (values, indices)."""
     neg, idx = jax.lax.top_k(-dists, k)
     return -neg, idx
-
-
-@functools.partial(jax.jit, static_argnames=("k",))
-def smallest_k_rounds(dists: jnp.ndarray, k: int):
-    """Exact ``smallest_k`` via k masked argmin rounds instead of a sort.
-
-    Identical contract and tie semantics (equal values resolve to the lower
-    index — argmin's first occurrence matches ``lax.top_k``); 2 reduce
-    passes + 1 select over the row per round, so it wins when k is small
-    relative to n (the stage-1 probe shape: nprobe <= ~16 over C ~ 10^4
-    columns, where a sort-based top_k pays O(n log n) compare passes).
-    benchmarks/topk_bench.py measures the crossover on the attached device.
-    """
-    n = dists.shape[-1]
-    col = jax.lax.broadcasted_iota(jnp.int32, dists.shape, dists.ndim - 1)
-    inf = jnp.asarray(jnp.inf, dists.dtype)
-    taken = jnp.zeros(dists.shape, bool)
-    vals, idxs = [], []
-    for _ in range(k):
-        d = jnp.where(taken, inf, dists)
-        v = jnp.min(d, axis=-1)
-        # Lowest untaken index at the min — the explicit taken mask (not
-        # inf-masking) keeps +inf rows advancing 0, 1, 2, ... like top_k.
-        at = (d == v[..., None]) & ~taken
-        i = jnp.min(jnp.where(at, col, n), axis=-1).astype(jnp.int32)
-        taken = taken | (col == i[..., None])
-        vals.append(v)
-        idxs.append(i)
-    return jnp.stack(vals, axis=-1), jnp.stack(idxs, axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("k", "max_dup"))
