@@ -332,10 +332,16 @@ def _stream_base(
 
     use_pallas = _use_pallas_replica(metric, 1)
     if use_pallas:
-        from spfresh_tpu.ops.pallas.replica import pallas_nearest_centroid
+        from spfresh_tpu.ops.pallas.replica import (
+            pad_centroids_far, pallas_nearest_centroid,
+        )
 
         plat = (devs[0] or jax.devices()[0]).platform
         interp = plat != "tpu"
+        # FAR-bucket-pad once per device, not once per tile: the kernel's
+        # compiled shape depends on the bucket, and the eager pad is a few
+        # dispatches (~1500 tiles at 100M would pay them each otherwise).
+        cents_pallas = [pad_centroids_far(cd[:C]) for cd in cents_devs]
     # Uniform tile shapes: pad the ragged last tile so every dispatch hits
     # the same compiled program; dispatches run ahead of pulls (window
     # scales with device count so every chip stays busy).
@@ -352,8 +358,9 @@ def _stream_base(
             try:
                 b_i, d_i = pallas_nearest_centroid(
                     timed_put(Xt, dv).astype(ACCUM_DTYPE),
-                    cents_dev[:C],
+                    cents_pallas[ti % len(devs)],
                     interpret=interp,
+                    cents_prepadded=True,
                 )
             except Exception:  # Mosaic compile failure: XLA route instead
                 from spfresh_tpu.ops.pallas import replica as _rk
@@ -533,10 +540,14 @@ def _stream_replicas(
     use_pallas = _use_pallas_replica(params.metric, n_extra)
     soar = float(params.soar_lambda or 0.0)
     if use_pallas:
-        from spfresh_tpu.ops.pallas.replica import pallas_replica_topk
+        from spfresh_tpu.ops.pallas.replica import (
+            pad_centroids_far, pallas_replica_topk,
+        )
 
         plat = (devs[0] or jax.devices()[0]).platform
         interp = plat != "tpu"
+        # Once per device (see _stream_base): compile-once bucket shapes.
+        cents_pallas = [pad_centroids_far(cd[:C]) for cd in cents_devs]
     window = max(4, 2 * len(devs))
     for ti, s in enumerate(range(0, n, tile_rows)):
         e = min(s + tile_rows, n)
@@ -562,12 +573,13 @@ def _stream_replicas(
                 i0, d0 = pallas_replica_topk(
                     timed_put(Xt, dv).astype(ACCUM_DTYPE),
                     timed_put(base_t, dv),
-                    cents_dev[:C],  # chunk padding rows must NOT be admitted
+                    cents_pallas[ti % len(devs)],  # FAR rows: never admitted
                     bt,
                     n_extra,
                     db=timed_put(db_t, dv),
                     soar_lambda=soar,
                     interpret=interp,
+                    cents_prepadded=True,
                 )
             except Exception:  # Mosaic compile failure: XLA route instead
                 from spfresh_tpu.ops.pallas import replica as _rk

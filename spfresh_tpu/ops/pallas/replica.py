@@ -10,11 +10,23 @@ and the pass keeps the ``n_extra`` nearest admitted clusters per point.  The
 XLA formulation (``_final_replica_pass_fused``) materializes (tile, C)
 distance and centroid-centroid workspaces in HBM and runs ``lax.top_k`` over
 C columns — at 1M x 12.5k that is ~100 GB of HBM traffic and a C-wide sort
-per row for ~3 TFLOP of actual matmul work, measured at 12.8 s where the
-MXU-bound floor is well under a second.
+per row for ~3 TFLOP of actual matmul work, measured at 12.8 s.
 
 This kernel streams centroid chunks through VMEM instead and keeps a running
-top-``n_extra`` per point, so the (n, C) distance space never touches HBM:
+top-``n_extra`` per point, so the (n, C) distance space never touches HBM.
+Measured at 1M x 12.5k x 128 (r4 replica_probe, warm executable): ~1.8 s
+including the tunnel dispatch, vs 2.97 s for the XLA pass in the same
+window; the kernel's own FLOP+HBM floor is ~60-100 ms.  The r4 build-phase
+number (7.44 s) was dominated by Mosaic RECOMPILES, not execution: the
+cluster count C was a static kernel capture and the padded shapes were
+exact, so every build (C is data-dependent) and every ragged final row
+tile compiled a fresh executable.  Round 5 removed both C-dependencies:
+centroid matrices are padded to power-of-2 ``_CT`` buckets with FAR
+sentinel rows (guaranteed never admitted — no ``cols < C`` mask needed)
+and row tiles are uniform (the last tile zero-pads), so one executable per
+(d, bucket) serves every build.
+
+Grid layout:
 
   grid (Npad/BR, Cpad/CT), centroid axis minor.  Per step two MXU dots
   produce the transposed (CT, BR) point-centroid and basecentroid-centroid
@@ -48,6 +60,58 @@ _CT = 512   # centroid rows per step (sublane axis)
 _NE8 = 8    # output sublane rows (top-n_extra state, n_extra <= 8)
 _IBIG = 2**31 - 1  # python int: jnp constants would be captured by the kernel
 
+# FAR sentinel for bucket-padding centroid rows: squared distance to any
+# sane vector is ~_FAR^2 = 1.3e36 (f32-finite), so padded rows never win an
+# argmin and never pass the `D < bt * db` admission bound — the kernels need
+# no `cols < C` mask and compile once per (d, bucket), not once per C.
+# Contract: corpus coordinate magnitudes stay below ~1e15 (any real
+# embedding is O(1e3)); beyond that, real distances could rival _FAR^2.
+_FAR = 2.0**60
+
+
+def _bucket_cpad(C: int) -> int:
+    """Padded centroid count: the next power-of-2 multiple of ``_CT``.
+    Buckets keep the compiled-shape population tiny (<= log2(C_max) shapes
+    ever) at <= 2x kernel-grid waste — irrelevant next to the ~seconds-long
+    Mosaic compile a fresh shape costs through the tunnel."""
+    nc = -(-C // _CT)
+    return _CT * (1 << max(0, (nc - 1).bit_length()))
+
+
+def _bucket_rows(n: int) -> int:
+    """Padded row count: the next power-of-2 multiple of ``_BR`` — the row
+    sibling of ``_bucket_cpad`` (corpus sizes vary per build/tile; exact row
+    shapes would recompile per n)."""
+    nb = -(-n // _BR)
+    return _BR * (1 << max(0, (nb - 1).bit_length()))
+
+
+def _pad_rows(arrs, n: int, n_b: int):
+    """Zero-pad each (n, ...) array in ``arrs`` to ``n_b`` rows.  Padding
+    rows are (0-vector, base 0, db 0): with a caller-supplied db the
+    admission bound is 0 so they admit nothing; with a computed db their
+    admissions are sliced off by the caller either way."""
+    if n_b == n:
+        return arrs
+    out = []
+    for a in arrs:
+        pad_shape = (n_b - n,) + a.shape[1:]
+        out.append(jnp.concatenate([a, jnp.zeros(pad_shape, a.dtype)], axis=0))
+    return out
+
+
+def pad_centroids_far(cents: jax.Array) -> jax.Array:
+    """Pad (C, d) centroids to (_bucket_cpad(C), d) with FAR sentinel rows.
+    Eager (a couple of device ops) — callers inside tile loops should pad
+    ONCE up front and pass ``cents_prepadded=True``."""
+    C, d = cents.shape
+    c_pad = _bucket_cpad(C)
+    if c_pad == C:
+        return cents
+    pad = jnp.zeros((c_pad - C, d), cents.dtype)
+    pad = pad.at[:, 0].set(jnp.asarray(_FAR, cents.dtype))
+    return jnp.concatenate([cents, pad], axis=0)
+
 # Set by mark_unavailable() after a real-device compile failure: callers
 # fall back to the XLA route for the rest of the process instead of
 # crashing every subsequent tile/build on the same Mosaic error.
@@ -78,7 +142,7 @@ def _select_rounds(d, i, ne: int):
     return jnp.concatenate(outs_d, axis=0), jnp.concatenate(outs_i, axis=0)
 
 
-def _make_kernel(C: int, ne: int, highest: bool, soar_lambda: float):
+def _make_kernel(ne: int, highest: bool, soar_lambda: float):
     prec = jax.lax.Precision.HIGHEST if highest else None
 
     def kernel(x_ref, cb_ref, x2_ref, cb2_ref, thr_ref, db_ref, base_ref,
@@ -117,8 +181,11 @@ def _make_kernel(C: int, ne: int, highest: bool, soar_lambda: float):
         D = jnp.maximum(cn2 + x2 - 2.0 * dxc, 0.0)
         CC = jnp.maximum(cn2 + cb2 - 2.0 * dcc, 0.0)
 
+        # Bucket-padding rows carry the FAR sentinel: their D is ~1.3e36,
+        # which can never pass `D < thr` for a finite threshold — no
+        # `cols < C` mask, so the kernel code is C-invariant.
         cols = j * _CT + jax.lax.broadcasted_iota(jnp.int32, (_CT, _BR), 0)
-        eligible = (D < thr) & (CC >= D) & (cols != base) & (cols < C)
+        eligible = (D < thr) & (CC >= D) & (cols != base)
         if soar_lambda:
             # SOAR ranking (spilled, orthogonality-amplified residuals):
             # admitted candidates are ranked by D + lambda * (r_j.r_1)^2 /
@@ -156,15 +223,14 @@ def _replica_topk_impl(
     has_db: bool, soar_lambda: float,
 ):
     n, d = X.shape
-    C = cents.shape[0]
+    c_pad = cents.shape[0]  # prepadded to a _CT bucket with FAR rows
     d_pad = ((d + 127) // 128) * 128
     n_pad = ((n + _BR - 1) // _BR) * _BR
-    c_pad = ((C + _CT - 1) // _CT) * _CT
 
     Xp = jnp.zeros((n_pad, d_pad), X.dtype).at[:n, :d].set(X)
-    Cp = jnp.zeros((c_pad, d_pad), cents.dtype).at[:C, :d].set(cents)
+    Cp = jnp.zeros((c_pad, d_pad), cents.dtype).at[:, :d].set(cents)
     bp = jnp.zeros((1, n_pad), jnp.int32).at[0, :n].set(base.astype(jnp.int32))
-    Cb = jnp.take(Cp[:C], bp[0, :], axis=0)            # (n_pad, d') base rows
+    Cb = jnp.take(Cp, bp[0, :], axis=0)                # (n_pad, d') base rows
 
     xf = Xp.astype(jnp.float32)
     cbf = Cb.astype(jnp.float32)
@@ -192,7 +258,7 @@ def _replica_topk_impl(
 
     od, oi = pl.pallas_call(
         _make_kernel(
-            C, n_extra, highest=prec is not None,
+            n_extra, highest=prec is not None,
             soar_lambda=float(soar_lambda),
         ),
         grid=(n_pad // _BR, c_pad // _CT),  # centroid axis minor: streams C
@@ -226,7 +292,7 @@ def _replica_topk_impl(
     return oi[:n_extra, :n].T, od[:n_extra, :n].T
 
 
-def _make_assign_kernel(C: int, highest: bool):
+def _make_assign_kernel(highest: bool):
     prec = jax.lax.Precision.HIGHEST if highest else None
 
     def kernel(x_ref, x2_ref, c_ref, od_ref, oi_ref):
@@ -246,9 +312,10 @@ def _make_assign_kernel(C: int, highest: bool):
             c, xT, preferred_element_type=jnp.float32, precision=prec
         )                                                # (CT, BR)
         D = jnp.maximum(cn2 + x2 - 2.0 * dxc, 0.0)
+        # FAR bucket-padding rows measure ~1.3e36 — they never win the
+        # argmin, so no `cols < C` mask (keeps the kernel C-invariant).
         cols = j * _CT + jax.lax.broadcasted_iota(jnp.int32, (_CT, _BR), 0)
-        Dm = jnp.where(cols < C, D, jnp.inf)
-        cd, ci = _select_rounds(Dm, cols, 1)
+        cd, ci = _select_rounds(D, cols, 1)
         pd, pi = od_ref[...], oi_ref[...]
         md, mi = _select_rounds(
             jnp.concatenate([pd[:1], cd], axis=0),
@@ -265,29 +332,44 @@ def _make_assign_kernel(C: int, highest: bool):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
 def pallas_nearest_centroid(
     X: jax.Array,       # (n, d) storage dtype (f32 or bf16)
     cents: jax.Array,   # (C, d) storage dtype
     interpret: bool = False,
+    cents_prepadded: bool = False,
 ):
     """Nearest centroid per row (squared-L2): (base (n,) int32, db (n,) f32).
     The streaming-argmin sibling of the replica kernel — the out-of-core
     base-assignment (`outofcore._oc_base_tile`) materializes (tile, chunk)
     distance workspaces in HBM per chunk; this never leaves VMEM.  Ties
-    break to the lowest centroid id (the `_oc_base_tile` contract)."""
+    break to the lowest centroid id (the `_oc_base_tile` contract).
+
+    The centroid matrix is FAR-bucket-padded and the row count power-of-2
+    bucketed before entering the jit so the compiled shape depends on the
+    buckets, not the exact (n, C); tile-loop callers pad once via
+    ``pad_centroids_far`` and pass ``cents_prepadded=True`` (their uniform
+    tile sizes already sit on a bucket)."""
+    if not cents_prepadded:
+        cents = pad_centroids_far(cents)
+    n = X.shape[0]
+    (Xs,) = _pad_rows((X,), n, _bucket_rows(n))
+    b, d = _nearest_centroid_impl(Xs, cents, interpret)
+    return b[:n], d[:n]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _nearest_centroid_impl(X, cents, interpret: bool):
     n, d = X.shape
-    C = cents.shape[0]
+    c_pad = cents.shape[0]  # prepadded to a _CT bucket with FAR rows
     d_pad = ((d + 127) // 128) * 128
     n_pad = ((n + _BR - 1) // _BR) * _BR
-    c_pad = ((C + _CT - 1) // _CT) * _CT
     Xp = jnp.zeros((n_pad, d_pad), X.dtype).at[:n, :d].set(X)
-    Cp = jnp.zeros((c_pad, d_pad), cents.dtype).at[:C, :d].set(cents)
+    Cp = jnp.zeros((c_pad, d_pad), cents.dtype).at[:, :d].set(cents)
     xf = Xp.astype(jnp.float32)
     x2 = jnp.sum(xf * xf, axis=1)[None, :]
     prec = None if X.dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
     od, oi = pl.pallas_call(
-        _make_assign_kernel(C, highest=prec is not None),
+        _make_assign_kernel(highest=prec is not None),
         grid=(n_pad // _BR, c_pad // _CT),
         in_specs=[
             pl.BlockSpec((d_pad, _BR), lambda i, j: (0, i)),
@@ -324,6 +406,7 @@ def pallas_replica_topk(
     soar_lambda: float = 0.0,
     interpret: bool = False,
     row_tile: int | None = None,
+    cents_prepadded: bool = False,
 ):
     """Top-``n_extra`` closure replicas per point (squared-L2 metric).
     Returns (idx (n, n_extra) int32, ranks (n, n_extra) f32 ascending);
@@ -339,27 +422,46 @@ def pallas_replica_topk(
     arrays (padded rows + base-centroid rows, each plus its transpose) —
     whole-corpus at 1M x 960-d f32 is ~16 GB of staging next to the corpus,
     an OOM on a 16 GB chip.  Per-point independence makes row tiling exact;
-    ``row_tile`` (tests) overrides the ~256 MB-per-staging-array default."""
+    ``row_tile`` (tests) overrides the ~256 MB-per-staging-array default.
+
+    Compile-once shapes: centroids are FAR-bucket-padded (outside the jit —
+    tile-loop callers prepad via ``pad_centroids_far`` and pass
+    ``cents_prepadded=True``) and every row tile is padded to exactly
+    ``row_tile`` rows, so a 1M build reuses one executable per (d, bucket)
+    instead of recompiling for each data-dependent cluster count (the r4
+    phase profile measured that recompile at ~5-7 s per build)."""
     assert 1 <= n_extra <= _NE8, n_extra
     n, d = X.shape
     d_pad = ((d + 127) // 128) * 128
     if row_tile is None:
         row_tile = max(_BR, (1 << 28) // (d_pad * 4))
     row_tile = ((row_tile + _BR - 1) // _BR) * _BR
+    if not cents_prepadded:
+        cents = pad_centroids_far(cents)
+    soar = float(soar_lambda or 0.0)
     z = jnp.zeros((n,), jnp.float32)
     dbx = db if db is not None else z
+    base = jnp.asarray(base, jnp.int32)
     if n <= row_tile:
-        return _replica_topk_impl(
-            X, base, cents, bt, dbx,
-            n_extra, interpret, db is not None, float(soar_lambda or 0.0),
+        n_b = min(_bucket_rows(n), row_tile)
+        Xs, bs, dbs = _pad_rows((X, base, dbx), n, n_b)
+        oi, od = _replica_topk_impl(
+            Xs, bs, cents, bt, dbs,
+            n_extra, interpret, db is not None, soar,
         )
+        return oi[:n], od[:n]
     outs_i, outs_d = [], []
     for s in range(0, n, row_tile):
         e = min(s + row_tile, n)
-        oi, od = _replica_topk_impl(
-            X[s:e], base[s:e], cents, bt, dbx[s:e],
-            n_extra, interpret, db is not None, float(soar_lambda or 0.0),
+        # Uniform tiles (the last one zero-pads): one compiled shape for
+        # every n at a given (d, bucket).
+        Xs, bs, dbs = _pad_rows(
+            (X[s:e], base[s:e], dbx[s:e]), e - s, row_tile
         )
-        outs_i.append(oi)
-        outs_d.append(od)
+        oi, od = _replica_topk_impl(
+            Xs, bs, cents, bt, dbs,
+            n_extra, interpret, db is not None, soar,
+        )
+        outs_i.append(oi[: e - s])
+        outs_d.append(od[: e - s])
     return jnp.concatenate(outs_i, axis=0), jnp.concatenate(outs_d, axis=0)

@@ -307,3 +307,47 @@ def test_row_tiled_matches_untiled():
     )
     np.testing.assert_array_equal(np.asarray(i2), np.asarray(i3))
     np.testing.assert_array_equal(np.asarray(d2), np.asarray(d3))
+
+
+def test_compile_once_across_cluster_counts():
+    """Builds with different (C, n) must reuse one compiled executable per
+    (d, bucket): C enters via FAR-sentinel bucket padding (no static capture)
+    and ragged row counts pad to a uniform row_tile.  The r4 phase profile
+    paid a fresh ~5-7 s Mosaic compile per build because both were exact."""
+    from spfresh_tpu.ops.pallas.replica import (
+        _bucket_cpad,
+        _nearest_centroid_impl,
+        _replica_topk_impl,
+    )
+
+    assert _bucket_cpad(600) == _bucket_cpad(700) == 1024
+
+    X1, b1, c1 = _case(1, 500, 600, 32, "float32")
+    X2, b2, c2 = _case(2, 420, 700, 32, "float32")
+    r0 = _replica_topk_impl._cache_size()
+    a0 = _nearest_centroid_impl._cache_size()
+    i1, d1 = pallas_replica_topk(X1, b1, c1, 1.2, 2, interpret=True,
+                                 row_tile=512)
+    i2, d2 = pallas_replica_topk(X2, b2, c2, 1.2, 2, interpret=True,
+                                 row_tile=512)
+    assert _replica_topk_impl._cache_size() == r0 + 1  # one shape for both
+    from spfresh_tpu.ops.pallas.replica import pallas_nearest_centroid
+
+    pallas_nearest_centroid(X1, c1, interpret=True)
+    pallas_nearest_centroid(X1, c2, interpret=True)
+    assert _nearest_centroid_impl._cache_size() == a0 + 1
+    # And the bucketed results stay oracle-grade (same tolerance contract
+    # as test_matches_xla_oracle: padded-width dots allow rounding-level
+    # distance deviation, id swaps only on such near-ties).
+    for (X, b, c, ki, kd) in ((X1, b1, c1, i1, d1), (X2, b2, c2, i2, d2)):
+        oi, od = _final_replica_pass(
+            X, b, c, "Euclidean", jnp.float32(1.2), 2
+        )
+        oi, od, ki, kd = map(np.asarray, (oi, od, ki, kd))
+        fin = np.isfinite(od)
+        assert np.array_equal(fin, np.isfinite(kd))
+        idx_eq = oi[fin] == ki[fin]
+        if not idx_eq.all():
+            assert np.allclose(od[fin][~idx_eq], kd[fin][~idx_eq], rtol=1e-4)
+            assert idx_eq.mean() > 0.999
+        np.testing.assert_allclose(od[fin], kd[fin], rtol=3e-4, atol=1e-5)
