@@ -221,12 +221,18 @@ def main():
     ap.add_argument("--small", action="store_true", help="smoke test scale")
     ap.add_argument("--n", type=int, default=None)
     ap.add_argument("--dim", type=int, default=128)
-    ap.add_argument("--nq", type=int, default=4096)
+    ap.add_argument("--nq", type=int, default=16384)
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--cluster-size", type=int, default=256)
     ap.add_argument("--initial-k", type=int, default=16)
     ap.add_argument("--target-recall", type=float, default=0.90)
-    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--batch", type=int, default=8192,
+                    help="query batch per dispatch.  8192 is the measured "
+                         "throughput optimum through the tunnel (r5 sweep, "
+                         "same window: 13.9k/16.2k/32.7k/44.7k/37.5k QPS at "
+                         "1024/2048/4096/8192/16384 — ~60 ms dispatch "
+                         "amortizes up to 8k, then per-batch link time "
+                         "dominates; benchmarks/r5_results/b8192.json)")
     ap.add_argument("--storage-dtype", default="bfloat16",
                     help="bfloat16 (default: half the HBM footprint, slab DMA, "
                          "and view-upload bytes; recall cost ~0.004) | float32 "
@@ -258,9 +264,11 @@ def main():
                     help="replica admission d(p,c_j) < bt * d(p,c_base) "
                          "(default: Config's)")
     ap.add_argument("--soar-lambda", type=float, default=None,
-                    help="SOAR replica ranking weight (Euclidean only); the "
-                         "1M recall sweep showed +0.009 recall@nprobe=8 at "
-                         "~1%% storage cost for lambda=0.5")
+                    help="SOAR replica ranking weight (Euclidean only).  "
+                         "Default: Config's auto (0.5 on Euclidean since the "
+                         "r5 same-window A/B measured +0.005 recall at equal "
+                         "wall QPS for +1.6%% storage).  Pass 0 for the "
+                         "reference's plain distance ranking")
     ap.add_argument("--replica-overflow", type=float, default=None,
                     help="posting replica headroom factor (default: Config's)")
     ap.add_argument("--query-wire", default="bfloat16",

@@ -34,14 +34,20 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+# repeats=2 splits compile/cache-load time (first call) from steady-state
+# execution (second): the r4 "bt anomaly" (9.15 s at bt=1.1 vs 1.83 s at
+# bt=4.0, same shapes, bt traced) was the first 1M case paying two cold
+# row-tile compiles while the second hit the disk cache.  Post-r5 the
+# kernels are compile-once (bucketed shapes), so the first call should be
+# cold exactly once per (d, bucket) across ALL cases.
 CASES = {
-    "size_100k": dict(kind="pallas", n=100_000, bt=1.1, repeats=1),
-    "size_500k": dict(kind="pallas", n=500_000, bt=1.1, repeats=1),
-    "size_1m": dict(kind="pallas", n=1_000_000, bt=1.1, repeats=1),
-    "bt4_1m": dict(kind="pallas", n=1_000_000, bt=4.0, repeats=1),
+    "size_100k": dict(kind="pallas", n=100_000, bt=1.1, repeats=2),
+    "size_500k": dict(kind="pallas", n=500_000, bt=1.1, repeats=2),
+    "size_1m": dict(kind="pallas", n=1_000_000, bt=1.1, repeats=2),
+    "bt4_1m": dict(kind="pallas", n=1_000_000, bt=4.0, repeats=2),
     "churn_1m": dict(kind="pallas", n=1_000_000, bt=4.0, repeats=4),
-    "assign_1m": dict(kind="assign", n=1_000_000, bt=0.0, repeats=1),
-    "xla_1m": dict(kind="xla", n=1_000_000, bt=4.0, repeats=1),
+    "assign_1m": dict(kind="assign", n=1_000_000, bt=0.0, repeats=2),
+    "xla_1m": dict(kind="xla", n=1_000_000, bt=4.0, repeats=2),
 }
 
 

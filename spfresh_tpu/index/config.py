@@ -82,8 +82,12 @@ class Config:
     # SOAR replica ranking (ScaNN's spilled orthogonality-amplified
     # residuals): > 0 ranks admitted closure candidates by
     # D + lambda (r_j.r_1)^2/|r_1|^2 — replicas whose residual is orthogonal
-    # to the primary's recover more recall per stored copy.  Euclidean only;
-    # None keeps the reference's distance ranking.
+    # to the primary's recover more recall per stored copy.  Euclidean only.
+    # None = AUTO: lambda 0.5 on Euclidean, off otherwise — the r5
+    # same-window device A/B measured +0.0053 recall@nprobe=8 at equal wall
+    # QPS for +1.6% storage (benchmarks/r5_results/bench_1m_soar_r5.json vs
+    # bench_1m_r5.json; the r4 recall sweep saw +0.0085, soar_1m.log).
+    # Set 0.0 explicitly for the reference's plain distance ranking.
     soar_lambda: Optional[float] = None
     storage_dtype: str = "float32"  # or "bfloat16" for HBM-lean indexes
     # Out-of-core build (clustering/outofcore.py): when set, the corpus
@@ -188,7 +192,17 @@ class Config:
             boundary_threshold=self.boundary_threshold,
             replica_overflow=self.replica_overflow,
             max_split_ways=self.max_split_ways,
-            soar_lambda=self.soar_lambda,
+            # None = auto (see the field comment): SOAR on by default for
+            # Euclidean builds, structurally off for L1/Linf.
+            soar_lambda=(
+                self.soar_lambda
+                if self.soar_lambda is not None
+                else (
+                    0.5
+                    if canonical_metric(self.distance_metric) == "Euclidean"
+                    else None
+                )
+            ),
             # Non-f32-storage indexes also ship the BUILD corpus over the
             # wire in bf16 (the index serves rounded vectors either way);
             # halves the dominant one-time upload of large builds.  int8
