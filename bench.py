@@ -272,7 +272,7 @@ def main():
     ap.add_argument("--replica-overflow", type=float, default=None,
                     help="posting replica headroom factor (default: Config's)")
     ap.add_argument("--query-wire", default="bfloat16",
-                    choices=["float32", "bfloat16"],
+                    choices=["float32", "bfloat16", "int8"],
                     help="bfloat16 (default) ships query batches over the "
                          "link in bf16 (upcast on device) — halves the "
                          "per-batch query upload, the measured QPS "
@@ -501,7 +501,7 @@ def main():
     # the link seconds implied by the measured post-sweep bandwidth (bytes
     # are exact: wire dtype x nq x dim up, k ids + dists down) to get the
     # weather-robust engine throughput — same decomposition as the build.
-    wire_itemsize = 2 if args.query_wire == "bfloat16" else 4
+    wire_itemsize = {"bfloat16": 2, "int8": 1}.get(args.query_wire, 4)
     q_mb = nq * args.dim * wire_itemsize / 2**20
     out_mb = nq * args.k * (8 + 4) / 2**20
     link_s = (

@@ -82,6 +82,13 @@ run_step bench_gist_int8_r5 9000 "$OUT/bench_gist_int8_r5.json" \
   python bench.py --dim 960 --latent-dim 32 --nq 4096 --batch 4096 \
   --storage-dtype int8
 
+# 3b. int8 QUERY wire at 960-d: the serve path is query-wire-bound
+#     (345 ms/batch = 7.9 MB bf16 queries at tunnel bandwidth); int8 codes
+#     + per-query scales halve that again.  Same window as the pair above.
+run_step bench_gist_qint8 9000 "$OUT/bench_gist_qint8.json" \
+  python bench.py --dim 960 --latent-dim 32 --nq 4096 --batch 4096 \
+  --query-wire int8
+
 # 4. Disk-tier staging dtype A/B: int8 slabs halve the per-batch wire.
 run_step lazy_bf16 3600 - python benchmarks/lazy_search_bench.py \
   --n 500000 --storage-dtype bfloat16 --dir /root/lazy500k

@@ -34,15 +34,20 @@ class SearchConfig:
     # "bfloat16" ships query batches over the host->device link in bf16
     # (upcast to f32 on device before any kernel math).  Halves the
     # per-batch query upload — the measured QPS bottleneck on slow links
-    # (2 MB / 4096 queries at 128-d vs ~60 ms of device work).  Queries are
-    # bf16-rounded, so results can differ from the f32 wire in near-ties;
+    # (2 MB / 4096 queries at 128-d vs ~60 ms of device work).  "bfloat16"
+    # halves the wire (queries carry bf16 rounding); "int8" ships per-query
+    # max-abs-scaled codes + one f32 scale (~1/4 of f32 bytes — the 960-d
+    # serve path is query-wire-bound at 345 ms/batch, r4 gist artifact) and
+    # dequantizes inside the search jit.  Either way results are the exact
+    # search at the rounded coordinates, differing only in near-ties;
     # None (default) keeps the exact f32 wire.
     query_wire: Optional[str] = None
 
     def validate(self) -> None:
-        if self.query_wire not in (None, "float32", "bfloat16"):
+        if self.query_wire not in (None, "float32", "bfloat16", "int8"):
             raise ValueError(
-                "search.query_wire must be None, 'float32', or 'bfloat16'"
+                "search.query_wire must be None, 'float32', 'bfloat16', "
+                "or 'int8'"
             )
         if self.slab_growth_slots < 0:
             raise ValueError("search.slab_growth_slots must be >= 0")

@@ -125,6 +125,7 @@ def _search_kernel(
     metric: str,
     prune: bool,
     max_dup: int = 8,
+    q_scales=None,  # (Q, 1) f32 when queries are int8 codes
 ):
     """probe -> gather -> rerank -> merge for one query batch.
 
@@ -132,6 +133,8 @@ def _search_kernel(
     vectors (P, d).  Returns (ids (Q, k) int64 [-1 = no hit], dists (Q, k)).
     """
     Q = queries.shape[0]
+    if q_scales is not None:  # int8 query wire: dequantize on device
+        queries = queries.astype(jnp.float32) * q_scales
     qf = queries.astype(centroids.dtype)
 
     # Stage 1 — centroid scan + top-nprobe (replaces kdtree.nearest_n,
@@ -207,6 +210,7 @@ def _search_kernel_probe_chunked(
     prune: bool,
     max_dup: int = 8,
     probe_chunk: int = 64,
+    q_scales=None,  # (Q, 1) f32 when queries are int8 codes
 ):
     """XLA-engine search consuming the probe axis in fixed chunks.
 
@@ -218,6 +222,8 @@ def _search_kernel_probe_chunked(
     distinct id sits at raw-distance rank <= k * max_dup, the structural
     replication bound), so the final bounded-dedup top-k is exact."""
     Q = queries.shape[0]
+    if q_scales is not None:  # int8 query wire: dequantize on device
+        queries = queries.astype(jnp.float32) * q_scales
     qf = queries.astype(centroids.dtype)
     cent_d, cent_i = centroid_topk(qf, centroids, cent_valid, nprobe, metric)
     n_chunks = (nprobe + probe_chunk - 1) // probe_chunk
@@ -288,6 +294,7 @@ def _search_kernel_padded(
     prune: bool,
     interpret: bool,
     max_dup: int = 8,
+    q_scales=None,  # (Q, 1) f32 when queries are int8 codes
 ):
     """Padded-layout search: centroid scan on the MXU, posting gather +
     rerank in the fused Pallas kernel (contiguous slab DMA at HBM
@@ -295,6 +302,8 @@ def _search_kernel_padded(
     from spfresh_tpu.ops.pallas.rerank import padded_rerank_distances
 
     Q = queries.shape[0]
+    if q_scales is not None:  # int8 query wire: dequantize on device
+        queries = queries.astype(jnp.float32) * q_scales
     qf = queries.astype(centroids.dtype)
     cent_d, rows = centroid_topk(qf, centroids, cent_valid, nprobe, metric)
 
@@ -1510,16 +1519,34 @@ class SpannIndex:
             )
             if vmem_need > (9 << 20):
                 engine = "xla"
-        # Optional bf16 query wire: halves the per-batch upload (the QPS
-        # bottleneck on slow links); kernels upcast to f32 on device, so
-        # only the query coordinates carry bf16 rounding.
-        if self.config.search.query_wire == "bfloat16":
+        # Optional reduced query wire (the QPS bottleneck on slow links).
+        # "bfloat16" halves the per-batch upload; kernels upcast on device,
+        # so only the query coordinates carry bf16 rounding.  "int8" ships
+        # per-query max-abs-scaled codes + one f32 scale per query (~1/4 of
+        # f32, ~1/2 of bf16 wire bytes at high d) and dequantizes inside
+        # the search jit — results are the exact search evaluated at the
+        # dequantized coordinates, the same contract as the bf16 wire.
+        _wire = self.config.search.query_wire
+        if _wire == "bfloat16":
             import ml_dtypes
 
             def _stage(a):
                 return jnp.asarray(np.asarray(a).astype(ml_dtypes.bfloat16))
+
+            def _stage_q(a):
+                return _stage(a), None
+        elif _wire == "int8":
+
+            def _stage_q(a):
+                a = np.asarray(a, np.float32)
+                s = np.abs(a).max(axis=1, keepdims=True) / 127.0
+                s = np.maximum(s, 1e-30).astype(np.float32)
+                codes = np.clip(np.rint(a / s), -127, 127).astype(np.int8)
+                return jnp.asarray(codes), jnp.asarray(s)
         else:
-            _stage = jnp.asarray
+
+            def _stage_q(a):
+                return jnp.asarray(a), None
         out_i, out_d = [], []
         if engine == "pallas":
             view = self.padded_view()
@@ -1531,8 +1558,9 @@ class SpannIndex:
             qpad[:, : self.dim] = queries
             try:
                 for s in range(0, queries.shape[0], bs_p):
+                    qb, qs = _stage_q(qpad[s : s + bs_p])
                     qi, qd = _search_kernel_padded(
-                        _stage(qpad[s : s + bs_p]),
+                        qb,
                         view.centroids,
                         view.cent_valid,
                         view.lens,
@@ -1547,6 +1575,7 @@ class SpannIndex:
                         prune=prune,
                         interpret=interpret,
                         max_dup=view.max_dup,
+                        q_scales=qs,
                     )
                     out_i.append(qi)
                     out_d.append(qd)
@@ -1575,8 +1604,9 @@ class SpannIndex:
             pc = max(1, (1 << 30) // max(1, bs_eff * view.pad * d_eff * 4))
             if pc < nprobe:
                 for s in range(0, queries.shape[0], bs):
+                    qb, qs = _stage_q(queries[s : s + bs])
                     qi, qd = _search_kernel_probe_chunked(
-                        _stage(queries[s : s + bs]),
+                        qb,
                         view.centroids,
                         view.cent_valid,
                         view.offsets,
@@ -1592,6 +1622,7 @@ class SpannIndex:
                         prune=prune,
                         max_dup=view.max_dup,
                         probe_chunk=pc,
+                        q_scales=qs,
                     )
                     out_i.append(qi)
                     out_d.append(qd)
@@ -1600,8 +1631,9 @@ class SpannIndex:
                     np.concatenate([np.asarray(x) for x in out_d]),
                 )
             for s in range(0, queries.shape[0], bs):
+                qb, qs = _stage_q(queries[s : s + bs])
                 qi, qd = _search_kernel(
-                    _stage(queries[s : s + bs]),
+                    qb,
                     view.centroids,
                     view.cent_valid,
                     view.offsets,
@@ -1616,6 +1648,7 @@ class SpannIndex:
                     metric=self.metric,
                     prune=prune,
                     max_dup=view.max_dup,
+                    q_scales=qs,
                 )
                 out_i.append(qi)
                 out_d.append(qd)

@@ -469,6 +469,39 @@ def test_bf16_query_wire_matches_rounded_f32_wire(tmp_path, rng):
         Config.from_dict({**base.to_dict(), "search": {"query_wire": "fp8"}})
 
 
+def test_int8_query_wire_matches_dequantized_f32_wire(tmp_path, rng):
+    """search.query_wire="int8" ships per-query max-abs codes + one f32
+    scale (~1/4 of the f32 wire bytes — the 960-d serve path is
+    query-wire-bound) and dequantizes inside the search jit; it must be
+    EXACTLY the f32 wire evaluated at the dequantized coordinates — on
+    both engines."""
+    data = rng.standard_normal((200, 16)).astype(np.float32)
+    base = _toy_config(tmp_path, clustering_params={"desired_cluster_size": 40})
+    wire = Config.from_dict(
+        {**base.to_dict(), "search": {"query_wire": "int8"}}
+    )
+    assert wire.search.query_wire == "int8"  # survives dict roundtrip
+    i_plain = SpannIndexBuilder(base).with_data(data).build(save=False)
+    i_wire = SpannIndexBuilder(wire).with_data(data).build(save=False)
+    q = rng.standard_normal((6, 16)).astype(np.float32)
+    s = np.maximum(np.abs(q).max(axis=1, keepdims=True), 1e-30) / 127.0
+    q_deq = np.clip(np.rint(q / s), -127, 127).astype(np.float32) * s
+    q_deq = q_deq.astype(np.float32)
+    for engine in ("xla", "pallas"):
+        ids_w, d_w = i_wire.search(q, k=5, nprobe=i_wire.num_clusters, engine=engine)
+        ids_r, d_r = i_plain.search(
+            q_deq, k=5, nprobe=i_plain.num_clusters, engine=engine
+        )
+        np.testing.assert_array_equal(ids_w, ids_r)
+        np.testing.assert_allclose(d_w, d_r, rtol=1e-6)
+    # Full-probe recall vs ground truth AT the dequantized queries is 1.0
+    # (the standing exactness framing for every reduced wire).
+    gt_d, gt_i = brute_force_search(data, q_deq, k=5)
+    ids_w, _ = i_wire.search(q, k=5, nprobe=i_wire.num_clusters)
+    rec = np.mean([len(set(ids_w[i]) & set(gt_i[i])) / 5 for i in range(6)])
+    assert rec == 1.0
+
+
 def test_vmem_guard_does_not_materialize_padded_view(tmp_path, rng):
     """The Pallas VMEM guard must decide pallas-vs-xla from HOST metadata:
     deciding by packing the padded view and then falling back to xla left
