@@ -102,11 +102,17 @@ def main() -> None:
     results = {}
     for name in args.cases.split(","):
         t0 = time.perf_counter()
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--one", name],
-            capture_output=True, text=True, timeout=args.timeout + 60,
-            cwd=REPO,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name],
+                capture_output=True, text=True, timeout=args.timeout + 60,
+                cwd=REPO,
+            )
+        except subprocess.TimeoutExpired:
+            results[name] = {"ok": False, "rc": "timeout",
+                             "wall_s": round(time.perf_counter() - t0, 1)}
+            print(f"{name:10s} TIMEOUT after {args.timeout + 60}s", flush=True)
+            continue
         wall = time.perf_counter() - t0
         lines = (proc.stdout or "").strip().splitlines()
         payload = None
