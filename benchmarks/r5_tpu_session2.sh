@@ -65,6 +65,15 @@ run_step() {
 
 date | tee -a "$OUT/session2_start.log"
 
+# 0. Manhattan 1M x 960 retry on the UNFUSED closure route (the fused
+#    program's per-C compile ran minutes and tripped the tunnel RPC
+#    deadline at the blocking readback — l1_probe.log; the session-A
+#    attempt died there with its GT already cached, so this is build +
+#    sweep only).  nq/batch pinned to the r4-comparable operating point.
+run_step bench_manhattan3 9000 "$OUT/bench_manhattan3.json" \
+  python bench.py --metric Manhattan --dim 960 --latent-dim 32 \
+  --nq 4096 --batch 4096
+
 # 1. New headline operating point (new defaults: nq 16384, batch 8192,
 #    SOAR auto-0.5, compile-once replica kernels).
 run_step bench_1m_newdef 5400 "$OUT/bench_1m_newdef.json" python bench.py

@@ -330,6 +330,40 @@ def _final_replica_pass_fused(
     )
 
 
+@functools.partial(jax.jit, static_argnames=("n_extra", "soar_lambda"))
+def _replica_select_from_dists(
+    D, cc_base, base_tile, boundary_threshold, n_extra: int,
+    soar_lambda: float = 0.0,
+):
+    """Selection stage of the closure pass given precomputed distance
+    blocks — the L1/Linf UNFUSED route.  Fusing the two Pallas pairwise
+    calls + top_k into one program (the Euclidean fused form) kills
+    Manhattan/Chebyshev builds at GIST shapes: the r4 and r5 Manhattan
+    1M x 960 builds both died UNAVAILABLE at the first closure group's
+    readback.  benchmarks/l1_probe.py isolated the mechanism: the fused
+    program's COMPILE runs minutes at (12k x 10.7k x 960) while each
+    component compiles+runs in ~3 s standalone — and the build blocks on
+    the group's readback immediately after dispatch, so the tunnel RPC
+    sits across the whole compile and trips its deadline.  Worse, the
+    fused shape depends on the data-dependent C, so every build would pay
+    that compile fresh.  Three small dispatches per row group (~60 ms
+    link each, fast compiles) cost ~15 s of link over a 1M build."""
+    db = jnp.take_along_axis(D, base_tile[:, None], axis=1)[:, 0]
+    bt = boundary_threshold.astype(ACCUM_DTYPE)
+    onehot = jax.nn.one_hot(base_tile, D.shape[1], dtype=bool)
+    eligible = (D < (bt * db)[:, None]) & (cc_base >= D) & ~onehot
+    if soar_lambda:
+        rdot = 0.5 * (db[:, None] + D - cc_base)
+        rank = D + soar_lambda * rdot * rdot / jnp.maximum(
+            db[:, None], 1e-30
+        )
+    else:
+        rank = D
+    Dm = jnp.where(eligible, rank, jnp.inf)
+    vals, idx = jax.lax.top_k(-Dm, n_extra)
+    return idx, -vals
+
+
 @functools.partial(jax.jit, static_argnames=("metric", "num_segments", "m_ways"))
 def _split_level_multiway(
     X, point_list, cluster_of, p_count, c1_idx, seed_valid, metric: str,
@@ -936,21 +970,36 @@ class HierarchicalClustering:
             group = min(n, max(256, int(budget / max(1, 2 * C * d))))
         base_dev = jnp.asarray(base, jnp.int32)
         soar = float(self.params.soar_lambda or 0.0)
+        metric = canonical_metric(self.params.metric)
         tiles = []
         for s in range(0, n, group):
             e = min(s + group, n)
-            g_tile = min(tile, e - s)
-            idx, dists = _final_replica_pass_fused(
-                self.data[s:e],
-                base_dev[s:e],
-                cents,
-                self.params.metric,
-                bt,
-                n_extra,
-                g_tile,
-                -(-(e - s) // g_tile),
-                soar_lambda=soar,
-            )
+            if metric == EUCLIDEAN:
+                g_tile = min(tile, e - s)
+                idx, dists = _final_replica_pass_fused(
+                    self.data[s:e],
+                    base_dev[s:e],
+                    cents,
+                    self.params.metric,
+                    bt,
+                    n_extra,
+                    g_tile,
+                    -(-(e - s) // g_tile),
+                    soar_lambda=soar,
+                )
+            else:
+                # UNFUSED elementwise route (see _replica_select_from_dists):
+                # the fused program's per-C compile runs minutes at GIST
+                # shapes and the blocking readback trips the tunnel RPC
+                # deadline; the components compile+run in seconds.
+                Xg = self.data[s:e]
+                bg = base_dev[s:e]
+                D = pairwise_distance(Xg, cents, metric)
+                Cb = jnp.take(cents, bg, axis=0)
+                CC = pairwise_distance(Cb, cents, metric)
+                idx, dists = _replica_select_from_dists(
+                    D, CC, bg, bt, n_extra, soar_lambda=soar
+                )
             tiles.append((s, timed_pull(idx), timed_pull(dists)))
         return tiles
 

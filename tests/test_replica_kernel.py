@@ -351,3 +351,28 @@ def test_compile_once_across_cluster_counts():
             assert np.allclose(od[fin][~idx_eq], kd[fin][~idx_eq], rtol=1e-4)
             assert idx_eq.mean() > 0.999
         np.testing.assert_allclose(od[fin], kd[fin], rtol=3e-4, atol=1e-5)
+
+
+def test_unfused_elementwise_route_matches_fused():
+    """The L1/Linf closure pass runs UNFUSED on device (separate pairwise +
+    selection dispatches — the fused program hangs the backend at GIST
+    shapes, l1_probe.py); the unfused route must equal the fused oracle."""
+    from spfresh_tpu.clustering.hierarchical import (
+        _final_replica_pass_fused,
+        _replica_select_from_dists,
+    )
+    from spfresh_tpu.ops.distances import pairwise_distance
+
+    rng = np.random.default_rng(11)
+    X = jnp.asarray(rng.standard_normal((700, 48)).astype(np.float32))
+    cents = jnp.asarray(rng.standard_normal((90, 48)).astype(np.float32))
+    base = jnp.asarray(rng.integers(0, 90, 700).astype(np.int32))
+    for metric in ("Manhattan", "Chebyshev"):
+        fi, fd = _final_replica_pass_fused(
+            X, base, cents, metric, jnp.float32(1.15), 3, 256, 3
+        )
+        D = pairwise_distance(X, cents, metric)
+        CC = pairwise_distance(jnp.take(cents, base, axis=0), cents, metric)
+        ui, ud = _replica_select_from_dists(D, CC, base, jnp.float32(1.15), 3)
+        np.testing.assert_array_equal(np.asarray(fi), np.asarray(ui))
+        np.testing.assert_array_equal(np.asarray(fd), np.asarray(ud))
