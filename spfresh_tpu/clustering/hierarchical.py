@@ -946,16 +946,19 @@ class HierarchicalClustering:
         (fori_loop inside jit), so tile count costs only workspace HBM, not
         dispatch round-trips.
 
-        Elementwise metrics (L1/Linf) additionally bound the WALL TIME of a
-        single dispatch: they have no matmul factorization, so the closure
-        pass costs ~2 n C d VPU ops — at 1M x 960 x 10.8k clusters that is
-        minutes of device time, and the r4 Manhattan 1M session step died
-        UNAVAILABLE ("TPU device error") mid-build when the whole walk ran
-        as one dispatch through the tunnel.  Row groups are dispatch-
-        bounded (~SPF_REPLICA_DISPATCH_OPS element-ops each, default ~10 s
-        of VPU time); every output row depends only on its own (X[r],
-        base[r]), so any grouping is bit-identical.  Euclidean rides the
-        MXU two orders faster and keeps the one-dispatch form."""
+        Elementwise metrics (L1/Linf) additionally bound each dispatch:
+        they have no matmul factorization, so the closure pass costs
+        ~2 n C d VPU ops, and both the r4 and r5 Manhattan 1M attempts
+        died when too much of it sat behind one blocking readback (r4:
+        one giant fused dispatch; r5 first retry: the op budget alone
+        still allowed group = n and the unfused D matrix would have been
+        40 GB).  Row groups are therefore bounded by BOTH
+        SPF_REPLICA_DISPATCH_OPS element-ops and the ~1 GB (group, C)
+        workspace (the binding limit at GIST shapes: ~27k rows, ~1.5 s
+        and ~1 GB per dispatch).  Every output row depends only on its
+        own (X[r], base[r]), so any grouping is bit-identical; the groups
+        run UNFUSED (see _replica_select_from_dists).  Euclidean rides
+        the MXU two orders faster and keeps the one-dispatch fused form."""
         from spfresh_tpu.utils.xfer import timed_pull
 
         n = self._n
@@ -968,6 +971,15 @@ class HierarchicalClustering:
         else:
             budget = float(os.environ.get("SPF_REPLICA_DISPATCH_OPS", 2.5e14))
             group = min(n, max(256, int(budget / max(1, 2 * C * d))))
+            # The unfused route materializes (group, C) f32 D and CC
+            # matrices in HBM, so the group is memory-bounded too (~1 GB
+            # per matrix — the same bound as the fused form's internal
+            # tile).  At GIST shapes this is the binding limit: the op
+            # budget alone allowed group = n (the r5 Manhattan retry
+            # asked the compiler for a 40 GB D matrix), and ~27k-row
+            # groups measure ~1.5 s/dispatch — comfortably inside the
+            # tunnel RPC deadline.
+            group = min(group, tile)
         base_dev = jnp.asarray(base, jnp.int32)
         soar = float(self.params.soar_lambda or 0.0)
         metric = canonical_metric(self.params.metric)
