@@ -45,9 +45,23 @@ def test_dead_backend_emits_structured_error_and_nonzero_rc():
     assert payload["metric"] == "bench_error"
     assert payload["vs_baseline"] == 0.0
     assert payload["backend_wait_s"] >= 12
-    # The retry loop must actually have run (>= 2 attempts inside 12 s).
-    assert "retry in" in res.stderr
-    assert "attempt 2" in res.stderr
+    # The retry loop must actually have run (>= 2 attempts inside 12 s) —
+    # UNLESS a single probe attempt ate the whole budget, which happens on
+    # this 1-core host whenever a TPU measurement session shares the core
+    # (observed: attempt 1 alone took 17 s of the 12 s budget).  In that
+    # case attempt 1's failure line carries "(elapsed/budget)" with
+    # elapsed >= budget, and no retry is expected.
+    assert "attempt 1 failed" in res.stderr
+    if "attempt 2" not in res.stderr:
+        import re
+
+        m = re.search(r"\((\d+)/12s\)", res.stderr)
+        assert m and int(m.group(1)) >= 12, (
+            f"no retry AND attempt 1 finished inside the budget: "
+            f"{res.stderr!r}"
+        )
+    else:
+        assert "retry in" in res.stderr
 
 
 def test_hung_backend_watchdog_emits_structured_error():
