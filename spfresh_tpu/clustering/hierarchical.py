@@ -1021,13 +1021,28 @@ class HierarchicalClustering:
         n_extra = min(self.params.max_replicas - 1, len(self.clusters) - 1)
         if n_extra <= 0:
             return
+        import contextlib
+
         from spfresh_tpu.utils.xfer import timed_pull
 
+        # Sub-phases: fit/replica_pass mixes the device scan, the result
+        # pull, and single-core host assembly — the r5 1M profile read
+        # 13.8 s warm where the kernel's probe-measured execution is ~2 s,
+        # so the decomposition decides which half any future cut targets.
+        timer = getattr(self, "_timer", None)
+
+        def _p(name):
+            return (
+                timer.phase(name, block=True)
+                if timer is not None else contextlib.nullcontext()
+            )
+
         n = self._n
-        base = np.zeros(n, np.int64)
-        for ci, c in enumerate(self.clusters):
-            base[c.points] = ci
-        cents = self.centroid_vectors()
+        with _p("replica/host_base"):
+            base = np.zeros(n, np.int64)
+            for ci, c in enumerate(self.clusters):
+                base[c.points] = ci
+            cents = self.centroid_vectors()
         extra_pts: List[np.ndarray] = []
         extra_cls: List[np.ndarray] = []
         extra_d: List[np.ndarray] = []
@@ -1052,17 +1067,18 @@ class HierarchicalClustering:
                         [Xp, np.repeat(Xp[:1], n_pad - n, axis=0)]
                     )
                 X_sh = shard_rows(self.mesh, Xp.astype(ACCUM_DTYPE))
-            idx, dists = sharded_replica_pass(
-                self.mesh,
-                X_sh,
-                shard_rows(self.mesh, bp.astype(np.int32)),
-                cents,
-                self.params.metric,
-                self.params.boundary_threshold,
-                n_extra,
-                soar_lambda=float(self.params.soar_lambda or 0.0),
-            )
-            tiles = [(0, timed_pull(idx)[:n], timed_pull(dists)[:n])]
+            with _p("replica/device+pull"):
+                idx, dists = sharded_replica_pass(
+                    self.mesh,
+                    X_sh,
+                    shard_rows(self.mesh, bp.astype(np.int32)),
+                    cents,
+                    self.params.metric,
+                    self.params.boundary_threshold,
+                    n_extra,
+                    soar_lambda=float(self.params.soar_lambda or 0.0),
+                )
+                tiles = [(0, timed_pull(idx)[:n], timed_pull(dists)[:n])]
         elif _use_pallas_replica(self.params.metric, n_extra):
             # Pallas streaming scan: the (n, C) distance space never touches
             # HBM and there is no C-wide top_k — the XLA fused pass below
@@ -1071,16 +1087,17 @@ class HierarchicalClustering:
             from spfresh_tpu.ops.pallas import replica as _rk
 
             try:
-                idx, dists = _rk.pallas_replica_topk(
-                    self.data,
-                    jnp.asarray(base, jnp.int32),
-                    cents,
-                    jnp.float32(self.params.boundary_threshold),
-                    n_extra,
-                    soar_lambda=float(self.params.soar_lambda or 0.0),
-                    interpret=jax.devices()[0].platform != "tpu",
-                )
-                tiles = [(0, timed_pull(idx), timed_pull(dists))]
+                with _p("replica/device+pull"):
+                    idx, dists = _rk.pallas_replica_topk(
+                        self.data,
+                        jnp.asarray(base, jnp.int32),
+                        cents,
+                        jnp.float32(self.params.boundary_threshold),
+                        n_extra,
+                        soar_lambda=float(self.params.soar_lambda or 0.0),
+                        interpret=jax.devices()[0].platform != "tpu",
+                    )
+                    tiles = [(0, timed_pull(idx), timed_pull(dists))]
                 metrics.inc("build.replica_engine.pallas")
             except Exception:  # Mosaic compile failure: XLA route instead
                 log.exception("pallas replica kernel failed; XLA route")
@@ -1088,37 +1105,43 @@ class HierarchicalClustering:
                 tiles = None
             if tiles is None:
                 metrics.inc("build.replica_engine.xla_fallback")
-                tiles = self._replica_pass_xla(base, cents, n_extra)
+                with _p("replica/device+pull"):
+                    tiles = self._replica_pass_xla(base, cents, n_extra)
         else:
             metrics.inc("build.replica_engine.xla")
-            tiles = self._replica_pass_xla(base, cents, n_extra)
-        for s, idx, dists in tiles:
-            valid = np.isfinite(dists)
-            pts = np.broadcast_to(
-                np.arange(s, s + idx.shape[0])[:, None], idx.shape
-            )
-            extra_pts.append(pts[valid])
-            extra_cls.append(idx[valid])
-            extra_d.append(dists[valid])
-        if not extra_pts:
-            return
-        pts = np.concatenate(extra_pts)
-        cls = np.concatenate(extra_cls)
-        dst = np.concatenate(extra_d)
-        # Per-cluster replica budget: members <= ceil(overflow * cap); the
-        # closest replicas win the remaining slots.
-        cap = self.params.desired_cluster_size
-        if cap is None:
-            cap = max(1, int(round(0.18 * n)))
-        limit = max(int(np.ceil(self.params.replica_overflow * cap)), 1)
-        order = np.lexsort((dst, cls))  # by cluster, then distance ascending
-        pts, cls = pts[order], cls[order]
-        bounds = np.searchsorted(cls, np.arange(len(self.clusters) + 1))
-        for ci, c in enumerate(self.clusters):
-            budget = max(0, limit - len(c.points))
-            extra = pts[bounds[ci] : bounds[ci] + min(budget, bounds[ci + 1] - bounds[ci])]
-            if len(extra):
-                c.points = np.sort(np.concatenate([c.points, extra]))
+            with _p("replica/device+pull"):
+                tiles = self._replica_pass_xla(base, cents, n_extra)
+        with _p("replica/host_budget"):
+            for s, idx, dists in tiles:
+                valid = np.isfinite(dists)
+                pts = np.broadcast_to(
+                    np.arange(s, s + idx.shape[0])[:, None], idx.shape
+                )
+                extra_pts.append(pts[valid])
+                extra_cls.append(idx[valid])
+                extra_d.append(dists[valid])
+            if not extra_pts:
+                return
+            pts = np.concatenate(extra_pts)
+            cls = np.concatenate(extra_cls)
+            dst = np.concatenate(extra_d)
+            # Per-cluster replica budget: members <= ceil(overflow * cap);
+            # the closest replicas win the remaining slots.
+            cap = self.params.desired_cluster_size
+            if cap is None:
+                cap = max(1, int(round(0.18 * n)))
+            limit = max(int(np.ceil(self.params.replica_overflow * cap)), 1)
+            order = np.lexsort((dst, cls))  # by cluster, then dist ascending
+            pts, cls = pts[order], cls[order]
+            bounds = np.searchsorted(cls, np.arange(len(self.clusters) + 1))
+            for ci, c in enumerate(self.clusters):
+                budget = max(0, limit - len(c.points))
+                extra = pts[
+                    bounds[ci]
+                    : bounds[ci] + min(budget, bounds[ci + 1] - bounds[ci])
+                ]
+                if len(extra):
+                    c.points = np.sort(np.concatenate([c.points, extra]))
 
     def _update_centroids(self) -> None:
         n = self.data.shape[0]
