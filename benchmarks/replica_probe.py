@@ -114,11 +114,26 @@ def main() -> None:
     results = {}
     for name in args.cases.split(","):
         t0 = time.perf_counter()
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--one", name],
-            capture_output=True, text=True, timeout=args.timeout + 60,
-            cwd=REPO,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--one", name],
+                capture_output=True, text=True, timeout=args.timeout + 60,
+                cwd=REPO,
+            )
+        except subprocess.TimeoutExpired as e:
+            # A hung case (dead-ish tunnel, minutes-long cold Mosaic compile)
+            # must not kill the whole probe: record it and keep bisecting —
+            # the r5 session-D run died here on its FIRST case and lost the
+            # other six rows.
+            wall = time.perf_counter() - t0
+            tail = (e.stderr or b"")
+            if isinstance(tail, bytes):
+                tail = tail.decode("utf-8", "replace")
+            results[name] = {"ok": False, "rc": "timeout",
+                             "wall_s": round(wall, 1),
+                             "stderr_tail": tail.strip().splitlines()[-3:]}
+            print(f"{name:12s} TIMEOUT after {wall:.0f}s", flush=True)
+            continue
         wall = time.perf_counter() - t0
         line = (proc.stdout or "").strip().splitlines()
         payload = None

@@ -50,7 +50,7 @@ from spfresh_tpu.clustering.hierarchical import (
     _np_rowdist,
     _split_level_multiway_host,
 )
-from spfresh_tpu.clustering.utils import next_pow2
+from spfresh_tpu.clustering.utils import budget_sort, next_pow2
 from spfresh_tpu.ops.distances import pairwise_distance
 from spfresh_tpu.ops.topk import smallest_k
 
@@ -621,7 +621,7 @@ def _assemble(n, C, cent_rows, base, extras, cap, replica_overflow):
     e_pts, e_cls, e_d = extras
     limit = max(int(np.ceil(replica_overflow * cap)), 1)
     if len(e_pts):
-        eorder = np.lexsort((e_d, e_cls))
+        eorder = budget_sort(e_cls, e_d)
         e_pts, e_cls = e_pts[eorder], e_cls[eorder]
         ebounds = np.searchsorted(e_cls, np.arange(C + 1))
     clusters: List[Cluster] = []

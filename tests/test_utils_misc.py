@@ -70,3 +70,32 @@ def test_sharded_bf16(tmp_path, rng):
     _, gt = brute_force_search(data, q, k=5)
     recall = np.mean([len(set(ids[r]) & set(gt[r])) / 5 for r in range(5)])
     assert recall >= 0.8  # bf16 rounding may flip near-ties; must stay high
+
+
+def test_budget_sort_matches_lexsort():
+    """budget_sort must reproduce np.lexsort((d, cls))'s STABLE order exactly
+    — including distance ties (point-order preserved), +/-0.0, and inf."""
+    from spfresh_tpu.clustering.utils import budget_sort
+
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        m = int(rng.integers(0, 5000))
+        cls = rng.integers(0, 97, m).astype(np.int32)
+        d = rng.random(m).astype(np.float32)
+        # Force heavy ties: quantize half the distances to 3 values.
+        ties = rng.random(m) < 0.5
+        d[ties] = rng.choice(np.asarray([0.0, 0.25, 1.0], np.float32), ties.sum())
+        # Sprinkle -0.0 and inf (inf shows up pre-mask in some callers).
+        d[rng.random(m) < 0.05] = np.float32(-0.0)
+        d[rng.random(m) < 0.05] = np.inf
+        got = budget_sort(cls, d)
+        want = np.lexsort((d, cls))
+        assert np.array_equal(got, want), trial
+    # int64 cluster ids (the out-of-core caller's dtype)
+    cls = np.asarray([5, 0, 5, 0], np.int64)
+    d = np.asarray([1.0, 2.0, 0.5, 2.0], np.float32)
+    assert np.array_equal(budget_sort(cls, d), np.lexsort((d, cls)))
+    # negative-distance fallback path stays correct
+    d_neg = np.asarray([-1.0, 2.0, 0.5, 2.0], np.float32)
+    assert np.array_equal(budget_sort(cls, d_neg), np.lexsort((d_neg, cls)))
+    assert budget_sort(np.empty(0, np.int32), np.empty(0, np.float32)).size == 0
