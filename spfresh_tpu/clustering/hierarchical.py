@@ -197,6 +197,20 @@ def _medoid_update(X, member_mask, old_idx, metric: str):
 
 
 @functools.partial(jax.jit, static_argnames=("k", "metric"))
+def _assign_medoid_fused(X, cents, old_idx, k: int, metric: str):
+    """Hard assignment + medoid update in ONE device program: the unfused
+    route pulled the (n,) argmin, rebuilt an (n, k) bool mask on the host,
+    and uploaded it back (16 MB + two tunnel round-trips at the 1M bench
+    shape) only for `_medoid_update` to reduce it again.  The mask here is
+    the same `best == j` predicate computed on device, so results are
+    bit-identical to `_assign_points` + `_update_centroids` (tested)."""
+    D = pairwise_distance(X, cents, metric)              # (n, k)
+    best = jnp.argmin(D, axis=1)                         # (n,)
+    mask = best[:, None] == jnp.arange(k, dtype=best.dtype)[None, :]
+    return best, _medoid_update(X, mask, old_idx, metric)
+
+
+@functools.partial(jax.jit, static_argnames=("k", "metric"))
 def _kmeanspp_init(key, X, k: int, metric: str):
     """KMeans++ seeding (hierarchical.rs:249-293) as a running min-distance
     recurrence: one O(n d) pass per seed, d^2-weighted categorical sampling."""
@@ -786,9 +800,12 @@ class HierarchicalClustering:
         with _phase("fit/assign+medoid"):
             if self.mesh is not None:
                 self._assign_and_update_sharded()
-            else:
+            elif self.params.replication == "nested":
+                # Closure masks are multi-membership: keep the two-step path.
                 self._assign_points()
                 self._update_centroids()
+            else:
+                self._assign_and_update_fused()
         with _phase("fit/subdivide"):
             self._subdivide_clusters(int(cap))
         if self.params.replication == "final":
@@ -901,6 +918,22 @@ class HierarchicalClustering:
             best = np.asarray(jnp.argmin(D, axis=1))
             for j, c in enumerate(self.clusters):
                 c.points = np.flatnonzero(best == j).astype(np.int64)
+
+    def _assign_and_update_fused(self) -> None:
+        """Hard assignment + medoid round as ONE device call (the unfused
+        pair pulled the argmin, rebuilt the membership mask on the host,
+        and uploaded it back — see `_assign_medoid_fused`).  Bit-identical
+        to `_assign_points()` + `_update_centroids()` (tested)."""
+        old = jnp.asarray([c.centroid_idx for c in self.clusters], jnp.int32)
+        best_d, new_d = _assign_medoid_fused(
+            self.data, self.centroid_vectors(), old,
+            k=len(self.clusters), metric=self.params.metric,
+        )
+        best = np.asarray(best_d)
+        new = np.asarray(new_d)
+        for j, c in enumerate(self.clusters):
+            c.points = np.flatnonzero(best == j).astype(np.int64)
+            c.centroid_idx = int(new[j])
 
     def _assign_and_update_sharded(self) -> None:
         """Mesh path: one fused assign + medoid round over the data axis

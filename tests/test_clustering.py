@@ -370,3 +370,28 @@ def test_resident_count_drift_is_never_swallowed(monkeypatch, rng):
         HierarchicalClustering(
             _params(initial_k=3, desired_cluster_size=40, rng_seed=1), data
         ).fit()
+
+
+@pytest.mark.parametrize("metric", [EUCLIDEAN, MANHATTAN])
+def test_fused_assign_medoid_bit_identical(metric):
+    """The fused one-call assign+medoid round must reproduce the two-step
+    `_assign_points()` + `_update_centroids()` exactly — points AND the
+    updated medoid indices — including ties and empty clusters."""
+    rng = np.random.default_rng(11)
+    data = rng.standard_normal((400, 16)).astype(np.float32)
+    # Duplicate a block of rows to force distance ties in both reductions.
+    data[50:60] = data[0:10]
+    p = _params(initial_k=7, metric=metric, rng_seed=9)
+
+    a = HierarchicalClustering(p, data)
+    a._initialize_clusters(7)
+    a._assign_points()
+    a._update_centroids()
+
+    b = HierarchicalClustering(p, data)
+    b._initialize_clusters(7)
+    b._assign_and_update_fused()
+
+    for ca, cb in zip(a.clusters, b.clusters):
+        assert np.array_equal(ca.points, cb.points)
+        assert ca.centroid_idx == cb.centroid_idx
