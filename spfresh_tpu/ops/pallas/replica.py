@@ -54,6 +54,17 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Mosaic's default SCOPED-vmem budget is 16 MB; at d_pad = 1024 (960-d
+# corpora) the f32 row/base blocks + the (CT, BR) distance/eligibility/SOAR
+# temporaries measure 17.39 MB and the real-device compile dies with
+# "Ran out of memory in memory space vmem ... exceeded scoped vmem limit by
+# 1.39M" (r5 gist session: the SOAR rank temporaries tipped the r4-passing
+# shape over).  v5e has 128 MB of VMEM per core — raise the scoped budget
+# well past the worst supported shape instead of shrinking tiles (smaller
+# _CT/_BR would cost merge-round throughput at every d).
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 _BR = 256   # corpus rows per block (lane axis of every elementwise tile)
 _CT = 512   # centroid rows per step (sublane axis)
@@ -287,6 +298,7 @@ def _replica_topk_impl(
             + 2 * _NE8 * n_pad * 4,
             transcendentals=0,
         ),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(Xp.T, Cb.T, x2, cb2, thr, db, bp, Cp)
     return oi[:n_extra, :n].T, od[:n_extra, :n].T
@@ -391,6 +403,7 @@ def _nearest_centroid_impl(X, cents, interpret: bool):
             + 2 * _NE8 * n_pad * 4,
             transcendentals=0,
         ),
+        compiler_params=_COMPILER_PARAMS,
         interpret=interpret,
     )(Xp.T, x2, Cp)
     return oi[0, :n], od[0, :n]
