@@ -73,7 +73,11 @@ run_step replica_probe3 7200 - python benchmarks/replica_probe.py --timeout 1500
 # 2. Fresh 1M headline with the u64-radix budget sort + sub-phase rows.
 run_step bench_1m_final 3600 "$OUT/bench_1m_final.json" python bench.py
 
-# 3. Sweep session D's stragglers (each landed step skips itself).
+# 3. Sweep session D's stragglers (each landed step skips itself).  The
+#    oc100m skip-gate (dropped into $OUT so session D exits after the lazy
+#    pair instead of starving these quick steps) is lifted first so the
+#    sweep runs the 100M device build with whatever window remains.
+rm -f "$OUT/oc100m_dev.ok"
 bash /root/repo/benchmarks/r5_tpu_session4.sh
 
 date | tee -a "$OUT/session5_end.log"
