@@ -516,7 +516,21 @@ def _split_level_multiway_host(
 
 # Tail levels at or below this many member rows run on the host (the numpy
 # pass costs ~0.3 s at this size vs ~1 s of device dispatch + transfer).
+# Tuned at 128-d; accelerator builds scale it by 128/d — the host pass is
+# O(P * d) on one core while the device cost is dispatch-dominated, so at
+# 960-d the same 128k-row tail ran ~2-3 s/level and the r5 gist/Manhattan
+# profiles billed 50-92 s to subdiv/host_level.  `_host_split_tail_rows`
+# is the shared knob; CPU-backend builds keep the flat constant (there the
+# "device" IS the host and dispatches are free).
 _HOST_SPLIT_MAX_P = 1 << 17
+
+
+def _tail_rows_for(platform: str, d: int) -> int:
+    """The host-tail row threshold for a backend/dimension pair — see
+    ``HierarchicalClustering._host_split_tail_rows``."""
+    if platform == "cpu":
+        return _HOST_SPLIT_MAX_P
+    return max(1 << 14, (_HOST_SPLIT_MAX_P * 128) // max(d, 128))
 
 
 class ResidentCountDrift(RuntimeError):
@@ -1214,6 +1228,7 @@ class HierarchicalClustering:
             )
 
         level = 0
+        tail_max = self._host_split_tail_rows()
         # Resident default: ON for accelerators (the win is link + dispatch
         # round-trips, worth ~0.5-1 s/level through the tunnel), OFF on the
         # CPU backend where its full-N per-level compute is a measured
@@ -1278,7 +1293,7 @@ class HierarchicalClustering:
                 cluster_of[:P] = cluster_of_np
                 c1_idx = np.zeros(S, np.int32)
                 c1_idx[:nm] = flat_members[bounds[:-1] + offs]
-            if P <= _HOST_SPLIT_MAX_P and self._host_data is not None:
+            if P <= tail_max and self._host_data is not None:
                 # Tail level: a few stragglers — the device round-trip costs
                 # ~1.4 s for <0.1 s of math; run the same algorithm on host.
                 with _p("subdiv/host_level"):
@@ -1355,6 +1370,17 @@ class HierarchicalClustering:
                 cluster_of_np, flat_members, assign, seeds, counts, d1, _p,
             )
 
+    def _host_split_tail_rows(self) -> int:
+        """Row threshold below which subdivision levels run on the host.
+        128/d-scaled on accelerators (the numpy pass is O(P * d) on one
+        core; device levels are dispatch-dominated), flat on the CPU
+        backend.  Purely a work-placement knob: the host and device level
+        drivers are bit-identical (tested), so moving the boundary never
+        changes a build's output."""
+        return _tail_rows_for(
+            next(iter(self.data.devices())).platform, int(self.data.shape[1])
+        )
+
     def _level_split_params(self, lens: np.ndarray, cap: int, level: int):
         """The per-level split recipe shared by the upload, resident, and
         mesh-resident drivers — ONE copy, because their bit-equality
@@ -1407,16 +1433,17 @@ class HierarchicalClustering:
         handling and child-id numbering replicate `_subdivide_multiway` /
         `_finish_multiway_level` exactly, so the resulting clusters are
         identical to the upload path's (and to a mesh build's — the shared
-        host tail still runs below `_HOST_SPLIT_MAX_P` rows).
+        host tail still runs below `_host_split_tail_rows()` rows).
 
         Returns the level counter reached; the caller's loop continues the
         host Philox stream from there."""
         from spfresh_tpu.utils.xfer import timed_pull, timed_put
 
+        tail_max = self._host_split_tail_rows()
         counts_h = [len(c) for c in self.clusters]
         big = [c for c in counts_h if c > cap]
         if not big or (
-            sum(big) <= _HOST_SPLIT_MAX_P and self._host_data is not None
+            sum(big) <= tail_max and self._host_data is not None
         ):
             return level  # nothing resident-sized to do
         with _p("subdiv/host_prep"):
@@ -1452,7 +1479,7 @@ class HierarchicalClustering:
                 break
             lens = counts_arr[oversized]
             P = int(lens.sum())
-            if P <= _HOST_SPLIT_MAX_P and self._host_data is not None:
+            if P <= tail_max and self._host_data is not None:
                 break  # hand the tail to the shared host path
             level += 1
             with _p("subdiv/host_prep"):
@@ -1583,10 +1610,11 @@ class HierarchicalClustering:
         )
         from spfresh_tpu.utils.xfer import timed_pull, timed_put
 
+        tail_max = self._host_split_tail_rows()
         counts_h = [len(c) for c in self.clusters]
         big = [c for c in counts_h if c > cap]
         if not big or (
-            sum(big) <= _HOST_SPLIT_MAX_P and self._host_data is not None
+            sum(big) <= tail_max and self._host_data is not None
         ):
             return level  # nothing resident-sized to do
         mesh = self.mesh
@@ -1617,7 +1645,7 @@ class HierarchicalClustering:
                 break
             lens = counts_arr[oversized]
             P = int(lens.sum())
-            if P <= _HOST_SPLIT_MAX_P and self._host_data is not None:
+            if P <= tail_max and self._host_data is not None:
                 break  # hand the tail to the shared host path
             level += 1
             with _p("subdiv/host_prep"):

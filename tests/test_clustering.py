@@ -395,3 +395,19 @@ def test_fused_assign_medoid_bit_identical(metric):
     for ca, cb in zip(a.clusters, b.clusters):
         assert np.array_equal(ca.points, cb.points)
         assert ca.centroid_idx == cb.centroid_idx
+
+
+def test_host_tail_threshold_scaling():
+    """The host-tail boundary is 128/d-scaled on accelerators and flat on
+    CPU (work placement only; both sides are bit-identical by the handoff
+    equality tests)."""
+    from spfresh_tpu.clustering.hierarchical import (
+        _HOST_SPLIT_MAX_P,
+        _tail_rows_for,
+    )
+
+    assert _tail_rows_for("cpu", 960) == _HOST_SPLIT_MAX_P
+    assert _tail_rows_for("tpu", 128) == _HOST_SPLIT_MAX_P
+    assert _tail_rows_for("tpu", 64) == _HOST_SPLIT_MAX_P  # never raises it
+    assert _tail_rows_for("tpu", 960) == (_HOST_SPLIT_MAX_P * 128) // 960
+    assert _tail_rows_for("tpu", 100_000) == 1 << 14  # floor
