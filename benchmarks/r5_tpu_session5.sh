@@ -66,12 +66,13 @@ run_step() {
 
 date | tee -a "$OUT/session5_start.log"
 
-# 1. Replica probe retry (per-case timeouts survive now; longer budget for
-#    cold Mosaic compiles after the /tmp wipe).
-run_step replica_probe3 7200 - python benchmarks/replica_probe.py --timeout 1500
-
-# 2. Fresh 1M headline with the u64-radix budget sort + sub-phase rows.
+# 1. Fresh 1M headline: u64-radix budget sort + fused assign+medoid +
+#    replica/* sub-phase rows (the 128-d decomposition VERDICT item 3 needs).
 run_step bench_1m_final 3600 "$OUT/bench_1m_final.json" python bench.py
+
+# 2. Replica probe retry (per-case timeouts survive now and record TIMEOUT
+#    rows; the step budget is capped so a wedged case can't starve step 3).
+run_step replica_probe3 3600 - python benchmarks/replica_probe.py
 
 # 3. Sweep session D's stragglers (each landed step skips itself).  The
 #    oc100m skip-gate (dropped into $OUT so session D exits after the lazy
