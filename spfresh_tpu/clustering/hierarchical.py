@@ -986,7 +986,8 @@ class HierarchicalClustering:
             if 0 <= rows[j] < n:
                 c.centroid_idx = int(rows[j])
 
-    def _replica_pass_xla(self, base, cents, n_extra: int):
+    def _replica_pass_xla(self, base, cents, n_extra: int,
+                          bf16_wire: bool = False):
         """The XLA fused closure pass (oracle + L1/Linf + fallback route).
         Tile size balances the two (tile, C) distance workspaces (<= ~1 GB
         each) against top_k width; the tile walk runs as ONE fused program
@@ -1030,13 +1031,16 @@ class HierarchicalClustering:
         base_dev = jnp.asarray(base, jnp.int32)
         soar = float(self.params.soar_lambda or 0.0)
         metric = canonical_metric(self.params.metric)
+        # Value-lossless bf16 inputs when the corpus rode the bf16 wire —
+        # see _finalize_replication (cents arrives already cast).
+        X_rep = self.data.astype(jnp.bfloat16) if bf16_wire else self.data
         tiles = []
         for s in range(0, n, group):
             e = min(s + group, n)
             if metric == EUCLIDEAN:
                 g_tile = min(tile, e - s)
                 idx, dists = _final_replica_pass_fused(
-                    self.data[s:e],
+                    X_rep[s:e],
                     base_dev[s:e],
                     cents,
                     self.params.metric,
@@ -1051,7 +1055,7 @@ class HierarchicalClustering:
                 # the fused program's per-C compile runs minutes at GIST
                 # shapes and the blocking readback trips the tunnel RPC
                 # deadline; the components compile+run in seconds.
-                Xg = self.data[s:e]
+                Xg = X_rep[s:e]
                 bg = base_dev[s:e]
                 D = pairwise_distance(Xg, cents, metric)
                 Cb = jnp.take(cents, bg, axis=0)
@@ -1090,6 +1094,25 @@ class HierarchicalClustering:
             for ci, c in enumerate(self.clusters):
                 base[c.points] = ci
             cents = self.centroid_vectors()
+        # bf16 replica inputs when the corpus rode the bf16 wire: the device
+        # coordinates are exactly bf16-representable then, so the cast is
+        # value-LOSSLESS, and every Euclidean route (Pallas kernel, XLA
+        # oracle, mesh twin) sees the SAME inputs — bf16 x bf16 products
+        # are exact in the f32 accumulator, so engine parity and the
+        # mesh <-> single-device bit-equality are unchanged.  What changes
+        # is speed: f32 inputs force the 6-pass HIGHEST matmul decomposition
+        # and double the kernel's VMEM/HBM blocks; the probe measured the
+        # bf16 kernel at ~1.8 s where the f32 in-build pass billed 13.8 s
+        # at the same 1M x 12.5k shape (bench_1m_newdef2).  Exact-f32
+        # builds (wire_dtype float32/None) keep full f32 arithmetic, and
+        # L1/Linf stay f32 too (elementwise bf16 SUBTRACTION is not value-
+        # exact, unlike the Euclidean expansion's products).
+        bf16_wire = (
+            self.params.wire_dtype not in (None, "float32")
+            and canonical_metric(self.params.metric) == EUCLIDEAN
+        )
+        if bf16_wire:
+            cents = cents.astype(jnp.bfloat16)
         extra_pts: List[np.ndarray] = []
         extra_cls: List[np.ndarray] = []
         extra_d: List[np.ndarray] = []
@@ -1105,15 +1128,17 @@ class HierarchicalClustering:
             bp = base
             if n_pad != n:  # padding rows' replicas are sliced off below
                 bp = np.concatenate([bp, np.repeat(bp[:1], n_pad - n)])
+            rep_dtype = jnp.bfloat16 if bf16_wire else ACCUM_DTYPE
             if self._corpus_layout == "sharded":
-                X_sh = self.data  # row-sharded + mesh-padded already
+                # row-sharded + mesh-padded already (cast is device-local)
+                X_sh = self.data.astype(rep_dtype)
             else:
                 Xp = self._host_data
                 if n_pad != n:
                     Xp = np.concatenate(
                         [Xp, np.repeat(Xp[:1], n_pad - n, axis=0)]
                     )
-                X_sh = shard_rows(self.mesh, Xp.astype(ACCUM_DTYPE))
+                X_sh = shard_rows(self.mesh, Xp.astype(rep_dtype))
             with _p("replica/device+pull"):
                 idx, dists = sharded_replica_pass(
                     self.mesh,
@@ -1136,7 +1161,8 @@ class HierarchicalClustering:
             try:
                 with _p("replica/device+pull"):
                     idx, dists = _rk.pallas_replica_topk(
-                        self.data,
+                        self.data.astype(jnp.bfloat16)
+                        if bf16_wire else self.data,
                         jnp.asarray(base, jnp.int32),
                         cents,
                         jnp.float32(self.params.boundary_threshold),
@@ -1153,11 +1179,15 @@ class HierarchicalClustering:
             if tiles is None:
                 metrics.inc("build.replica_engine.xla_fallback")
                 with _p("replica/device+pull"):
-                    tiles = self._replica_pass_xla(base, cents, n_extra)
+                    tiles = self._replica_pass_xla(
+                        base, cents, n_extra, bf16_wire=bf16_wire
+                    )
         else:
             metrics.inc("build.replica_engine.xla")
             with _p("replica/device+pull"):
-                tiles = self._replica_pass_xla(base, cents, n_extra)
+                tiles = self._replica_pass_xla(
+                    base, cents, n_extra, bf16_wire=bf16_wire
+                )
         with _p("replica/host_budget"):
             for s, idx, dists in tiles:
                 valid = np.isfinite(dists)

@@ -106,11 +106,41 @@ class Config:
 
     # -- constructors ------------------------------------------------------
 
+    _TOP_KEYS = frozenset({
+        "output_path", "data_file", "storage_dtype",
+        "build_sample_rows", "build_tile_rows",
+    })
+    _CP_KEYS = frozenset({
+        "distance_metric", "initialization_method", "initial_k",
+        "desired_cluster_size", "rng_seed", "replication", "max_replicas",
+        "boundary_threshold", "replica_overflow", "max_split_ways",
+        "soar_lambda",
+    })
+    _SC_KEYS = frozenset({
+        "nprobe", "prune_factor", "query_batch_size", "engine",
+        "slab_growth_slots", "query_wire",
+    })
+
     @classmethod
     def from_dict(cls, raw: Dict[str, Any]) -> "Config":
         raw = dict(raw or {})
         cp = dict(raw.pop("clustering_params", {}) or {})
         sc = dict(raw.pop("search", {}) or {})
+        # Reject unknown keys instead of silently ignoring them: a typo'd
+        # section name ("clustering" for "clustering_params") used to build
+        # an UNSEEDED default-capped index with no error — two tests in this
+        # repo did exactly that for a round.  Mirrors the reference's strict
+        # config validation posture (config.rs:59-87).
+        for name, got, ok in (
+            ("config", raw.keys(), cls._TOP_KEYS),
+            ("clustering_params", cp.keys(), cls._CP_KEYS),
+            ("search", sc.keys(), cls._SC_KEYS),
+        ):
+            unknown = sorted(set(got) - ok)
+            if unknown:
+                raise ValueError(
+                    f"unknown {name} key(s) {unknown}; valid: {sorted(ok)}"
+                )
         cfg = cls(
             distance_metric=cp.get("distance_metric", "Euclidean"),
             initialization_method=cp.get("initialization_method", "Random"),

@@ -11,6 +11,14 @@ import os
 # Force-override: the host environment exports JAX_PLATFORMS=axon (the TPU
 # tunnel); tests must run on the virtual CPU mesh regardless.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Skip axon plugin registration in every subprocess tests spawn (examples,
+# bench weatherproofing probes): the sitecustomize's register() runs at
+# interpreter start and HANGS for minutes when the tunnel is saturated or
+# dead — test_build_then_load_example_slice flaked with a 600 s subprocess
+# timeout while a TPU session was mid-build on this box.  (The main pytest
+# process already paid registration before this conftest ran; this guards
+# the children, which is where the wall-clock goes.)
+os.environ["PALLAS_AXON_POOL_IPS"] = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

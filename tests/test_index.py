@@ -586,3 +586,19 @@ def test_pallas_search_compile_failure_falls_back_to_xla(tmp_path, rng, monkeypa
     ids, d = index.search(data[:5], 5, nprobe=4, engine="pallas")
     assert np.array_equal(ids, ref_i)
     np.testing.assert_allclose(d, ref_d, rtol=1e-6)
+
+
+def test_config_rejects_unknown_keys():
+    """Typo'd keys/sections must raise, not silently build a default index
+    (a 'clustering' section produced an UNSEEDED default-cap build)."""
+    from spfresh_tpu.index.config import Config
+
+    with pytest.raises(ValueError, match="unknown config key"):
+        Config.from_dict({"clustering": {"rng_seed": 1}})
+    with pytest.raises(ValueError, match="unknown config key"):
+        Config.from_dict({"index_directory": "/tmp/x"})
+    with pytest.raises(ValueError, match="unknown clustering_params key"):
+        Config.from_dict({"clustering_params": {"seed": 1}})
+    with pytest.raises(ValueError, match="unknown search key"):
+        Config.from_dict({"search": {"n_probe": 8}})
+    Config.from_dict({"clustering_params": {"rng_seed": 1}})  # valid: fine

@@ -243,8 +243,8 @@ def test_compile_failure_falls_back_to_xla(monkeypatch, tmp_path):
     data = rng.standard_normal((600, 16)).astype(np.float32)
     cfg = Config.from_dict(
         {
-            "index_directory": str(tmp_path / "idx"),
-            "clustering": {"desired_cluster_size": 50, "rng_seed": 2},
+            "output_path": str(tmp_path / "idx"),
+            "clustering_params": {"desired_cluster_size": 50, "rng_seed": 2},
         }
     )
     idx = SpannIndexBuilder(cfg).with_data(data).build(save=False)
@@ -265,8 +265,8 @@ def test_build_with_pallas_replica_pass(monkeypatch, tmp_path):
     data = rng.standard_normal((800, 24)).astype(np.float32)
     cfg = Config.from_dict(
         {
-            "index_directory": str(tmp_path / "idx"),
-            "clustering": {"desired_cluster_size": 40, "rng_seed": 5},
+            "output_path": str(tmp_path / "idx"),
+            "clustering_params": {"desired_cluster_size": 40, "rng_seed": 5},
         }
     )
     idx = SpannIndexBuilder(cfg).with_data(data).build(save=False)
@@ -376,3 +376,35 @@ def test_unfused_elementwise_route_matches_fused():
         ui, ud = _replica_select_from_dists(D, CC, base, jnp.float32(1.15), 3)
         np.testing.assert_array_equal(np.asarray(fi), np.asarray(ui))
         np.testing.assert_array_equal(np.asarray(fd), np.asarray(ud))
+
+
+def test_bf16_wire_build_engines_identical(monkeypatch, tmp_path):
+    """With a bf16 corpus wire (the bench default for non-f32 storage) the
+    replica pass feeds value-lossless bf16 inputs to whichever engine runs —
+    the pallas kernel and the XLA oracle must still produce the SAME index
+    (identical posting membership per cluster), and determinism must hold."""
+    from spfresh_tpu.index.builder import SpannIndexBuilder
+    from spfresh_tpu.index.config import Config
+
+    rng = np.random.default_rng(23)
+    data = rng.standard_normal((900, 24)).astype(np.float32)
+
+    def build(engine):
+        monkeypatch.setenv("SPF_REPLICA_ENGINE", engine)
+        cfg = Config.from_dict(
+            {
+                "output_path": str(tmp_path / f"idx_{engine}"),
+                "storage_dtype": "bfloat16",  # => wire_dtype bfloat16
+                "clustering_params": {"desired_cluster_size": 40, "rng_seed": 5},
+            }
+        )
+        return SpannIndexBuilder(cfg).with_data(data).build(save=False)
+
+    a = build("pallas")
+    b = build("xla")
+    assert a.num_clusters == b.num_clusters
+    assert sorted(a.postings) == sorted(b.postings)
+    for cid in a.postings:
+        assert np.array_equal(
+            np.sort(a.postings[cid][0]), np.sort(b.postings[cid][0])
+        ), cid
