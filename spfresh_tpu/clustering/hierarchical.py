@@ -1010,7 +1010,9 @@ class HierarchicalClustering:
         from spfresh_tpu.utils.xfer import timed_pull
 
         n = self._n
-        C = max(1, len(self.clusters))
+        # Workspace bound uses the ACTUAL matrix width — the caller may pass
+        # a FAR-bucket-padded matrix (compile-once shapes), up to 2x C.
+        C = max(1, int(cents.shape[0]))
         tile = min(n, max(256, (1 << 28) // C))
         bt = jnp.float32(self.params.boundary_threshold)
         d = int(self.data.shape[1])
@@ -1089,11 +1091,6 @@ class HierarchicalClustering:
             )
 
         n = self._n
-        with _p("replica/host_base"):
-            base = np.zeros(n, np.int64)
-            for ci, c in enumerate(self.clusters):
-                base[c.points] = ci
-            cents = self.centroid_vectors()
         # bf16 replica inputs when the corpus rode the bf16 wire: the device
         # coordinates are exactly bf16-representable then, so the cast is
         # value-LOSSLESS, and every Euclidean route (Pallas kernel, XLA
@@ -1111,8 +1108,46 @@ class HierarchicalClustering:
             self.params.wire_dtype not in (None, "float32")
             and canonical_metric(self.params.metric) == EUCLIDEAN
         )
-        if bf16_wire:
-            cents = cents.astype(jnp.bfloat16)
+        cents_prepadded = False
+        with _p("replica/host_base"):
+            base = np.zeros(n, np.int64)
+            for ci, c in enumerate(self.clusters):
+                base[c.points] = ci
+            if self.mesh is None and self._host_data is not None:
+                # Single-device: assemble the centroid matrix on the HOST
+                # mirror, FAR-bucket-padded, and ship it in ONE put.  The
+                # former `self.data[idx]` device gather (plus the bf16 cast
+                # and pad_centroids_far's concat) all had the data-dependent
+                # C in their shapes — three fresh XLA compiles through the
+                # tunnel EVERY build, billed at ~4 s of the r5 final-capture
+                # host_base.  The padded upload is bucket-shaped (compile-
+                # free) and the XLA fused route becomes compile-once per
+                # bucket too.  FAR rows admit nothing in either engine
+                # (distance ~1.3e36 can never pass D < bt*db; ids surface
+                # only with +inf distance and callers filter by isfinite).
+                from spfresh_tpu.ops.pallas.replica import _FAR, _bucket_cpad
+                from spfresh_tpu.utils.xfer import timed_put
+
+                idx_np = np.asarray(
+                    [c.centroid_idx for c in self.clusters], np.int64
+                )
+                ch = self._host_data[idx_np]  # f32; bf16-grid if bf16 wire
+                if bf16_wire:
+                    import ml_dtypes
+
+                    ch = ch.astype(ml_dtypes.bfloat16)
+                cpad = _bucket_cpad(len(idx_np))
+                pad_rows = np.zeros(
+                    (cpad - len(idx_np), ch.shape[1]), ch.dtype
+                )
+                if len(pad_rows):
+                    pad_rows[:, 0] = _FAR
+                cents = timed_put(np.concatenate([ch, pad_rows]))
+                cents_prepadded = True
+            else:
+                cents = self.centroid_vectors()
+                if bf16_wire:
+                    cents = cents.astype(jnp.bfloat16)
         extra_pts: List[np.ndarray] = []
         extra_cls: List[np.ndarray] = []
         extra_d: List[np.ndarray] = []
@@ -1169,6 +1204,7 @@ class HierarchicalClustering:
                         n_extra,
                         soar_lambda=float(self.params.soar_lambda or 0.0),
                         interpret=jax.devices()[0].platform != "tpu",
+                        cents_prepadded=cents_prepadded,
                     )
                     tiles = [(0, timed_pull(idx), timed_pull(dists))]
                 metrics.inc("build.replica_engine.pallas")
