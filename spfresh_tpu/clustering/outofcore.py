@@ -51,8 +51,20 @@ from spfresh_tpu.clustering.hierarchical import (
     _split_level_multiway_host,
 )
 from spfresh_tpu.clustering.utils import budget_sort, next_pow2
-from spfresh_tpu.ops.distances import pairwise_distance
+from spfresh_tpu.ops.distances import EUCLIDEAN, canonical_metric, pairwise_distance
 from spfresh_tpu.ops.topk import smallest_k
+
+
+def _dev_dtype(wire: bool, metric: str):
+    """Device dtype for streamed tiles/centroids: bf16 when the corpus rides
+    the bf16 wire (the values are exactly bf16-representable, and bf16 x
+    bf16 products are exact in the f32 accumulator) — the assign/replica
+    kernels then take the 1-pass MXU path instead of the 6-pass f32
+    HIGHEST decomposition.  Euclidean only; see hierarchical.py's
+    _finalize_replication for the full argument."""
+    if wire and canonical_metric(metric) == EUCLIDEAN:
+        return jnp.bfloat16
+    return ACCUM_DTYPE
 
 __all__ = ["fit_outofcore", "OutOfCoreResult", "DEFAULT_TILE_ROWS"]
 
@@ -315,8 +327,9 @@ def _stream_base(
     # One centroid copy per device: tiles round-robin across the mesh (the
     # passes are embarrassingly parallel over rows, so multi-chip
     # out-of-core is plain data parallelism — no collectives).
+    dd = _dev_dtype(wire, metric)
     cents_devs = [
-        timed_put(cents_p, dv).astype(ACCUM_DTYPE) for dv in devs
+        timed_put(cents_p, dv).astype(dd) for dv in devs
     ]
     base = np.empty(n, np.int32)
     db = np.empty(n, np.float32)
@@ -357,7 +370,7 @@ def _stream_base(
             # of MXU work.
             try:
                 b_i, d_i = pallas_nearest_centroid(
-                    timed_put(Xt, dv).astype(ACCUM_DTYPE),
+                    timed_put(Xt, dv).astype(dd),
                     cents_pallas[ti % len(devs)],
                     interpret=interp,
                     cents_prepadded=True,
@@ -369,7 +382,7 @@ def _stream_base(
                 use_pallas = False
         if not use_pallas:
             b_i, d_i = _oc_base_tile(
-                timed_put(Xt, dv).astype(ACCUM_DTYPE), cents_dev, metric,
+                timed_put(Xt, dv).astype(dd), cents_dev, metric,
                 chunk, C,
             )
         pending.append((s, e, b_i, d_i))
@@ -517,8 +530,10 @@ def _stream_replicas(
     C = cents_np.shape[0]
     devs = list(devices) if devices else [None]
     cents_devs = [
-        timed_put(cents_p, dv).astype(ACCUM_DTYPE) for dv in devs
+        timed_put(cents_p, dv).astype(_dev_dtype(wire, params.metric))
+        for dv in devs
     ]
+    dd = _dev_dtype(wire, params.metric)
     bt = np.float32(params.boundary_threshold)
     pts_l: List[np.ndarray] = []
     cls_l: List[np.ndarray] = []
@@ -571,7 +586,7 @@ def _stream_replicas(
             # 20M out-of-core build was this loop's XLA form.
             try:
                 i0, d0 = pallas_replica_topk(
-                    timed_put(Xt, dv).astype(ACCUM_DTYPE),
+                    timed_put(Xt, dv).astype(dd),
                     timed_put(base_t, dv),
                     cents_pallas[ti % len(devs)],  # FAR rows: never admitted
                     bt,
@@ -588,7 +603,7 @@ def _stream_replicas(
                 use_pallas = False
         if not use_pallas:
             d0, i0 = _oc_replica_tile(
-                timed_put(Xt, dv).astype(ACCUM_DTYPE),
+                timed_put(Xt, dv).astype(dd),
                 timed_put(base_t, dv),
                 timed_put(thresh_t, dv),
                 timed_put(db_t, dv),
