@@ -1216,13 +1216,26 @@ class HierarchicalClustering:
                 metrics.inc("build.replica_engine.xla_fallback")
                 with _p("replica/device+pull"):
                     tiles = self._replica_pass_xla(
-                        base, cents, n_extra, bf16_wire=bf16_wire
+                        base, cents[: len(self.clusters)], n_extra,
+                        bf16_wire=bf16_wire,
                     )
         else:
             metrics.inc("build.replica_engine.xla")
             with _p("replica/device+pull"):
+                # EXACT-C matrix for the XLA route even when the prepadded
+                # one exists: XLA's GEMM micro-kernel (and so the expansion's
+                # last-ulp rounding) varies with the matrix WIDTH, and the
+                # closure rule at db ~ 0 (duplicate points) is ulp-sensitive
+                # — a FAR-padded width made a single-device build drop
+                # replicas a mesh build (exact-C `_final_replica_pass`) kept
+                # (mesh fuzz seed 1).  The Pallas kernel is width-stable by
+                # construction (fixed CT x BR tiles for every C), so the TPU
+                # fast path keeps the compile-free padded matrix; this slice
+                # costs the XLA fallback a per-C compile, the status quo it
+                # always had.
                 tiles = self._replica_pass_xla(
-                    base, cents, n_extra, bf16_wire=bf16_wire
+                    base, cents[: len(self.clusters)], n_extra,
+                    bf16_wire=bf16_wire,
                 )
         with _p("replica/host_budget"):
             for s, idx, dists in tiles:
